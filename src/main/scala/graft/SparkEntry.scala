@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{CdcQueries, LlmQueries, RelationalQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query inventory:
+  *  - `q*`  generic relational surface ([[RelationalQueries]])
+  *  - `c*`/`w*` the reference's CDC/monitoring semantics
+  *    ([[CdcQueries]])
+  *  - `d*`/`s*`/`t*`/`mm*` LLM-data-pipeline operators
+  *    ([[LlmQueries]])
+  *
+  * Every query with portable-SQL semantics has a DuckDB oracle in
+  * [[oracleSql]]; hash-based operators (minhash/simhash/LSH) are
+  * rows-only here and exactly verified in ScalaTest.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0: the full CDC consolidate+merge pipeline. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("c08_merge")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++ CdcQueries.queries ++ LlmQueries.queries
+
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++ CdcQueries.oracles ++ LlmQueries.oracles
+
+  /** Headline subset used by [[Bench]] (the heavier, scale-relevant
+    * plans — joins, consolidation/merge, dedup, ANN). */
+  val benchQueries: Seq[String] = Seq(
+    "q02_agg_pricing", "q03_join_revenue", "q06_window_orders",
+    "q10_preagg_join", "c07_consolidate", "c08_merge",
+    "d01_exact_dedup", "d02_minhash_pairs", "d04_ngram_jaccard",
+    "s01_ann_bruteforce", "t03_quality", "t04_fingerprint")
 }

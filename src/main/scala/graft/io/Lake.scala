@@ -1,0 +1,123 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Schemas.Sentinel
+import graft.cdc.Merge
+
+/** The day-partitioned Parquet lake.
+  *
+  * The reference stores one file per calendar day
+  * (`/root/data/YYYY-MM-DD.parquet`, `db_extractor.py:15,247`,
+  * `consolidate.cpp:116`); we use the Spark-native equivalent — a
+  * `day=YYYY-MM-DD/` partitioned directory, snappy-compressed, written
+  * with dynamic partition overwrite so a rewrite touches only dirty days
+  * (the reference's idempotent whole-day-file overwrite,
+  * `db_extractor.py:248`).
+  */
+object Lake {
+
+  /** Session config this module assumes; call once per session. */
+  def configure(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.conf.set("spark.sql.parquet.compression.codec", "snappy")
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S12/S13: write rows carrying a `day` column as day partitions.
+    * `overwrite=true` + dynamic mode replaces only the days present in
+    * `df` (refetch-overwrite semantics, `db_extractor.py:284-291`);
+    * `overwrite=false` appends (historical backfill,
+    * `db_extractor.py:212`). */
+  def write(df: DataFrame, path: String, overwrite: Boolean = true): Unit =
+    df.write
+      .mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("day")
+      .option("compression", "snappy")
+      .parquet(path)
+
+  /** S7 (`db_extractor.py:51-76`): resume point = max `date_time`
+    * excluding the sentinel; fallback MIN_DATE handled by the caller.
+    * The reference scans newest-file-first and early-exits; with day
+    * partitions we get the same effect by pruning to the max day dirs —
+    * Catalyst answers the max from footer stats of the pruned scan. */
+  def resumePoint(lake: DataFrame): Option[String] = {
+    val row = lake
+      .where(col("date_time") =!= lit(Sentinel))
+      .agg(max("date_time"))
+      .head()
+    Option(row.getString(0))
+  }
+
+  /** S5/R1 (`row_integrity.py`): lake row count (Spark answers from
+    * Parquet footer statistics — no data read). */
+  def lakeCount(lake: DataFrame): Long = lake.count()
+
+  /** R1 report (`row_integrity.py:74-83`). */
+  final case class Reconciliation(
+      dbCount: Long, parquetCount: Long, difference: Long, matches: Boolean)
+
+  def reconcile(dbCount: Long, lake: DataFrame): Reconciliation = {
+    val pc = lakeCount(lake)
+    Reconciliation(dbCount, pc, pc - dbCount, pc == dbCount)
+  }
+
+  /** M1+M2 applied to a lake path: read only the dirty days (partition
+    * pruning via the `day IN (...)` filter), merge, dynamic-overwrite the
+    * dirty days, then delete day directories whose merged result is empty
+    * (M2, `consolidate.cpp:226-238` — Spark's dynamic overwrite never
+    * rewrites a partition it writes zero rows to, so empty days must be
+    * pruned explicitly).
+    *
+    * The dirty-day set is assumed small (a CDC batch touches few days —
+    * the reference pre-sizes for ~100, `consolidate.cpp:299`); it is
+    * collected to the driver for pruning and for the final FS delete.
+    * The merge itself never collects data rows.
+    */
+  def mergeIntoLake(spark: SparkSession, lakePath: String,
+      changes: DataFrame): Unit = {
+    configure(spark)
+    val dirtyDays = changes.select("day").distinct()
+      .collect().map(_.getString(0)).sorted
+    if (dirtyDays.isEmpty) return
+
+    val lakeExists = {
+      val fs = new Path(lakePath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.exists(new Path(lakePath))
+    }
+    val existing =
+      if (lakeExists)
+        read(spark, lakePath).where(col("day").isin(dirtyDays: _*))
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(
+            graft.core.Schemas.timeseriesSchema.fields :+
+              org.apache.spark.sql.types.StructField("day",
+                org.apache.spark.sql.types.StringType)))
+
+    val merged = Merge.merge(existing, changes)
+
+    // Days whose merged result is empty: dynamic overwrite won't touch
+    // them, delete explicitly (M2).
+    val nonEmptyDays = merged.groupBy("day").count()
+      .collect().map(_.getString(0)).toSet
+    val emptyDays = dirtyDays.filterNot(nonEmptyDays)
+
+    if (nonEmptyDays.nonEmpty)
+      write(merged, lakePath, overwrite = true)
+
+    if (emptyDays.nonEmpty) {
+      val fs = new Path(lakePath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      emptyDays.foreach { d =>
+        fs.delete(new Path(lakePath, s"day=$d"), true)
+      }
+    }
+  }
+}

@@ -1,0 +1,203 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import TextFunctions._
+
+/** Deduplication operators for a 100 TB document corpus.
+  *
+  * Scale posture shared by all variants: per-document signatures are
+  * computed in a narrow (no-shuffle) projection; duplicate discovery is
+  * a single hash-shuffle keyed by the signature (exact/simhash) or by
+  * LSH band buckets (minhash/embedding) — never an all-pairs cross
+  * join. Candidate verification joins only within buckets, whose size
+  * is controlled by band/row parameters, so worst-case work stays
+  * near-linear in corpus size.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one row per distinct normalized text,
+    * keeping the smallest id (deterministic winner), with the duplicate
+    * count. One shuffle on a 128-bit key. */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(normalizeText(col(textCol))))
+      .groupBy("content_hash")
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("dup_count"))
+
+  /** MinHash + LSH near-dedup.
+    *
+    * shingle -> minhash signature (k = bands*rows) -> band buckets ->
+    * self-join within buckets -> signature-estimate prefilter ->
+    * exact-Jaccard verify on the survivors.
+    *
+    * Scale discipline: the band join carries ONLY (id, band) — never
+    * shingle arrays; candidate pairs are deduped as bare id pairs, then
+    * the k-long signatures are joined back for the cheap estimate
+    * (fraction of agreeing components), and only estimate-survivors pay
+    * for the exact array intersection. At 100 TB the wide stages are
+    * the band join and two id-keyed signature joins, all
+    * hash-partitioned on small fixed-width keys.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 5, bands: Int = 8,
+      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = docs.select(
+      col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("mh", minHash(col("sh"), k))
+    val buckets = sigs
+      .select(col("id"),
+        posexplode(lshBands(col("mh"), bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+    val pairs = buckets.as("a").join(buckets.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Signature estimate: E[matching components / k] = jaccard. Loose
+    // margin (half the threshold) so estimate variance can't drop true
+    // positives; exact verify does the final cut.
+    val withSig = pairs
+      .join(sigs.select(col("id").as("id_a"), col("mh").as("mh_a")),
+        "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("mh").as("mh_b")),
+        "id_b")
+      .withColumn("est",
+        size(filter(zip_with(col("mh_a"), col("mh_b"),
+          (x, y) => x === y), e => e)).cast("double") / k)
+      .where(col("est") >= threshold * 0.5)
+      .select("id_a", "id_b")
+    withSig
+      .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dedup: 64-bit signature; near-dups collide on at
+    * least one of four 16-bit sub-signatures when hamming distance
+    * <= 3 (pigeonhole), verified exactly by bit_count. */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(
+      col(idCol).as("id"), simHash(tokens(col(textCol))).as("sig"))
+    val buckets = sigs
+      .select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          i => call_function("shiftright", col("sig"), i * lit(16))
+            .bitwiseAND(lit(0xFFFFL)))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk_val")
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b,
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** N-gram Jaccard dedup without hashing tricks, entirely on an
+    * inverted index — no shingle arrays ever cross a join.
+    *
+    * Similarity space is the "informative" grams: document frequency in
+    * [2, maxDocFreq]. df=1 grams cannot be shared (dropping them changes
+    * no pair's intersection, only deflates sizes consistently);
+    * df>maxDocFreq grams are stop-shingles (boilerplate), excluded like
+    * stopwords. Within that space the index self-join + count IS the
+    * exact intersection size, and per-doc gram counts give the union —
+    * so Jaccard is computed exactly from three hash-shuffles of narrow
+    * rows. Pair-row volume is bounded by sum(C(df,2)) <=
+    * maxDocFreq/2 * |index|, i.e. tunably near-linear in corpus size.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 5,
+      threshold: Double = 0.5, maxDocFreq: Long = 100L): DataFrame = {
+    val index = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleN)).as("gram"))
+    val informative = index
+      .withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("gram"))))
+      .where(col("df") >= 2 && col("df") <= maxDocFreq)
+      .select("id", "gram")
+    val sizes = informative.groupBy("id")
+      .agg(count(lit(1)).as("sz"))
+    val inter = informative.as("a").join(informative.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
+        "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
+        "id_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding-cosine near-dup via random-hyperplane LSH: sign-bit
+    * signatures bucket the corpus; exact cosine verifies candidates.
+    * `planes` hyperplanes are derived deterministically from a seed via
+    * integer hashing — no Math.random, reproducible across runs. */
+  def embeddingPairs(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int, planes: Int = 16,
+      threshold: Double = 0.95): DataFrame = {
+    val sig = hyperplaneSignature(col(vecCol), dim, planes)
+    val sigs = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sig.as("sig"))
+    val a = sigs.as("a")
+    val b = sigs.as("b")
+    a.join(b, col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .withColumn("cosine", cosine(col("a.v"), col("b.v")))
+      .where(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane sign signature: plane p's
+    * component d is a fixed pseudo-random +-1 from xxhash64(p, d); the
+    * signature packs the sign bits of the dot products into a long. */
+  private[llm] def hyperplaneSignature(vec: org.apache.spark.sql.Column,
+      dim: Int, planes: Int): org.apache.spark.sql.Column = {
+    val bits = (0 until planes).map { p =>
+      val comps = (0 until dim).map { d =>
+        val sign = if (scala.util.hashing.byteswap64(
+          p.toLong * 1000003L + d) % 2 == 0) 1.0f else -1.0f
+        element_at(vec, d + 1) * lit(sign)
+      }
+      val dot = comps.reduce(_ + _)
+      when(dot > 0f, lit(1L) * lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Survivor view: given a pair list, keep the smallest id of each
+    * connected component's star (greedy: drop any id that appears as the
+    * larger side of a pair). One pass, no iterative connected
+    * components — the standard large-corpus approximation. */
+  def survivors(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,119 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, plus batched decode /
+  * feature-extraction operators.
+  *
+  * The decode step itself is STUBBED (this environment has no media
+  * libraries): [[FakeCodec]] is a deterministic stand-in that "decodes"
+  * a payload into a fixed-length feature vector from its bytes. The
+  * Spark-side contract — binary column + metadata struct schema, batch
+  * iteration via mapPartitions (one codec init per task, amortized over
+  * the partition like an Arrow/pandas batch UDF), partition sizing by
+  * payload bytes — is real and is what carries over unchanged when a
+  * real decoder is plugged in.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside every payload. */
+  final case class MediaMeta(
+      mediaType: String, // "image" | "audio" | "video"
+      nBytes: Long,
+      sha: String,
+      width: Int,   // fake-decoded dimensions (stub)
+      height: Int)
+
+  final case class MediaRow(
+      media_id: Long,
+      payload: Array[Byte],
+      meta: MediaMeta)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      features: Array[Float])
+
+  /** Deterministic decode stub: in production this is the
+    * libjpeg/ffmpeg call; here it derives stable pseudo-content from
+    * the payload bytes so tests can assert exact outputs. */
+  object FakeCodec {
+    def dims(payload: Array[Byte]): (Int, Int) = {
+      val h = java.util.Arrays.hashCode(payload)
+      (64 + math.abs(h % 1920), 64 + math.abs((h / 7) % 1080))
+    }
+
+    /** "Feature extraction": 8-bucket normalized byte histogram —
+      * stands in for an embedding/feature model. */
+    def features(payload: Array[Byte]): Array[Float] = {
+      val buckets = new Array[Float](8)
+      payload.foreach(b => buckets((b & 0xFF) >> 5) += 1f)
+      val n = math.max(payload.length, 1).toFloat
+      buckets.map(_ / n)
+    }
+  }
+
+  /** Attach payload + metadata columns to rows that carry raw bytes.
+    * Metadata derivation (size, digest) is pure column work; the fake
+    * width/height come from a deterministic hash of the digest so the
+    * whole row stays expression-only (no decode on the hot path). */
+  def withMediaColumns(df: DataFrame, bytesCol: String,
+      mediaType: String): DataFrame =
+    df
+      .withColumn("payload", col(bytesCol))
+      .withColumn("meta", struct(
+        lit(mediaType).as("mediaType"),
+        octet_length(col("payload")).cast("long").as("nBytes"),
+        sha1(col("payload")).as("sha"),
+        (pmod(xxhash64(col("payload")), lit(1920L)) + 64)
+          .cast("int").as("width"),
+        (pmod(xxhash64(lit(7), col("payload")), lit(1080L)) + 64)
+          .cast("int").as("height")))
+
+  /** Batched decode+featurize: mapPartitions so codec initialization
+    * happens once per task and payloads stream through in partition-
+    * sized batches — the Scala analogue of mapInPandas batch shape.
+    * Repartition upstream by expected payload bytes (see
+    * [[repartitionByBytes]]) so a batch fits executor memory. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      // (real impl: initialize decoder context here, once per task)
+      rows.map(r => MediaFeatures(r.media_id,
+        FakeCodec.features(r.payload)))
+    }
+  }
+
+  /** Frame-sample stub for video payloads: emits every `stride`-th
+    * 1 KiB slice of the payload as a "frame" (flatMap shape — one input
+    * row to N frame rows — is the real contract). */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int = 4)
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val frameSize = 1024
+      val nFrames = math.max(1, r.payload.length / frameSize)
+      (0 until nFrames by stride).map { i =>
+        val from = i * frameSize
+        val until = math.min(from + frameSize, r.payload.length)
+        (r.media_id, i, java.util.Arrays.copyOfRange(r.payload, from,
+          until))
+      }
+    }.toDF("media_id", "frame_idx", "frame_bytes")
+  }
+
+  /** Size partitions by payload volume, not row count: media rows are
+    * wildly skewed (a 4 KiB icon vs a 2 GiB video), so partition count
+    * derives from total bytes / target bytes per partition. */
+  def repartitionByBytes(df: DataFrame, targetBytesPerPartition: Long =
+      128L * 1024 * 1024): DataFrame = {
+    val totalBytes = df.agg(sum(octet_length(col("payload"))))
+      .head().getLong(0)
+    val parts = math.max(1,
+      (totalBytes / targetBytesPerPartition).toInt)
+    df.repartition(parts, col("media_id"))
+  }
+}

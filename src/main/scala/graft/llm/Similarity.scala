@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import TextFunctions.cosine
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against the corpus, exact, O(|corpus| * |queries| * dim), the
+  * correctness oracle for the approximate paths.
+  *
+  * Scale path: LSH-bucketed search — random-hyperplane signatures
+  * partition the corpus into 2^planes buckets; each query probes its own
+  * bucket (optionally multi-probe neighbors at hamming distance 1), so
+  * per-query work drops from |corpus| to |bucket|. Bucket assignment is
+  * a narrow projection; the probe is a hash join on the bucket key.
+  */
+object Similarity {
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    *
+    * @param corpus  (id, vec) rows
+    * @param queries (qid, qvec) rows — expected driver-small; broadcast
+    * @return (qid, id, cosine, rank) with rank 1..k, ties broken by id
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .where(if (excludeSelf) col("qid") =!= col("id") else lit(true))
+      .withColumn("cosine", cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "id", "cosine", "rank")
+  }
+
+  /** LSH-bucketed approximate top-k: probe the query's signature bucket
+    * (plus all hamming-1 neighbor buckets when `multiProbe`), rank by
+    * exact cosine within the probed set. Recall is tuned by `planes`
+    * (fewer planes = bigger buckets = higher recall, more work). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      planes: Int = 8, multiProbe: Boolean = true,
+      excludeSelf: Boolean = true): DataFrame = {
+    val csig = Dedup.hyperplaneSignature(col("vec"), dim, planes)
+    val qsig = Dedup.hyperplaneSignature(col("qvec"), dim, planes)
+    val bucketed = corpus.withColumn("bucket", csig)
+    val probeSigs: org.apache.spark.sql.Column =
+      if (multiProbe)
+        array((qsig +: (0 until planes).map(p =>
+          qsig.bitwiseXOR(lit(1L << p)))): _*)
+      else array(qsig)
+    val probes = queries
+      .withColumn("bucket", explode(probeSigs))
+    val joined = bucketed.join(broadcast(probes), "bucket")
+      .where(if (excludeSelf) col("qid") =!= col("id") else lit(true))
+      .withColumn("cosine", cosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "id", "cosine", "rank")
+  }
+}

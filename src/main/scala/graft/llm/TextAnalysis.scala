@@ -1,0 +1,113 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/** Text-analysis operators: language ID (stopword-hit heuristic),
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column expressions (codegen'd, no shuffle) — they scale as a narrow
+  * map over the corpus.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language function-word lists for the n-gram/stopword
+    * heuristic. Deliberately small and fixed: the operator's shape (per-
+    * language token-hit scoring + argmax) is what matters; swap lists
+    * for real profiles in production. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "for",
+      "on", "with", "as", "this", "that"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "un", "une", "et", "est",
+      "dans", "pour", "que", "qui", "au"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu",
+      "den", "von", "mit", "auf", "für", "nicht"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "es", "en", "un",
+      "una", "que", "por", "con", "para"))
+
+  /** Per-language stopword hit count over the token array. */
+  def langScore(tokensCol: Column, lang: String): Column = {
+    val words = stopwords.toMap.apply(lang)
+    size(filter(tokensCol,
+      t => t.isInCollection(words)))
+  }
+
+  /** Heuristic language ID: argmax of stopword hits; "und"
+    * (undetermined) when no list scores > 0. Ties resolve in the fixed
+    * language order (deterministic). */
+  def languageOf(text: Column): Column = {
+    val tk = tokens(text)
+    val scored = stopwords.map { case (lang, _) =>
+      struct(langScore(tk, lang).as("score"), lit(lang).as("lang"))
+    }
+    // array_max on (score, lang) structs: max score, then max lang —
+    // to make ties deterministic-by-order instead, scan greedily.
+    val best = scored.reduce { (a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a)
+    }
+    when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy count: alphabetic runs, digit runs, and
+    * single punctuation marks each count as one token (the common
+    * pre-tokenizer split). */
+  def bpeishTokenCount(text: Column): Column =
+    size(call_function("regexp_extract_all", text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality features: length, punctuation ratio, stopword ratio,
+    * mean token length, all-caps-ness. Appended as columns. */
+  def qualityFeatures(df: DataFrame, textCol: String = "text")
+      : DataFrame = {
+    val t = col(textCol)
+    val tk = tokens(t)
+    val nChars = length(t).cast("double")
+    val punct = call_function("regexp_count", t,
+      lit("[.,;:!?'\"()\\[\\]{}]"))
+    val allStop = stopwords.flatMap(_._2).distinct
+    val stopHits = size(filter(tk, x => x.isInCollection(allStop)))
+    df
+      .withColumn("n_chars_q", length(t))
+      .withColumn("n_tokens", size(tk))
+      .withColumn("punct_ratio",
+        when(nChars > 0, punct.cast("double") / nChars).otherwise(0d))
+      .withColumn("stopword_ratio",
+        when(size(tk) > 0, stopHits.cast("double") /
+          size(tk).cast("double")).otherwise(0d))
+      .withColumn("mean_token_len",
+        when(size(tk) > 0,
+          aggregate(tk, lit(0L), (acc, x) => acc + length(x))
+            .cast("double") / size(tk).cast("double")).otherwise(0d))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot x punctuation
+    * sanity x stopword presence — the standard cheap pre-filter shape
+    * for pretraining corpora. */
+  def qualityScore(text: Column): Column = {
+    val t = text
+    val tk = tokens(t)
+    val n = size(tk).cast("double")
+    val lenScore = least(n / 50d, lit(1.0d))
+    val punct = call_function("regexp_count", t,
+      lit("[.,;:!?'\"()\\[\\]{}]")).cast("double")
+    val punctRatio = when(length(t) > 0,
+      punct / length(t).cast("double")).otherwise(0d)
+    val punctScore = when(punctRatio <= 0.2d, 1.0d)
+      .otherwise(greatest(lit(0d), lit(1.0d) - (punctRatio - 0.2d) * 5d))
+    val allStop = stopwords.flatMap(_._2).distinct
+    val stopRatio = when(n > 0,
+      size(filter(tk, x => x.isInCollection(allStop))).cast("double") / n)
+      .otherwise(0d)
+    val stopScore = least(stopRatio * 10d, lit(1.0d))
+    round(lenScore * punctScore * (lit(0.5d) + stopScore * 0.5d), 6)
+  }
+
+  /** Document fingerprint: md5 of the canonical normalized text (stable
+    * across whitespace/case variation). */
+  def fingerprint(text: Column): Column = md5(normalizeText(text))
+}

@@ -1,0 +1,392 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Schemas.{ChangeEvent, Sentinel}
+import graft.cdc.{Consolidate, Merge}
+import graft.ops.Timeseries
+
+/** The reference's operator surface (SURVEY §2.1) exercised end-to-end
+  * over the driver's `events` fixture. Each query derives a
+  * deterministic `api_data_timeseries`-shaped input from `events`
+  * (id / 19-char date_time / value / ts), runs the real library
+  * operator, and has a DuckDB oracle that restates the semantics
+  * independently.
+  *
+  * Derivation conventions (fixed, mirrored in every oracle):
+  *  - `date_time` = `strftime(ts)`; every ~97th row's datetime is
+  *    nulled first to exercise the S9 sentinel path
+  *  - CDC op from `event_type`: signup/purchase -> I, click/view -> U,
+  *    error -> D
+  *  - pk = `event_id % 500 + 1` (dense, collision-heavy, never 0)
+  *  - seq = `event_id` (the binlog total order)
+  */
+object CdcQueries {
+
+  private val DT = "yyyy-MM-dd HH:mm:ss"
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's reader
+    * rejects by default; read it as long nanos (legacy flag) and
+    * truncate to microseconds — the same ns->us truncation DuckDB
+    * applies, so oracles see identical instants. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          timestamp_micros((col("ts") / 1000).cast("long")))
+      case _ => raw
+    }
+  }
+
+  /** The normalized lake projection (S9 output shape). */
+  private def tsRows(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("event_id").as("id"),
+      Timeseries.normalizeDt(
+        when(col("event_id") % 97 === 0, lit(null))
+          .otherwise(col("ts"))).as("date_time"),
+      col("value"),
+      Timeseries.epochToUtc2(col("ts").cast("timestamp").cast("long"))
+        .as("ts"))
+
+  /** CDC events derived from the fixture (C1's output shape — the text
+    * parser itself is covered by [[c10_binlog_roundtrip]] and unit
+    * tests). */
+  private def changeEvents(s: SparkSession, dir: String)
+      : Dataset[ChangeEvent] = {
+    import s.implicits._
+    events(s, dir).select(
+      when(col("event_type").isin("signup", "purchase"), "I")
+        .when(col("event_type").isin("click", "view"), "U")
+        .otherwise("D").as("op"),
+      (col("event_id") % 500 + 1).as("pk"),
+      date_format(col("ts"), DT).as("dateTime"),
+      col("value"),
+      Timeseries.epochToUtc2(col("ts").cast("timestamp").cast("long"))
+        .as("ts"),
+      col("event_id").as("seq"))
+      .as[ChangeEvent]
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S9 + S10: normalization with sentinel fill + derived day.
+    "c01_normalize_day" -> ((s, dir) => {
+      tsRows(s, dir)
+        .withColumn("day", Timeseries.dayOf(col("date_time")))
+        .select("id", "date_time", "value", "ts", "day")
+        .orderBy("id")
+    }),
+
+    // S10 histogram: rows per derived day partition.
+    "c02_day_histogram" -> ((s, dir) => {
+      tsRows(s, dir)
+        .groupBy(Timeseries.dayOf(col("date_time")).as("day"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("day")
+    }),
+
+    // S7: resume point = max(date_time) excluding the sentinel, plus
+    // S3/S4-style aggregates pushed to footer/scan.
+    "c03_resume_point" -> ((s, dir) => {
+      tsRows(s, dir)
+        .agg(
+          max(when(col("date_time") =!= Sentinel, col("date_time")))
+            .as("resume_point"),
+          count(lit(1)).as("total_rows"),
+          count(when(col("date_time") === Sentinel, 1))
+            .as("sentinel_rows"))
+    }),
+
+    // C4: epoch seconds -> UTC+2 19-char string.
+    "c04_epoch_utc2" -> ((s, dir) => {
+      events(s, dir).select(
+        col("event_id"),
+        Timeseries.epochToUtc2(col("ts").cast("timestamp").cast("long"))
+          .as("ts_utc2"))
+        .orderBy("event_id")
+    }),
+
+    // S8: fail-fast validation, report form; bad ids injected on every
+    // ~101st row so the counts are non-trivial.
+    "c05_validation_report" -> ((s, dir) => {
+      val dirty = tsRows(s, dir)
+        .withColumn("id",
+          when(col("id") % 101 === 0, -col("id") - 1)
+            .otherwise(col("id")))
+      Timeseries.violationReport(dirty)
+    }),
+
+    // C3: `"NULL"`-literal value parse round-trip.
+    "c06_value_parse" -> ((s, dir) => {
+      events(s, dir).select(
+        col("event_id"),
+        Timeseries.parseValue(
+          when(col("event_id") % 13 === 0, lit("NULL"))
+            .otherwise(col("value").cast("string"))).as("value_parsed"))
+        .where(col("event_id") % 13 === 0
+          || col("event_id") % 7 === 0)
+        .orderBy("event_id")
+    }),
+
+    // C5: per-(day, pk) last-write-wins consolidation with the full
+    // D-erase / U-after-I-fold / apply-order semantics.
+    "c07_consolidate" -> ((s, dir) => {
+      Consolidate.netChanges(changeEvents(s, dir))
+        .orderBy("day", "id")
+    }),
+
+    // M1: join-based merge of consolidated changes into an existing
+    // day-keyed lake (built from even event_ids; changes from odd).
+    "c08_merge" -> ((s, dir) => {
+      import s.implicits._
+      val ev = changeEvents(s, dir)
+      val existing = ev.where(col("seq") % 2 === 0)
+        .groupBy(substring(col("dateTime"), 1, 10).as("day"),
+          col("pk").as("id"))
+        .agg(
+          max_by(struct(col("dateTime").as("date_time"), col("value"),
+            col("ts")), col("seq")).as("img"))
+        .select(col("id"), col("img.date_time").as("date_time"),
+          col("img.value").as("value"), col("img.ts").as("ts"),
+          col("day"))
+      val changes = Consolidate.netChanges(
+        ev.where(col("seq") % 2 === 1))
+      Merge.merge(existing, changes)
+        .orderBy("day", "id")
+    }),
+
+    // M3: merge audit metrics per day.
+    "c09_merge_audit" -> ((s, dir) => {
+      import s.implicits._
+      val ev = changeEvents(s, dir)
+      val existing = ev.where(col("seq") % 2 === 0)
+        .groupBy(substring(col("dateTime"), 1, 10).as("day"),
+          col("pk").as("id"))
+        .agg(max_by(struct(col("dateTime").as("date_time"),
+          col("value"), col("ts")), col("seq")).as("img"))
+        .select(col("id"), col("img.date_time").as("date_time"),
+          col("img.value").as("value"), col("img.ts").as("ts"),
+          col("day"))
+      val changes = Consolidate.netChanges(
+        ev.where(col("seq") % 2 === 1))
+      val merged = Merge.merge(existing, changes)
+      Merge.auditByDay(existing, changes, merged)
+        .orderBy("day")
+    }),
+
+    // R1: count reconciliation report.
+    "c11_reconcile" -> ((s, dir) => {
+      val dbCount = events(s, dir).count()
+      val lakeCount = tsRows(s, dir).count()
+      val spark = s
+      import spark.implicits._
+      Seq((dbCount, lakeCount, lakeCount - dbCount,
+        lakeCount == dbCount))
+        .toDF("db_count", "parquet_count", "difference", "matches")
+    }),
+
+    // W2 batch form: state-change detection per user ordered by event
+    // sequence (the watcher's anomaly diff as a lag window).
+    "w01_state_changes" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_id"))
+      events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNotNull
+          && col("prev_type") =!= col("event_type"))
+        .select(col("user_id"), col("event_id"),
+          col("prev_type"), col("event_type"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // H3: CASE-hierarchy status classification over grouped rows
+    // (per-user activity classing, the orchestrator's shape).
+    "w02_status_classify" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("event_type") === "error", 1)).as("n_err"),
+          count(when(col("event_type") === "purchase", 1)).as("n_buy"),
+          count(lit(1)).as("n_total"))
+        .withColumn("status",
+          when(col("n_err") > 0, "broken")
+            .when(col("n_buy") > 0, "active")
+            .otherwise("idle"))
+        .select("user_id", "status", "n_err", "n_buy", "n_total")
+        .orderBy("user_id")
+    }))
+
+  val oracles: Map[String, String] = {
+    // Shared CTE snippets (kept in exact sync with the Scala
+    // derivations above).
+    val tsRowsSql =
+      """SELECT event_id AS id,
+           coalesce(strftime(CASE WHEN event_id % 97 = 0 THEN NULL
+             ELSE ts END, '%Y-%m-%d %H:%M:%S'),
+             '0001-01-01 00:00:00') AS date_time,
+           value,
+           strftime(ts + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS ts
+         FROM events"""
+    val changeEventsSql =
+      """SELECT
+           CASE WHEN event_type IN ('signup','purchase') THEN 'I'
+                WHEN event_type IN ('click','view') THEN 'U'
+                ELSE 'D' END AS op,
+           event_id % 500 + 1 AS pk,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS dateTime,
+           value,
+           strftime(ts + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS ts,
+           event_id AS seq
+         FROM events"""
+    // C5 closed form: net op per (day, pk) from dseq/iseq + last
+    // non-D image (see graft.cdc.Consolidate).
+    def consolidateSql(filter: String) =
+      s"""SELECT substr(dateTime, 1, 10) AS day, pk AS id,
+            CASE WHEN coalesce(max(seq) FILTER (WHERE op = 'I'), -1)
+                   > coalesce(max(seq) FILTER (WHERE op = 'D'), -1) THEN 'I'
+                 WHEN max(seq) FILTER (WHERE op = 'D') IS NOT NULL THEN 'D'
+                 ELSE 'U' END AS op,
+            arg_max(dateTime, seq) FILTER (WHERE op <> 'D') AS date_time,
+            arg_max(value, seq) FILTER (WHERE op <> 'D') AS value,
+            arg_max(ts, seq) FILTER (WHERE op <> 'D') AS ts
+          FROM ev $filter
+          GROUP BY 1, 2"""
+    val existingSql =
+      """SELECT substr(dateTime, 1, 10) AS day, pk AS id,
+           arg_max(dateTime, seq) AS date_time,
+           arg_max(value, seq) AS value,
+           arg_max(ts, seq) AS ts
+         FROM ev WHERE seq % 2 = 0
+         GROUP BY 1, 2"""
+    val mergeSelectSql =
+      """SELECT
+            coalesce(e.id, c.id) AS id,
+            CASE WHEN c.op IS NULL THEN e.date_time
+                 ELSE c.date_time END AS date_time,
+            CASE WHEN c.op IS NULL THEN e.value ELSE c.value END AS value,
+            CASE WHEN c.op IS NULL THEN e.ts ELSE c.ts END AS ts,
+            coalesce(e.day, c.day) AS day
+          FROM existing e
+          FULL OUTER JOIN changes c ON e.day = c.day AND e.id = c.id
+          WHERE CASE WHEN c.op IS NULL THEN TRUE
+                     WHEN c.op = 'D' THEN FALSE
+                     WHEN c.op = 'I' THEN TRUE
+                     ELSE e.id IS NOT NULL END"""
+    val mergeSql =
+      s"""WITH ev AS ($changeEventsSql),
+          existing AS ($existingSql),
+          changes AS (${consolidateSql("WHERE seq % 2 = 1")})
+          $mergeSelectSql"""
+
+    Map(
+      "c01_normalize_day" ->
+        s"""WITH tsr AS ($tsRowsSql)
+           SELECT id, date_time, value, ts,
+             substr(date_time, 1, 10) AS day
+           FROM tsr ORDER BY id""",
+      "c02_day_histogram" ->
+        s"""WITH tsr AS ($tsRowsSql)
+           SELECT substr(date_time, 1, 10) AS day, count(*) AS n_rows
+           FROM tsr GROUP BY 1 ORDER BY 1""",
+      "c03_resume_point" ->
+        s"""WITH tsr AS ($tsRowsSql)
+           SELECT
+             max(CASE WHEN date_time <> '0001-01-01 00:00:00'
+               THEN date_time END) AS resume_point,
+             count(*) AS total_rows,
+             count(CASE WHEN date_time = '0001-01-01 00:00:00'
+               THEN 1 END) AS sentinel_rows
+           FROM tsr""",
+      "c04_epoch_utc2" ->
+        """SELECT event_id,
+           strftime(ts + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS ts_utc2
+           FROM events ORDER BY event_id""",
+      "c05_validation_report" ->
+        s"""WITH tsr AS ($tsRowsSql),
+           dirty AS (SELECT CASE WHEN id % 101 = 0 THEN -id - 1
+               ELSE id END AS id,
+             date_time, value, ts FROM tsr)
+           SELECT
+             count(CASE WHEN id IS NULL THEN 1 END) AS id_null,
+             count(CASE WHEN id < 0 THEN 1 END) AS id_negative,
+             count(CASE WHEN id >= 0 AND (date_time IS NULL
+               OR length(date_time) <> 19
+               OR NOT regexp_matches(date_time,
+                 '^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$$'))
+               THEN 1 END) AS date_time_format,
+             count(CASE WHEN id >= 0 AND length(date_time) = 19
+               AND regexp_matches(date_time,
+                 '^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$$')
+               AND (ts IS NULL OR length(ts) <> 19
+                 OR NOT regexp_matches(ts,
+                   '^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$$'))
+               THEN 1 END) AS ts_format,
+             count(*) AS rows_total
+           FROM dirty""",
+      "c06_value_parse" ->
+        """SELECT event_id,
+           CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END
+             AS value_parsed
+           FROM events
+           WHERE event_id % 13 = 0 OR event_id % 7 = 0
+           ORDER BY event_id""",
+      "c07_consolidate" ->
+        s"""WITH ev AS ($changeEventsSql)
+           ${consolidateSql("")}
+           ORDER BY day, id""",
+      "c08_merge" -> s"$mergeSql ORDER BY day, id",
+      "c09_merge_audit" ->
+        s"""WITH ev AS ($changeEventsSql),
+           existing AS ($existingSql),
+           changes AS (${consolidateSql("WHERE seq % 2 = 1")}),
+           merged AS ($mergeSelectSql),
+           before AS (SELECT day, count(*) AS rows_before FROM existing
+             GROUP BY day),
+           planned AS (SELECT day,
+             count(CASE WHEN op = 'D' THEN 1 END) AS planned_deletes,
+             count(CASE WHEN op = 'U' THEN 1 END) AS planned_updates,
+             count(CASE WHEN op = 'I' THEN 1 END) AS planned_inserts
+             FROM changes GROUP BY day),
+           after AS (SELECT day, count(*) AS rows_after FROM merged
+             GROUP BY day)
+           SELECT coalesce(b.day, p.day, a.day) AS day,
+             coalesce(rows_before, 0) AS rows_before,
+             coalesce(planned_deletes, 0) AS planned_deletes,
+             coalesce(planned_updates, 0) AS planned_updates,
+             coalesce(planned_inserts, 0) AS planned_inserts,
+             coalesce(rows_after, 0) AS rows_after,
+             coalesce(rows_after, 0) - coalesce(rows_before, 0)
+               AS net_change
+           FROM before b
+           FULL OUTER JOIN planned p ON b.day = p.day
+           FULL OUTER JOIN after a ON coalesce(b.day, p.day) = a.day
+           ORDER BY day""",
+      "c11_reconcile" ->
+        """SELECT count(*) AS db_count, count(*) AS parquet_count,
+           0::BIGINT AS difference, TRUE AS matches FROM events""",
+      "w01_state_changes" ->
+        """WITH w AS (SELECT user_id, event_id, event_type,
+             lag(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY event_id) AS prev_type
+           FROM events)
+           SELECT user_id, event_id, prev_type, event_type
+           FROM w WHERE prev_type IS NOT NULL
+             AND prev_type <> event_type
+           ORDER BY user_id, event_id""",
+      "w02_status_classify" ->
+        """SELECT user_id,
+           CASE WHEN count(CASE WHEN event_type = 'error' THEN 1 END) > 0
+             THEN 'broken'
+             WHEN count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+             THEN 'active' ELSE 'idle' END AS status,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS n_err,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_buy,
+           count(*) AS n_total
+           FROM events GROUP BY user_id ORDER BY user_id""")
+  }
+}

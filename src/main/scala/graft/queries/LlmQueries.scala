@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis, TextFunctions}
+
+/** LLM-data-pipeline operator surface (north star,
+  * `BASELINE.json`): dedup family, similarity search, text analysis,
+  * multimodal-column plumbing — over the `documents` / `embeddings`
+  * fixtures. Hash-family internals (xxhash64) are not reproducible in
+  * DuckDB, so minhash/simhash queries are declared without oracles
+  * (driver rows-only check) and verified by ScalaTest instead; every
+  * thing expressible in portable SQL gets a full oracle.
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup by normalized content hash.
+    "d01_exact_dedup" -> ((s, dir) => {
+      Dedup.exact(docs(s, dir))
+        .orderBy("content_hash")
+    }),
+
+    // MinHash+LSH near-dup pairs (rows-only: xxhash64 not in DuckDB).
+    "d02_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashPairs(docs(s, dir), shingleN = 8, bands = 16,
+        rowsPerBand = 4, threshold = 0.3)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup pairs (rows-only).
+    "d03_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(docs(s, dir), maxHamming = 16)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // N-gram Jaccard near-dup via inverted index (full oracle: plain
+    // set algebra, no hashing).
+    "d04_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(docs(s, dir), shingleN = 8,
+        threshold = 0.3, maxDocFreq = 50)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Embedding-cosine near-dup through hyperplane LSH buckets
+    // (rows-only: signature uses host hashing).
+    "d05_embedding_dups" -> ((s, dir) => {
+      Dedup.embeddingPairs(emb(s, dir), dim = 64, planes = 6,
+        threshold = 0.2)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Brute-force cosine top-k ANN baseline (full oracle).
+    "s01_ann_bruteforce" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val queries = emb(s, dir).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qvec"))
+      Similarity.bruteForceTopK(corpus, queries, k = 10)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("qid", "rank")
+    }),
+
+    // LSH-bucketed ANN (rows-only; recall vs s01 asserted in tests).
+    "s02_ann_lsh" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val queries = emb(s, dir).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qvec"))
+      Similarity.lshTopK(corpus, queries, k = 10, dim = 64, planes = 6)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("qid", "rank")
+    }),
+
+    // Language ID heuristic (full oracle).
+    "t01_langid" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("lang_detected",
+          TextAnalysis.languageOf(col("text")))
+        .groupBy("lang_detected")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang_detected")
+    }),
+
+    // Token counting: whitespace + BPE-ish subword proxy (full oracle).
+    "t02_token_counts" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_subtokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring features + composite score (full oracle).
+    "t03_quality" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_q"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting: md5 canonical + rolling hash (oracle
+    // covers both — the rolling hash is modular arithmetic).
+    "t04_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp_md5"),
+        TextFunctions.rollingFingerprint(col("text")).as("fp_roll"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal plumbing: binary payload + typed metadata (oracle on
+    // the portable parts: byte length + sha256).
+    "mm01_media_meta" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(
+          col("doc_id").as("media_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          sha2(col("payload"), 256).as("sha"))
+        .orderBy("media_id")
+    }),
+
+    // Multimodal batched decode (stubbed codec, real mapPartitions
+    // batch plumbing; rows-only).
+    "mm02_media_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      val withMeta = Multimodal.withMediaColumns(media, "payload",
+        "image")
+      val rows = withMeta.select(
+        col("doc_id").as("media_id"), col("payload"),
+        col("meta").as("meta"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeFeatures(rows)
+        .select(col("media_id"),
+          round(element_at(col("features"), 1), 6).as("f0"),
+          round(element_at(col("features"), 8), 6).as("f7"))
+        .orderBy("media_id")
+    }))
+
+  val oracles: Map[String, String] = {
+    val norm =
+      "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    Map(
+      "d01_exact_dedup" ->
+        s"""SELECT md5($norm) AS content_hash,
+           min(doc_id) AS keep_id, count(*) AS dup_count
+           FROM documents GROUP BY 1 ORDER BY 1""",
+      "d04_ngram_jaccard" ->
+        s"""WITH idx AS (
+             SELECT id, unnest(grams) AS gram FROM (
+               SELECT doc_id AS id,
+                 list_distinct([substr(t, i, 8)
+                   FOR i IN range(1, len(t) - 6)]) AS grams
+               FROM (SELECT doc_id, $norm AS t FROM documents))),
+           inf AS (SELECT id, gram FROM (
+             SELECT id, gram, count(*) OVER (PARTITION BY gram) AS df
+             FROM idx) WHERE df BETWEEN 2 AND 50),
+           sizes AS (SELECT id, count(*) AS sz FROM inf GROUP BY id),
+           inter AS (SELECT a.id AS id_a, b.id AS id_b,
+               count(*) AS inter
+             FROM inf a JOIN inf b
+             ON a.gram = b.gram AND a.id < b.id
+             GROUP BY 1, 2),
+           verified AS (SELECT id_a, id_b,
+             inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE AS jaccard
+             FROM inter
+             JOIN sizes sa ON sa.id = id_a
+             JOIN sizes sb ON sb.id = id_b)
+           SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+           FROM verified WHERE jaccard >= 0.3
+           ORDER BY id_a, id_b""",
+      "s01_ann_bruteforce" ->
+        """WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+             FROM embeddings WHERE vec_id < 5),
+           scored AS (SELECT qid, e.vec_id AS id,
+             list_cosine_similarity(qvec::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+             FROM q, embeddings e WHERE e.vec_id <> qid),
+           ranked AS (SELECT qid, id, cos,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC, id ASC) AS rank
+             FROM scored)
+           SELECT qid, id, round(cos, 6) AS cosine, rank
+           FROM ranked WHERE rank <= 10
+           ORDER BY qid, rank""",
+      "t01_langid" -> {
+        def score(lang: String): String = {
+          val words = TextAnalysis.stopwords.toMap.apply(lang)
+            .map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(string_split($norm, ' '), x -> x IN ($words)))"
+        }
+        s"""WITH scored AS (SELECT doc_id,
+             ${score("en")} AS s_en, ${score("fr")} AS s_fr,
+             ${score("de")} AS s_de, ${score("es")} AS s_es
+             FROM documents),
+           best AS (SELECT doc_id,
+             -- greedy argmax in fixed order (en,fr,de,es): the first
+             -- language reaching the max wins, matching the Scala fold
+             CASE
+               WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+               WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+               WHEN s_fr = greatest(s_fr, s_de, s_es) THEN 'fr'
+               WHEN s_de = greatest(s_de, s_es) THEN 'de'
+               ELSE 'es' END AS lang_detected
+             FROM scored)
+           SELECT lang_detected, count(*) AS n_docs FROM best
+           GROUP BY 1 ORDER BY 1"""
+      },
+      "t02_token_counts" ->
+        s"""SELECT doc_id,
+           len(string_split($norm, ' ')) AS n_tokens,
+           len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subtokens
+           FROM documents ORDER BY doc_id""",
+      "t03_quality" ->
+        s"""WITH f AS (SELECT doc_id, text,
+             string_split($norm, ' ') AS tk,
+             len(text) AS n_chars
+             FROM documents),
+           g AS (SELECT doc_id, n_chars, tk, len(tk) AS n_tokens,
+             least(len(tk)::DOUBLE / 50.0, 1.0) AS len_score,
+             CASE WHEN n_chars > 0 THEN
+               len(regexp_extract_all(text,
+                 '[.,;:!?''"()\\[\\]{}]'))::DOUBLE / n_chars::DOUBLE
+               ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(tk) > 0 THEN
+               len(list_filter(tk, x -> x IN (${TextAnalysis.stopwords
+                 .flatMap(_._2).distinct.map(w => s"'$w'")
+                 .mkString(", ")})))::DOUBLE / len(tk)::DOUBLE
+               ELSE 0.0 END AS stop_ratio
+             FROM f)
+           SELECT doc_id, n_chars AS n_chars_q, n_tokens,
+             round(round(len_score *
+               (CASE WHEN punct_ratio <= 0.2 THEN 1.0
+                 ELSE greatest(0.0, 1.0 - (punct_ratio - 0.2) * 5.0) END)
+               * (0.5 + least(stop_ratio * 10.0, 1.0) * 0.5), 6), 6)
+               AS quality
+           FROM g ORDER BY doc_id""",
+      "t04_fingerprint" ->
+        s"""SELECT doc_id, md5($norm) AS fp_md5,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               [ascii(c)::BIGINT FOR c IN string_split($norm, '')]),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
+           FROM documents ORDER BY doc_id""",
+      "mm01_media_meta" ->
+        """SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha
+           FROM documents ORDER BY media_id""")
+  }
+}

@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Generic relational operator surface over the driver fixtures
+  * (scan/filter/project, aggregation, joins, window, sort/limit, set
+  * ops, rollup). The reference itself contains almost none of these
+  * (SURVEY §2.2) — they come with Spark SQL; each query is written so
+  * Catalyst produces the plan we'd want at 100 TB: filters/projections
+  * reach the Parquet scan, small dimensions broadcast, aggregates have
+  * map-side partials.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Timestamps leave the engine as 19-char strings (the reference's
+    * at-rest convention) — also makes oracle comparison exact. */
+  private val DT = "yyyy-MM-dd HH:mm:ss"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S2/S6: filter + projection, both pushed into the Parquet scan.
+    "q01_pushdown_scan" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") < lit("1997-01-01")
+          && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          date_format(col("l_shipdate"), DT).as("ship_dt"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // TPC-H Q1 shape: the canonical partial-aggregate groupBy.
+    "q02_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+            2).as("sum_disc_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Multi-way join with broadcast dims: revenue by nation.
+    "q03_join_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+            2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Top-k: global sort + limit (Spark: TakeOrderedAndProject — no
+    // full sort materialization).
+    "q04_topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(25)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), DT).as("order_dt"))
+    }),
+
+    // Distinct aggregation per group.
+    "q05_distinct_custkeys" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Ranking + analytic windows: per-customer top-3 orders and the
+    // gap to the previous order.
+    "q06_window_orders" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val wd = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(wd))
+        .where(col("rnk") <= 3)
+        .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
+          col("o_totalprice"),
+          round(col("o_totalprice") - coalesce(col("prev_price"),
+            lit(0.0)), 2).as("delta_prev"))
+        .orderBy(col("o_custkey"), col("rnk"))
+    }),
+
+    // Anti + semi joins: segment counts of customers with orders but
+    // none urgent.
+    "q07_anti_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val withOrders = c.join(o.select(col("o_custkey")),
+        c("c_custkey") === o("o_custkey"), "left_semi")
+      val urgent = o.where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      withOrders.join(urgent,
+          withOrders("c_custkey") === urgent("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_without_urgent"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Set ops: union + except over key sets.
+    "q08_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val hi = o.where(col("o_totalprice") > 50000)
+        .select(col("o_custkey"))
+      val urgent = o.where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      hi.union(urgent).distinct()
+        .except(hi.intersect(urgent))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Grouping sets (rollup) over the join.
+    "q09_rollup_revenue" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_name").asc_nulls_first,
+          col("c_mktsegment").asc_nulls_first)
+    }),
+
+    // Join strategy contrast: big-big shuffle join (orders x lineitem)
+    // with aggregate pushdown below the join via pre-aggregation.
+    "q10_preagg_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("order_value"),
+          count(lit(1)).as("n_lines"))
+      val o = t(s, dir, "orders")
+      o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .where(col("n_lines") >= 6)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("order_value"), col("n_lines"))
+        .orderBy(col("o_orderkey"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pushdown_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_dt
+         FROM lineitem
+         WHERE l_shipdate < '1997-01-01' AND l_quantity > 45
+         ORDER BY l_orderkey, l_linenumber""",
+    "q02_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q03_join_revenue" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name
+         ORDER BY r_name, n_name""",
+    "q04_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_dt
+         FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC
+         LIMIT 25""",
+    "q05_distinct_custkeys" ->
+      """SELECT c_mktsegment,
+         count(DISTINCT o_custkey) AS n_customers,
+         count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q06_window_orders" ->
+      """WITH w AS (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk,
+             lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
+           FROM orders)
+         SELECT o_custkey, rnk, o_orderkey, o_totalprice,
+           round(o_totalprice - coalesce(prev_price, 0.0), 2) AS delta_prev
+         FROM w WHERE rnk <= 3
+         ORDER BY o_custkey, rnk""",
+    "q07_anti_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_without_urgent
+         FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           AND NOT EXISTS (SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey
+               AND o_orderpriority = '1-URGENT')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q08_setops" ->
+      """WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 50000),
+            urgent AS (SELECT o_custkey FROM orders
+                       WHERE o_orderpriority = '1-URGENT')
+         SELECT o_custkey FROM (
+           SELECT DISTINCT o_custkey FROM (
+             SELECT o_custkey FROM hi UNION ALL SELECT o_custkey FROM urgent)
+           EXCEPT
+           (SELECT o_custkey FROM hi INTERSECT SELECT o_custkey FROM urgent))
+         ORDER BY o_custkey""",
+    "q09_rollup_revenue" ->
+      """SELECT n_name, c_mktsegment,
+         round(sum(o_totalprice), 2) AS total, count(*) AS n
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY ROLLUP (n_name, c_mktsegment)
+         ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""",
+    "q10_preagg_join" ->
+      """WITH li AS (
+           SELECT l_orderkey, round(sum(l_extendedprice), 2) AS order_value,
+             count(*) AS n_lines
+           FROM lineitem GROUP BY l_orderkey)
+         SELECT o_orderkey, o_orderstatus, order_value, n_lines
+         FROM orders JOIN li ON o_orderkey = l_orderkey
+         WHERE n_lines >= 6
+         ORDER BY o_orderkey""")
+}

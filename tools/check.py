@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Runs each SparkEntry query's parquet dump (produced by `graft.Verify`)
+against its DuckDB oracle on the same fixture tables, comparing like the
+driver does: columns sorted by name, rows sorted, values hashed.
+
+Usage:
+  python3 tools/check.py [sfdir] [--skip-verify] [--only q01,q02]
+"""
+import json
+import sys
+import glob
+import os
+import subprocess
+
+import duckdb
+import pandas as pd
+import numpy as np
+
+SFDIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
+    else "/root/testdata/sf0.01"
+OUT = "/tmp/graft_verify"
+ONLY = None
+for a in sys.argv:
+    if a.startswith("--only"):
+        ONLY = a.split("=", 1)[1].split(",")
+
+if "--skip-verify" not in sys.argv:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SFDIR} {OUT}'],
+        cwd="/root/repo", capture_output=True, text=True)
+    sys.stdout.write(r.stdout[-3000:])
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-3000:])
+        sys.exit(1)
+
+con = duckdb.connect()
+for f in glob.glob(f"{SFDIR}/*.parquet"):
+    name = os.path.basename(f)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(name: str):
+    spark_files = glob.glob(f"{OUT}/{name}/*.parquet")
+    if not spark_files:
+        return ("MISSING-SPARK", "no parquet written")
+    sdf = pd.concat([pd.read_parquet(f) for f in spark_files],
+                    ignore_index=True)
+    if name not in oracle:
+        return ("ROWS-ONLY", f"{len(sdf)} rows (no oracle)")
+    try:
+        ddf = con.execute(oracle[name]).df()
+    except Exception as e:
+        return ("ORACLE-ERROR", str(e).split("\n")[0][:200])
+    s, d = canon(sdf), canon(ddf)
+    if list(s.columns) != list(d.columns):
+        return ("SCHEMA-MISMATCH", f"spark={list(s.columns)} duck={list(d.columns)}")
+    if len(s) != len(d):
+        return ("ROWCOUNT-MISMATCH", f"spark={len(s)} duck={len(d)}")
+    exact = True
+    for c in s.columns:
+        a, b = s[c].values, d[c].values
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            af = a.astype(float)
+            bf = b.astype(float)
+            both_nan = pd.isna(af) & pd.isna(bf)
+            eq = np.isclose(af, bf, rtol=0, atol=0, equal_nan=True)
+            if not (eq | both_nan).all():
+                close = np.isclose(af, bf, rtol=1e-9, equal_nan=True)
+                if (close | both_nan).all():
+                    return ("FLOAT-DRIFT", f"col {c} close but not exact")
+                i = int(np.argmin(eq | both_nan))
+                return ("VALUE-MISMATCH",
+                        f"col {c} row {i}: spark={af[i]!r} duck={bf[i]!r}")
+        else:
+            av = pd.Series(a).astype(str).values
+            bv = pd.Series(b).astype(str).values
+            if not (av == bv).all():
+                i = int(np.argmin(av == bv))
+                return ("VALUE-MISMATCH",
+                        f"col {c} row {i}: spark={a[i]!r} duck={b[i]!r}")
+    return ("OK", f"{len(s)} rows")
+
+
+names = set(json.load(open(f"{OUT}/oracle_sql.json")).keys()) \
+    | {os.path.basename(p) for p in glob.glob(f"{OUT}/*")
+       if os.path.isdir(p)}
+qlist = f"{OUT}/queries.json"
+if os.path.exists(qlist):
+    names |= set(json.load(open(qlist)))
+names = sorted(names)
+fails = 0
+for name in names:
+    if ONLY and name not in ONLY:
+        continue
+    status, detail = compare(name)
+    flag = "✓" if status in ("OK", "ROWS-ONLY") else "✗"
+    if flag == "✗":
+        fails += 1
+    print(f"{flag} {name:24s} {status:18s} {detail}")
+print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
+sys.exit(1 if fails else 0)

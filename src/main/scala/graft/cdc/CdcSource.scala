@@ -31,7 +31,7 @@ object CdcSource {
       table: String = BinlogParser.DefaultTable): Dataset[ChangeEvent] = {
     import spark.implicits._
     val files = spark.read.option("wholetext", "true").text(path)
-      .select(input_file_name().as("file"), $"value")
+      .select(input_file_name().as("_1"), $"value".as("_2"))
       .as[(String, String)]
     parseFiles(files, table)
   }

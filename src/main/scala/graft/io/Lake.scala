@@ -23,10 +23,17 @@ object Lake {
   def configure(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spark.conf.set("spark.sql.parquet.compression.codec", "snappy")
+    // `day` is a string slice of date_time (reference semantics,
+    // `consolidate.cpp:66`) — partition-type inference would turn it
+    // into a DateType and break string comparisons/joins.
+    spark.conf.set(
+      "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
   }
 
-  def read(spark: SparkSession, path: String): DataFrame =
+  def read(spark: SparkSession, path: String): DataFrame = {
+    configure(spark)
     spark.read.parquet(path)
+  }
 
   /** S12/S13: write rows carrying a `day` column as day partitions.
     * `overwrite=true` + dynamic mode replaces only the days present in

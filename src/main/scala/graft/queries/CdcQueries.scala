@@ -178,6 +178,51 @@ object CdcQueries {
         .orderBy("day")
     }),
 
+    // C1 end-to-end under the oracle: render the change events as
+    // binlog pseudo-SQL text (the mysqlbinlog-verbose format), parse it
+    // back with the REAL parser distributed over chunk "files", then
+    // consolidate. Chunking is by event_id range so parser-assigned
+    // sequence numbers equal event_ids and last-write-wins order is
+    // preserved exactly; the oracle is the same closed form as c07.
+    "c10_binlog_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val T = graft.cdc.BinlogParser.DefaultTable
+      val chunkSize = 1250L
+      val ev = events(s, dir)
+      val valueStr = when(col("value").isNull, lit("NULL"))
+        .otherwise(col("value").cast("string"))
+      val pk = col("event_id") % 500 + 1
+      val dt = date_format(col("ts"), DT)
+      val epoch = col("ts").cast("timestamp").cast("long")
+      val block =
+        when(col("event_type").isin("signup", "purchase"),
+          concat(lit(s"INSERT INTO $T\nSET\n@1="), pk,
+            lit("\n@3='"), dt, lit("'\n@4="), valueStr,
+            lit("\n@6="), epoch))
+        .when(col("event_type").isin("click", "view"),
+          concat(lit(s"UPDATE $T\nWHERE\n@1="), pk,
+            lit("\n@3='"), dt,
+            lit("'\nSET\n@1="), pk,
+            lit("\n@3='"), dt, lit("'\n@4="), valueStr,
+            lit("\n@6="), epoch))
+        .otherwise(
+          concat(lit(s"DELETE FROM $T\nWHERE\n@1="), pk,
+            lit("\n@3='"), dt, lit("'")))
+      val chunks = ev.select(
+        (col("event_id") / chunkSize).cast("long").as("chunk"),
+        struct(col("event_id"), block.as("block")).as("entry"))
+        .groupBy("chunk")
+        .agg(array_join(
+          transform(array_sort(collect_list(col("entry"))),
+            e => e.getField("block")), "\n").as("text"))
+        .as[(Long, String)]
+      val parsed = chunks.flatMap { case (chunk, text) =>
+        graft.cdc.BinlogParser.parseText(text,
+          seqStart = chunk * chunkSize)
+      }
+      Consolidate.netChanges(parsed).orderBy("day", "id")
+    }),
+
     // R1: count reconciliation report.
     "c11_reconcile" -> ((s, dir) => {
       val dbCount = events(s, dir).count()
@@ -340,6 +385,12 @@ object CdcQueries {
            ${consolidateSql("")}
            ORDER BY day, id""",
       "c08_merge" -> s"$mergeSql ORDER BY day, id",
+      // Identical closed form to c07: the text render+parse must be a
+      // lossless round-trip.
+      "c10_binlog_roundtrip" ->
+        s"""WITH ev AS ($changeEventsSql)
+           ${consolidateSql("")}
+           ORDER BY day, id""",
       "c09_merge_audit" ->
         s"""WITH ev AS ($changeEventsSql),
            existing AS ($existingSql),

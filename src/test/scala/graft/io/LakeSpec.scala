@@ -1,0 +1,99 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.cdc.Consolidate
+import graft.core.Schemas.{ChangeEvent, Sentinel}
+
+/** Lake IO: day-partitioned write, dynamic-overwrite merge, empty-day
+  * pruning (M2), resume point (S7), reconciliation (R1). */
+class LakeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_lake").toString
+
+  private def seed(path: String): Unit = {
+    val df = Seq(
+      (1L, "2024-03-01 10:00:00", Some(1.0), "2024-03-01 10:00:00"),
+      (2L, "2024-03-01 11:00:00", None: Option[Double],
+        "2024-03-01 11:00:00"),
+      (3L, "2024-03-02 09:00:00", Some(3.0), "2024-03-02 09:00:00"),
+      (4L, Sentinel, Some(4.0), "2024-03-02 09:30:00"))
+      .toDF("id", "date_time", "value", "ts")
+      .withColumn("day", substring($"date_time", 1, 10))
+    Lake.configure(spark)
+    Lake.write(df, path)
+  }
+
+  test("write + read round-trip preserves rows and day partitions") {
+    val path = tmp()
+    seed(path)
+    val back = Lake.read(spark, path)
+    assert(back.count() == 4)
+    assert(back.select("day").distinct().as[String].collect().sorted
+      .toSeq == Seq("0001-01-01", "2024-03-01", "2024-03-02"))
+  }
+
+  test("resume point excludes the sentinel day") {
+    val path = tmp()
+    seed(path)
+    assert(Lake.resumePoint(Lake.read(spark, path))
+      .contains("2024-03-02 09:00:00"))
+  }
+
+  test("mergeIntoLake applies changes and prunes emptied days") {
+    val path = tmp()
+    seed(path)
+    val events = Seq(
+      // day 1: update id=1, insert id=9
+      ChangeEvent("U", 1L, "2024-03-01 10:00:00", Some(100.0),
+        "2024-03-03 00:00:00", 0L),
+      ChangeEvent("I", 9L, "2024-03-01 23:59:59", Some(9.0),
+        "2024-03-03 00:00:00", 1L),
+      // day 2: delete its only real row
+      ChangeEvent("D", 3L, "2024-03-02 09:00:00", None, "", 2L))
+      .toDS()
+    Lake.mergeIntoLake(spark, path,
+      Consolidate.netChanges(events))
+    val back = Lake.read(spark, path)
+    val rows = back.select("day", "id", "value")
+      .as[(String, Long, Option[Double])].collect().toSet
+    assert(rows == Set(
+      ("2024-03-01", 1L, Some(100.0)),
+      ("2024-03-01", 2L, None),
+      ("2024-03-01", 9L, Some(9.0)),
+      ("0001-01-01", 4L, Some(4.0))))
+    // day=2024-03-02 emptied -> directory pruned (M2)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(path, "day=2024-03-02")))
+  }
+
+  test("merge into a non-existent lake bootstraps from inserts only") {
+    val path = tmp() + "/fresh"
+    val events = Seq(
+      ChangeEvent("I", 1L, "2024-03-01 10:00:00", Some(1.0),
+        "2024-03-01 10:00:00", 0L),
+      ChangeEvent("U", 2L, "2024-03-01 11:00:00", Some(2.0),
+        "2024-03-01 11:00:00", 1L)) // lone U: dropped
+      .toDS()
+    Lake.mergeIntoLake(spark, path, Consolidate.netChanges(events))
+    val back = Lake.read(spark, path)
+    assert(back.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("reconciliation report") {
+    val path = tmp()
+    seed(path)
+    val r = Lake.reconcile(4L, Lake.read(spark, path))
+    assert(r.matches && r.difference == 0)
+    val r2 = Lake.reconcile(5L, Lake.read(spark, path))
+    assert(!r2.matches && r2.difference == -1)
+  }
+}

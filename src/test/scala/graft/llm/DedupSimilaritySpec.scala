@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Dedup family + ANN: exact hash-match behavior on known duplicates,
+  * LSH recall against the brute-force oracle. */
+class DedupSimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The  quick brown fox jumps over the lazy dog"), // ws/case dup
+    (3L, "the quick brown fox jumps over the lazy cat"),  // near-dup
+    (4L, "completely different content about spark engines"),
+    (5L, "completely different content about spark engines"), // exact
+    (6L, "unrelated text mentioning nothing similar at all"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates, keeps min id") {
+    val out = Dedup.exact(corpus).collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("dup_count")))
+      .toSet
+    assert(out == Set((1L, 2L), (3L, 1L), (4L, 2L), (6L, 1L)))
+  }
+
+  test("minhash pairs find the near-dup and exact-dup pairs") {
+    val pairs = Dedup.minhashPairs(corpus, shingleN = 3, bands = 16,
+      rowsPerBand = 2, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((4L, 5L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("simhash: identical docs distance 0; near-dups small distance") {
+    val sigs = corpus.select(col("doc_id"),
+      TextFunctions.simHash(TextFunctions.tokens(col("text")))
+        .as("sig")).as[(Long, Long)].collect().toMap
+    assert(sigs(4L) == sigs(5L))
+    assert(sigs(1L) == sigs(2L)) // normalization removes the diff
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 16)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(6L)) >
+      java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)))
+  }
+
+  test("ngram jaccard on informative-gram space finds near-dups") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, shingleN = 3,
+      threshold = 0.5, maxDocFreq = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((4L, 5L)))
+  }
+
+  private def vecs = {
+    // deterministic corpus: 3 tight clusters in R^8
+    val rnd = new scala.util.Random(7)
+    (0 until 60).map { i =>
+      val base = Array.tabulate(8)(d =>
+        if (d % 3 == i % 3) 1.0 else 0.0)
+      (i.toLong, base.map(x => x + rnd.nextGaussian() * 0.05))
+    }.toDF("id", "vec")
+  }
+
+  test("brute-force ANN: self excluded, k respected, ranks ordered") {
+    val qs = vecs.limit(3)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val out = Similarity.bruteForceTopK(vecs, qs, k = 5)
+    val rows = out.collect()
+    assert(rows.length == 15)
+    assert(!rows.exists(r => r.getAs[Long]("qid") == r.getAs[Long]("id")))
+    // neighbors of a cluster member are cluster members
+    val n0 = rows.filter(_.getAs[Long]("qid") == 0L)
+      .map(_.getAs[Long]("id"))
+    assert(n0.forall(_ % 3 == 0))
+  }
+
+  test("LSH ANN recall >= 60% of brute-force top-5 on clusters") {
+    val qs = vecs.limit(3)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val exact = Similarity.bruteForceTopK(vecs, qs, k = 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(vecs, qs, k = 5, dim = 8,
+      planes = 4).select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("embedding near-dup pairs stay within clusters") {
+    val pairs = Dedup.embeddingPairs(
+      vecs.withColumnRenamed("id", "vec_id")
+        .withColumnRenamed("vec", "embedding"),
+      dim = 8, planes = 4, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => a % 3 == b % 3 })
+  }
+}

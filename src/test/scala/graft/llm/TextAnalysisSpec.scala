@@ -1,0 +1,72 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def one[T](df: org.apache.spark.sql.DataFrame): T =
+    df.collect().head.getAs[T](0)
+
+  test("language ID picks the dominant stopword language") {
+    val docs = Seq(
+      (1L, "the cat and the dog sat on a mat in the sun"),
+      (2L, "le chat et la souris dans la maison pour une nuit"),
+      (3L, "der hund und die katze ist ein tier mit fell"),
+      (4L, "el perro y el gato es un animal en la casa"),
+      (5L, "xyzzy plugh qwerty asdf")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.languageOf(col("text")).as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "fr")
+    assert(out(3L) == "de")
+    assert(out(4L) == "es")
+    assert(out(5L) == "und")
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = Seq(("hello world, it's 2024!" , 0)).toDF("text", "x")
+    assert(one[Int](df.select(TextAnalysis.tokenCount(col("text")))) == 4)
+    // hello|world|,|it|'|s|2024|! -> 8
+    assert(one[Int](df.select(
+      TextAnalysis.bpeishTokenCount(col("text")))) == 8)
+  }
+
+  test("quality score: sweet-spot text beats garbage") {
+    val good = "the quick brown fox jumps over the lazy dog and " * 8
+    val punct = "!!! ??? ... ;;; ::: !!! ??? ... ;;; :::"
+    val df = Seq((1L, good), (2L, punct), (3L, "a")).toDF("doc_id", "text")
+    val q = df.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(q(1L) > 0.8)
+    assert(q(2L) < 0.3)
+    assert(q(3L) < 0.2)
+  }
+
+  test("fingerprint is whitespace/case invariant; rolling hash stable") {
+    val df = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "hello worlds"))
+      .toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("f"),
+      TextFunctions.rollingFingerprint(col("text")).as("r"))
+      .as[(Long, String, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    assert(fp(1L)._2 >= 0L && fp(1L)._2 < 1000000007L)
+  }
+
+  test("quality features append the documented columns") {
+    val df = TextAnalysis.qualityFeatures(
+      Seq((1L, "some sample text here.")).toDF("doc_id", "text"))
+    assert(Seq("n_chars_q", "n_tokens", "punct_ratio",
+      "stopword_ratio", "mean_token_len")
+      .forall(df.columns.contains))
+  }
+}

@@ -48,10 +48,12 @@ object Dedup {
       textCol: String = "text", shingleN: Int = 5, bands: Int = 8,
       rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = docs.select(
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sigs = graft.core.Partitioning.ensureWidth(docs).select(
       col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("mh", minHash(col("sh"), k))
+      .withColumn("mh",
+        graft.functions.GraftFunctions.minhashSig(col("sh"), k))
     val buckets = sigs
       .select(col("id"),
         posexplode(lshBands(col("mh"), bands, rowsPerBand)))
@@ -91,8 +93,11 @@ object Dedup {
     * <= 3 (pigeonhole), verified exactly by bit_count. */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(
-      col(idCol).as("id"), simHash(tokens(col(textCol))).as("sig"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sigs = graft.core.Partitioning.ensureWidth(docs).select(
+      col(idCol).as("id"),
+      graft.functions.GraftFunctions
+        .simhash64(tokens(col(textCol))).as("sig"))
     val buckets = sigs
       .select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(3)),
@@ -130,8 +135,9 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleN: Int = 5,
       threshold: Double = 0.5, maxDocFreq: Long = 100L): DataFrame = {
-    val index = docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleN)).as("gram"))
+    val index = graft.core.Partitioning.ensureWidth(docs)
+      .select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleN)).as("gram"))
     val informative = index
       .withColumn("df", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window
@@ -162,13 +168,15 @@ object Dedup {
   def embeddingPairs(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", dim: Int, planes: Int = 16,
       threshold: Double = 0.95): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val sig = hyperplaneSignature(col(vecCol), dim, planes)
-    val sigs = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      sig.as("sig"))
+    val sigs = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"), sig.as("sig"))
     val a = sigs.as("a")
     val b = sigs.as("b")
     a.join(b, col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-      .withColumn("cosine", cosine(col("a.v"), col("b.v")))
+      .withColumn("cosine",
+        graft.functions.GraftFunctions.arrayCosine(col("a.v"), col("b.v")))
       .where(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("cosine"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import TextFunctions.cosine
+import graft.functions.GraftFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -28,9 +28,11 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val joined = corpus.crossJoin(broadcast(queries))
       .where(if (excludeSelf) col("qid") =!= col("id") else lit(true))
-      .withColumn("cosine", cosine(col("qvec"), col("vec")))
+      .withColumn("cosine",
+        GraftFunctions.arrayCosine(col("qvec"), col("vec")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id").asc)
     joined
@@ -46,6 +48,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       planes: Int = 8, multiProbe: Boolean = true,
       excludeSelf: Boolean = true): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val csig = Dedup.hyperplaneSignature(col("vec"), dim, planes)
     val qsig = Dedup.hyperplaneSignature(col("qvec"), dim, planes)
     val bucketed = corpus.withColumn("bucket", csig)
@@ -58,7 +61,8 @@ object Similarity {
       .withColumn("bucket", explode(probeSigs))
     val joined = bucketed.join(broadcast(probes), "bucket")
       .where(if (excludeSelf) col("qid") =!= col("id") else lit(true))
-      .withColumn("cosine", cosine(col("qvec"), col("vec")))
+      .withColumn("cosine",
+        GraftFunctions.arrayCosine(col("qvec"), col("vec")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("id").asc)
     joined

@@ -34,7 +34,8 @@ object SparkEntry {
     * plans — joins, consolidation/merge, dedup, ANN). */
   val benchQueries: Seq[String] = Seq(
     "q02_agg_pricing", "q03_join_revenue", "q06_window_orders",
-    "q10_preagg_join", "c07_consolidate", "c08_merge",
+    "q10_preagg_join", "c07_consolidate", "c08_merge", "c10_binlog_roundtrip",
+    "c12_asof", "w03_sessionize",
     "d01_exact_dedup", "d02_minhash_pairs", "d04_ngram_jaccard",
     "s01_ann_bruteforce", "t03_quality", "t04_fingerprint")
 }

@@ -249,6 +249,48 @@ object CdcQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // As-of join: each odd event looks up the latest even "reference
+    // mark" of the same user at-or-before its timestamp — the
+    // point-in-time lake lookup, via the union+window technique.
+    "c12_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val lefts = ev.where(col("event_id") % 2 === 1)
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val rights = ev.where(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("ref_id"), col("value").as("ref_value"))
+      graft.ops.AsofJoin.asof(lefts, rights, "user_id", "ts")
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), DT).as("ts_s"),
+          col("r_ref_id").as("ref_id"),
+          col("r_ref_value").as("ref_value"))
+        .orderBy("event_id")
+    }),
+
+    // Gap-based sessionization (30-min inactivity) — the classic
+    // event-stream window composition.
+    "w03_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_id"))
+      val ev = events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long")
+              > 1800, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      ev.groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), DT).as("session_start"),
+          date_format(max(col("ts")), DT).as("session_end"),
+          round(sum(col("value")), 2).as("session_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // H3: CASE-hierarchy status classification over grouped rows
     // (per-user activity classing, the orchestrator's shape).
     "w02_status_classify" -> ((s, dir) => {
@@ -420,6 +462,40 @@ object CdcQueries {
       "c11_reconcile" ->
         """SELECT count(*) AS db_count, count(*) AS parquet_count,
            0::BIGINT AS difference, TRUE AS matches FROM events""",
+      "c12_asof" ->
+        """WITH lefts AS (SELECT user_id, ts, event_id FROM events
+             WHERE event_id % 2 = 1),
+           rights AS (SELECT user_id, ts, event_id AS ref_id,
+             value AS ref_value FROM events WHERE event_id % 2 = 0)
+           SELECT l.user_id, l.event_id,
+             strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             r.ref_id, r.ref_value
+           FROM lefts l
+           ASOF LEFT JOIN rights r
+             ON l.user_id = r.user_id AND l.ts >= r.ts
+           ORDER BY l.event_id""",
+      "w03_sessionize" ->
+        """WITH w AS (SELECT user_id, event_id, ts, value,
+             lag(ts, 1) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS prev_ts
+           FROM events),
+           flagged AS (SELECT *,
+             CASE WHEN prev_ts IS NULL
+               OR floor(epoch(ts))::BIGINT
+                  - floor(epoch(prev_ts))::BIGINT > 1800
+               THEN 1 ELSE 0 END AS new_session
+             FROM w),
+           sess AS (SELECT user_id, event_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+             FROM flagged)
+           SELECT user_id, session_id, count(*) AS n_events,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+             round(sum(value), 2) AS session_value
+           FROM sess GROUP BY user_id, session_id
+           ORDER BY user_id, session_id""",
       "w01_state_changes" ->
         """WITH w AS (SELECT user_id, event_id, event_type,
              lag(event_type, 1) OVER (PARTITION BY user_id

@@ -51,6 +51,17 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Dedup survivors: corpus minus the larger id of every near-dup
+    // pair (greedy star resolution) — the materialized "cleaned
+    // corpus" view.
+    "d06_dedup_survivors" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), shingleN = 8,
+        threshold = 0.3, maxDocFreq = 50)
+      Dedup.survivors(docs(s, dir), pairs)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Embedding-cosine near-dup through hyperplane LSH buckets
     // (rows-only: signature uses host hashing).
     "d05_embedding_dups" -> ((s, dir) => {
@@ -188,6 +199,30 @@ object LlmQueries {
            SELECT id_a, id_b, round(jaccard, 6) AS jaccard
            FROM verified WHERE jaccard >= 0.3
            ORDER BY id_a, id_b""",
+      "d06_dedup_survivors" ->
+        s"""WITH idx AS (
+             SELECT id, unnest(grams) AS gram FROM (
+               SELECT doc_id AS id,
+                 list_distinct([substr(t, i, 8)
+                   FOR i IN range(1, len(t) - 6)]) AS grams
+               FROM (SELECT doc_id, $norm AS t FROM documents))),
+           inf AS (SELECT id, gram FROM (
+             SELECT id, gram, count(*) OVER (PARTITION BY gram) AS df
+             FROM idx) WHERE df BETWEEN 2 AND 50),
+           sizes AS (SELECT id, count(*) AS sz FROM inf GROUP BY id),
+           inter AS (SELECT a.id AS id_a, b.id AS id_b,
+               count(*) AS inter
+             FROM inf a JOIN inf b
+             ON a.gram = b.gram AND a.id < b.id
+             GROUP BY 1, 2),
+           losers AS (SELECT DISTINCT id_b FROM inter
+             JOIN sizes sa ON sa.id = id_a
+             JOIN sizes sb ON sb.id = id_b
+             WHERE inter::DOUBLE
+               / (sa.sz + sb.sz - inter)::DOUBLE >= 0.3)
+           SELECT doc_id, lang, n_chars FROM documents
+           WHERE doc_id NOT IN (SELECT id_b FROM losers)
+           ORDER BY doc_id""",
       "s01_ann_bruteforce" ->
         """WITH q AS (SELECT vec_id AS qid, embedding AS qvec
              FROM embeddings WHERE vec_id < 5),

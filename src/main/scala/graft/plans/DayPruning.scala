@@ -1,0 +1,110 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Optimizer rule: derive `day` partition predicates from `date_time`
+  * row predicates.
+  *
+  * The lake's partition key is `day = substring(date_time, 1, 10)`
+  * (reference semantics, `consolidate.cpp:66`). A query filtering on
+  * `date_time` alone scans every day partition because Catalyst cannot
+  * know the functional relationship between the two columns. This rule
+  * encodes it: for every comparison of `date_time` against a string
+  * literal it conjoins the implied bound on `day`, which the Parquet
+  * source then turns into partition pruning — the reference's
+  * "only touch dirty day files" behavior, recovered declaratively.
+  * Implication is sound because the 19-char format is lexicographically
+  * ordered and `day` is its 10-char prefix:
+  * `dt >= X  =>  day >= X[0,10)`, `dt <= X  =>  day <= X[0,10)`
+  * (strict variants weaken to the inclusive day bound), `dt = X =>
+  * day = X[0,10)`.
+  *
+  * Applies only where BOTH `date_time` and `day` string columns are
+  * present in the child output — i.e., lake-shaped scans.
+  * Registered via `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+object DayPruningRule extends Rule[LogicalPlan] {
+
+  private def dayLit(s: Any): Literal =
+    Literal(UTF8String.fromString(
+      s.asInstanceOf[UTF8String].toString.take(10)), StringType)
+
+  private def derive(e: Expression, dt: Attribute, day: Attribute)
+      : Option[Expression] = e match {
+    case GreaterThanOrEqual(a: Attribute, l @ Literal(_, StringType))
+        if a.semanticEquals(dt) =>
+      Some(GreaterThanOrEqual(day, dayLit(l.value)))
+    case GreaterThan(a: Attribute, l @ Literal(_, StringType))
+        if a.semanticEquals(dt) =>
+      Some(GreaterThanOrEqual(day, dayLit(l.value)))
+    case LessThanOrEqual(a: Attribute, l @ Literal(_, StringType))
+        if a.semanticEquals(dt) =>
+      Some(LessThanOrEqual(day, dayLit(l.value)))
+    case LessThan(a: Attribute, l @ Literal(_, StringType))
+        if a.semanticEquals(dt) =>
+      // dt < "D 00:00:00" excludes day D entirely: every dt with
+      // prefix D is >= D's midnight (lexicographic 19-char format).
+      if (l.value.toString.endsWith(" 00:00:00"))
+        Some(LessThan(day, dayLit(l.value)))
+      else Some(LessThanOrEqual(day, dayLit(l.value)))
+    case EqualTo(a: Attribute, l @ Literal(_, StringType))
+        if a.semanticEquals(dt) =>
+      Some(EqualTo(day, dayLit(l.value)))
+    // literal-on-the-left mirror images
+    case GreaterThanOrEqual(l @ Literal(_, StringType), a: Attribute)
+        if a.semanticEquals(dt) =>
+      Some(LessThanOrEqual(day, dayLit(l.value)))
+    case LessThanOrEqual(l @ Literal(_, StringType), a: Attribute)
+        if a.semanticEquals(dt) =>
+      Some(GreaterThanOrEqual(day, dayLit(l.value)))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      (child.output.find(a => a.name == "date_time"
+          && a.dataType == StringType),
+        child.output.find(a => a.name == "day"
+          && a.dataType == StringType)) match {
+        case (Some(dt), Some(day)) =>
+          val conjuncts = splitConjuncts(cond)
+          val derived = conjuncts.flatMap(derive(_, dt, day))
+            .filterNot(d => conjuncts.exists(_.semanticEquals(d)))
+          if (derived.isEmpty) f
+          else Filter(derived.foldLeft(cond)(And), child)
+        case _ => f
+      }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+}
+
+/** Session extensions entry point:
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  *
+  * That config is STATIC — it binds only when the first session of the
+  * JVM creates the SparkContext. For sessions built after the context
+  * exists (notebooks, tests), use [[GraftExtensions.install]], which
+  * attaches the rule dynamically via `experimental.extraOptimizations`
+  * — equivalent here, because partition pruning happens at physical
+  * planning, downstream of either injection point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => DayPruningRule)
+  }
+}
+
+object GraftExtensions {
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(DayPruningRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DayPruningRule
+}

@@ -49,11 +49,15 @@ object Dedup {
       rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // Referenced by the band explode and four downstream joins —
+    // cache once instead of recomputing shingles+signatures per branch
+    // (per-doc signature state is tiny relative to the corpus).
     val sigs = graft.core.Partitioning.ensureWidth(docs).select(
       col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
       .withColumn("mh",
         graft.functions.GraftFunctions.minhashSig(col("sh"), k))
+      .cache()
     val buckets = sigs
       .select(col("id"),
         posexplode(lshBands(col("mh"), bands, rowsPerBand)))
@@ -138,6 +142,10 @@ object Dedup {
     val index = graft.core.Partitioning.ensureWidth(docs)
       .select(col(idCol).as("id"),
         explode(shingles(col(textCol), shingleN)).as("gram"))
+    // NOT cached: all consumers need the same gram-partitioned
+    // exchange, which Spark's ReuseExchange dedupes for free — a cache
+    // here breaks that reuse and adds a block-manager round-trip
+    // (measured slower).
     val informative = index
       .withColumn("df", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window

@@ -136,6 +136,19 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Heavy hitters: corpus-wide top terms (explode + count + top-k —
+    // the wordcount shape whose 100 TB variant swaps the exact count
+    // for count_min_sketch; exact here so the oracle can hash-match).
+    "t05_top_terms" -> ((s, dir) => {
+      docs(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy("term")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc)
+        .limit(20)
+    }),
+
     // Multimodal plumbing: binary payload + typed metadata (oracle on
     // the portable parts: byte length + sha256).
     "mm01_media_meta" -> ((s, dir) => {
@@ -296,6 +309,12 @@ object LlmQueries {
                [ascii(c)::BIGINT FOR c IN string_split($norm, '')]),
              (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
            FROM documents ORDER BY doc_id""",
+      "t05_top_terms" ->
+        s"""SELECT term, count(*) AS cnt FROM (
+             SELECT unnest(string_split($norm, ' ')) AS term
+             FROM documents)
+           WHERE len(term) > 0
+           GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20""",
       "mm01_media_meta" ->
         """SELECT doc_id AS media_id,
            octet_length(encode(text)) AS n_bytes,

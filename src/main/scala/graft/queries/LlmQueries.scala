@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis, TextFunctions}
+import graft.llm.{Chunking, Dedup, Multimodal, Similarity, TextAnalysis, TextFunctions}
 
 /** LLM-data-pipeline operator surface (north star,
   * `BASELINE.json`): dedup family, similarity search, text analysis,
@@ -134,6 +134,14 @@ object LlmQueries {
         TextAnalysis.fingerprint(col("text")).as("fp_md5"),
         TextFunctions.rollingFingerprint(col("text")).as("fp_roll"))
         .orderBy("doc_id")
+    }),
+
+    // Token-window chunking with overlap (narrow explode — no shuffle).
+    "t06_chunking" -> ((s, dir) => {
+      Chunking.chunk(docs(s, dir), chunkTokens = 64,
+        overlapTokens = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_idx")
     }),
 
     // Heavy hitters: corpus-wide top terms (explode + count + top-k —
@@ -309,6 +317,20 @@ object LlmQueries {
                [ascii(c)::BIGINT FOR c IN string_split($norm, '')]),
              (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
            FROM documents ORDER BY doc_id""",
+      "t06_chunking" ->
+        s"""WITH toks AS (SELECT doc_id, string_split($norm, ' ') AS tk
+             FROM documents),
+           st AS (SELECT doc_id, tk,
+             unnest(range(0, len(tk), 56)) AS start,
+             generate_subscripts(range(0, len(tk), 56), 1) - 1
+               AS chunk_idx
+             FROM toks)
+           SELECT doc_id, chunk_idx,
+             least(len(tk) - start, 64) AS chunk_tokens,
+             array_to_string(tk[start + 1 : start + 64], ' ')
+               AS chunk_text
+           FROM st
+           ORDER BY doc_id, chunk_idx""",
       "t05_top_terms" ->
         s"""SELECT term, count(*) AS cnt FROM (
              SELECT unnest(string_split($norm, ' ')) AS term

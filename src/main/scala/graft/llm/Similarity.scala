@@ -41,6 +41,54 @@ object Similarity {
       .select("qid", "id", "cosine", "rank")
   }
 
+  /** IVF-flat approximate top-k: partition the corpus into inverted
+    * lists around centroids, probe only the `nProbe` lists nearest to
+    * each query. Per-query work drops from |corpus| to
+    * ~|corpus| * nProbe / nCentroids.
+    *
+    * Centroids are deterministic corpus samples (hash-ordered medoids)
+    * — at 100 TB you'd refine them with a couple of Lloyd iterations
+    * over a sample, which drops in here without changing the
+    * assignment/probe dataflow (both are broadcast joins against the
+    * small centroid set; the corpus-side argmax assignment is one
+    * narrow pass that would be computed once and persisted alongside
+    * the embeddings).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val centroids = corpus
+      .orderBy(pmod(hash(col("id")), lit(1000003)).asc, col("id").asc)
+      .limit(nCentroids)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+
+    def assign(df: DataFrame, idCol: String, vecCol: String,
+        keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("_csim").desc, col("cid").asc)
+      df.crossJoin(broadcast(centroids))
+        .withColumn("_csim",
+          GraftFunctions.arrayCosine(col(vecCol), col("cvec")))
+        .withColumn("_crank", row_number().over(w))
+        .where(col("_crank") <= keep)
+        .drop("cvec", "_csim", "_crank")
+    }
+
+    val lists = assign(corpus, "id", "vec", 1) // inverted lists
+    val probes = assign(queries, "qid", "qvec", nProbe)
+    val joined = lists.join(probes, "cid")
+      .where(if (excludeSelf) col("qid") =!= col("id") else lit(true))
+      .withColumn("cosine",
+        GraftFunctions.arrayCosine(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "id", "cosine", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: probe the query's signature bucket
     * (plus all hamming-1 neighbor buckets when `multiProbe`), rank by
     * exact cosine within the probed set. Recall is tuned by `planes`

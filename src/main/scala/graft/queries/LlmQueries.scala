@@ -97,6 +97,20 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // IVF-flat ANN (rows-only; recall vs s01 asserted in tests).
+    "s03_ann_ivf" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val queries = emb(s, dir).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qvec"))
+      Similarity.ivfTopK(corpus, queries, k = 10, nCentroids = 16,
+        nProbe = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("qid", "rank")
+    }),
+
     // Language ID heuristic (full oracle).
     "t01_langid" -> ((s, dir) => {
       docs(s, dir)

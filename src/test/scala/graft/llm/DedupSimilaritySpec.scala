@@ -89,6 +89,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("IVF ANN recall >= 60% of brute-force top-5 on clusters") {
+    val qs = vecs.limit(3)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val exact = Similarity.bruteForceTopK(vecs, qs, k = 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(vecs, qs, k = 5, nCentroids = 6,
+      nProbe = 2).select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("embedding near-dup pairs stay within clusters") {
     val pairs = Dedup.embeddingPairs(
       vecs.withColumnRenamed("id", "vec_id")

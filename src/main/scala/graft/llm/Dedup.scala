@@ -142,10 +142,12 @@ object Dedup {
     val index = graft.core.Partitioning.ensureWidth(docs)
       .select(col(idCol).as("id"),
         explode(shingles(col(textCol), shingleN)).as("gram"))
-    // NOT cached: all consumers need the same gram-partitioned
-    // exchange, which Spark's ReuseExchange dedupes for free — a cache
-    // here breaks that reuse and adds a block-manager round-trip
-    // (measured slower).
+    // Document frequency via a count window over gram: ONE exchange of
+    // the index that every downstream consumer (pair join included)
+    // reuses. Measured faster than the agg+join alternative, which
+    // recomputes the exploded index for each side. (NOT cached:
+    // ReuseExchange already dedupes the shared exchange; a cache breaks
+    // it and measured slower.)
     val informative = index
       .withColumn("df", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window

@@ -15,6 +15,16 @@ import TextFunctions._
   * join. Candidate verification joins only within buckets, whose size
   * is controlled by band/row parameters, so worst-case work stays
   * near-linear in corpus size.
+  *
+  * Techniques are the published standards: min-wise resemblance
+  * hashing (Broder, "On the resemblance and containment of documents",
+  * 1997) with banded LSH; sign-random-projection / simhash fingerprints
+  * (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", STOC 2002) with the pigeonhole sub-signature blocking
+  * used by near-duplicate web crawl dedup (Manku et al., WWW 2007);
+  * inverted-index set-similarity joins with frequency filtering in the
+  * spirit of PPJoin (Xiao et al., "Efficient similarity joins for near
+  * duplicate detection", WWW 2008).
   */
 object Dedup {
 

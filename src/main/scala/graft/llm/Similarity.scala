@@ -12,11 +12,16 @@ import graft.functions.GraftFunctions
   * set against the corpus, exact, O(|corpus| * |queries| * dim), the
   * correctness oracle for the approximate paths.
   *
-  * Scale path: LSH-bucketed search — random-hyperplane signatures
-  * partition the corpus into 2^planes buckets; each query probes its own
-  * bucket (optionally multi-probe neighbors at hamming distance 1), so
-  * per-query work drops from |corpus| to |bucket|. Bucket assignment is
-  * a narrow projection; the probe is a hash join on the bucket key.
+  * Scale paths: LSH-bucketed search — random-hyperplane signatures
+  * (Charikar, STOC 2002) partition the corpus into 2^planes buckets;
+  * each query probes its own bucket plus hamming-1 neighbors
+  * (multi-probe LSH, Lv et al., VLDB 2007), so per-query work drops
+  * from |corpus| to |bucket|. And IVF-flat — coarse quantization into
+  * inverted lists with nProbe-nearest-list search, the cell-probe
+  * architecture of Jegou et al.'s IVFADC ("Product quantization for
+  * nearest neighbor search", TPAMI 2011) without the residual codes.
+  * Bucket/list assignment is a narrow projection; probes are hash
+  * joins on the bucket key.
   */
 object Similarity {
 

@@ -171,6 +171,21 @@ object LlmQueries {
         .limit(20)
     }),
 
+    // Deterministic stratified capping: at most N docs per source,
+    // selected by content-hash order — the reproducible domain-cap
+    // sampling step of corpus curation (hash order, not random, so
+    // any engine replays the same sample).
+    "t07_stratified_cap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("text")).asc, col("doc_id").asc)
+      docs(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 15)
+        .select(col("source"), col("doc_id"), col("rn"))
+        .orderBy("source", "rn")
+    }),
+
     // Multimodal plumbing: binary payload + typed metadata (oracle on
     // the portable parts: byte length + sha256).
     "mm01_media_meta" -> ((s, dir) => {
@@ -351,6 +366,13 @@ object LlmQueries {
              FROM documents)
            WHERE len(term) > 0
            GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20""",
+      "t07_stratified_cap" ->
+        """SELECT source, doc_id, rn FROM (
+             SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(text) ASC, doc_id ASC) AS rn
+             FROM documents)
+           WHERE rn <= 15 ORDER BY source, rn""",
       "mm01_media_meta" ->
         """SELECT doc_id AS media_id,
            octet_length(encode(text)) AS n_bytes,

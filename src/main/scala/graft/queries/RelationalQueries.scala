@@ -149,6 +149,22 @@ object RelationalQueries {
           col("c_mktsegment").asc_nulls_first)
     }),
 
+    // SQL frontend: the same engine through spark.sql over temp views,
+    // with a correlated EXISTS subquery (TPC-H Q4 shape) — Catalyst
+    // decorrelates it into the same semi join the DataFrame API builds.
+    "q11_sql_frontend" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS order_count
+           FROM orders_v o
+           WHERE EXISTS (
+             SELECT 1 FROM lineitem_v l
+             WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 48)
+           GROUP BY o_orderpriority
+           ORDER BY o_orderpriority""")
+    }),
+
     // Join strategy contrast: big-big shuffle join (orders x lineitem)
     // with aggregate pushdown below the join via pre-aggregation.
     "q10_preagg_join" -> ((s, dir) => {
@@ -242,6 +258,14 @@ object RelationalQueries {
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY ROLLUP (n_name, c_mktsegment)
          ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""",
+    "q11_sql_frontend" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE EXISTS (
+           SELECT 1 FROM lineitem l
+           WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 48)
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
     "q10_preagg_join" ->
       """WITH li AS (
            SELECT l_orderkey, round(sum(l_extendedprice), 2) AS order_value,

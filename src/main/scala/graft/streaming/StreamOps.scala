@@ -64,4 +64,16 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Streaming exact dedup: keep the first row per key, with state
+    * bounded by the watermark (keys older than the watermark are
+    * evicted — the only way streaming dedup state stays finite on an
+    * unbounded ingest). Duplicate suppression spans micro-batches
+    * within the watermark horizon. */
+  def streamingDedup(events: DataFrame, tsCol: String,
+      keyCols: Seq[String], watermark: String = "10 minutes")
+      : DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 }

@@ -38,6 +38,30 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses duplicate keys across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDS().toDF("ts", "k", "v")
+    val q = StreamOps.streamingDedup(df, "ts", Seq("k"), "30 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (java.sql.Timestamp.valueOf("2024-03-01 10:00:00"), "a", 1.0),
+        (java.sql.Timestamp.valueOf("2024-03-01 10:01:00"), "a", 2.0),
+        (java.sql.Timestamp.valueOf("2024-03-01 10:02:00"), "b", 3.0))
+      q.processAllAvailable()
+      // duplicate of "a" in a LATER micro-batch, inside the watermark
+      mem.addData(
+        (java.sql.Timestamp.valueOf("2024-03-01 10:05:00"), "a", 9.0),
+        (java.sql.Timestamp.valueOf("2024-03-01 10:06:00"), "c", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("dedup").select("k", "v")
+        .as[(String, Double)].collect().toSet
+      assert(out == Set(("a", 1.0), ("b", 3.0), ("c", 4.0)))
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over an event-time stream") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]

@@ -33,12 +33,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // JVM/codegen warmup on the smallest fixture so measured times are
-    // execution, not first-call JIT + plan compilation.
+    // JVM/codegen warmup on the smallest fixture (fall back to the
+    // bench fixture itself if the default location is absent) so
+    // measured times are execution, not first-call JIT + plan
+    // compilation.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+      "/root/testdata/sf0.001")
+    val warm =
+      if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
     SparkEntry.benchQueries.foreach { n =>
-      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+      try SparkEntry.queries(n)(spark, warm)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
+      }
     }
 
     val results = SparkEntry.benchQueries.map(n => n -> run(n))

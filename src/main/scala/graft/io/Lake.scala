@@ -86,8 +86,21 @@ object Lake {
     * The merge itself never collects data rows.
     */
   def mergeIntoLake(spark: SparkSession, lakePath: String,
-      changes: DataFrame): Unit = {
+      changesIn: DataFrame): Unit = {
     configure(spark)
+    // Three actions consume the change set (dirty-day listing,
+    // empty-day count, final write) — materialize it once instead of
+    // re-running parse+consolidate per action. A CDC batch is small
+    // relative to the lake by construction.
+    val changes = changesIn.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      mergePersisted(spark, lakePath, changes)
+    } finally changes.unpersist()
+  }
+
+  private def mergePersisted(spark: SparkSession, lakePath: String,
+      changes: DataFrame): Unit = {
     val dirtyDays = changes.select("day").distinct()
       .collect().map(_.getString(0)).sorted
     if (dirtyDays.isEmpty) return

@@ -58,10 +58,13 @@ object Jobs {
         Timeseries.normalizeDt(col("date_time")).as("date_time"),
         col("value").cast("double").as("value"),
         Timeseries.normalizeDt(col("ts")).as("ts"))
-      val withDay = Timeseries.assertValid(normalized)
-        .withColumn("day", Timeseries.dayOf(col("date_time")))
-      if (!withDay.isEmpty)
-        Lake.write(withDay, lakePath, overwrite = false)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val withDay = Timeseries.assertValid(normalized)
+          .withColumn("day", Timeseries.dayOf(col("date_time")))
+        if (!withDay.isEmpty)
+          Lake.write(withDay, lakePath, overwrite = false)
+      } finally normalized.unpersist()
     }
     val lakeExistsNow = lakeExists || {
       val p = new org.apache.hadoop.fs.Path(lakePath)
@@ -90,10 +93,16 @@ object Jobs {
       Timeseries.normalizeDt(col("date_time")).as("date_time"),
       col("value").cast("double").as("value"),
       Timeseries.normalizeDt(col("ts")).as("ts"))
-    val validated = Timeseries.assertValid(normalized)
-    val withDay = validated
-      .withColumn("day", Timeseries.dayOf(col("date_time")))
-    Lake.write(withDay, lakePath, overwrite = lakeExistsNow)
+      // the fail-fast validation scan and the write both consume the
+      // source window — materialize once so a JDBC source is queried
+      // once, not twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val validated = Timeseries.assertValid(normalized)
+      val withDay = validated
+        .withColumn("day", Timeseries.dayOf(col("date_time")))
+      Lake.write(withDay, lakePath, overwrite = lakeExistsNow)
+    } finally normalized.unpersist()
     days
   }
 

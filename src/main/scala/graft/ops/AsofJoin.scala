@@ -45,8 +45,11 @@ object AsofJoin {
         lCols.filterNot(c => c == keyCol || c == tsCol).map(col)): _*)
       .unionByName(r)
 
+    // _r as the final sort key makes the choice among right rows that
+    // tie on (key, ts) deterministic (struct ordering is field-wise);
+    // left rows carry null _r and are unaffected.
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("_side").asc)
+      .orderBy(col(tsCol).asc, col("_side").asc, col("_r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     unioned

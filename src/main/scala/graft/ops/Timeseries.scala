@@ -34,10 +34,15 @@ object Timeseries {
 
   /** C4 (`consolidate.cpp:45-53`): unix seconds -> 19-char string in
     * UTC+2 (fixed offset, not a DST zone — the reference adds exactly
-    * 2 h). */
+    * 2 h). Session-timezone independent: the ltz->ntz cast renders the
+    * session zone's wall clock, and convert_timezone re-interprets that
+    * same zone's wall clock back to UTC — the two cancel for any
+    * session timezone, leaving the UTC wall clock of instant t+2h. */
   def epochToUtc2(epochSeconds: Column): Column =
     date_format(
-      timestamp_seconds(epochSeconds + lit(7200L)).cast("timestamp_ntz"),
+      convert_timezone(current_timezone(), lit("UTC"),
+        timestamp_seconds(epochSeconds + lit(7200L))
+          .cast("timestamp_ntz")),
       DtPattern)
 
   /** S8 (`db_extractor.py:78-149`): per-row domain checks. Returns a
@@ -80,7 +85,8 @@ object Timeseries {
   }
 
   /** Violation histogram (report form of S8): count of rows per violated
-    * rule — all-zero when clean. */
+    * rule — all-zero when clean. Covers every rule [[violationOf]] can
+    * emit. */
   def violationReport(df: DataFrame): DataFrame = {
     val v = violationOf(col("id"), col("date_time"), col("value"),
       col("ts"))
@@ -89,6 +95,7 @@ object Timeseries {
       count(when(v === "id_negative", 1)).as("id_negative"),
       count(when(v === "date_time_format", 1)).as("date_time_format"),
       count(when(v === "ts_format", 1)).as("ts_format"),
+      count(when(v === "value_not_numeric", 1)).as("value_not_numeric"),
       count(lit(1)).as("rows_total"))
   }
 }

@@ -65,19 +65,47 @@ object DayPruningRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The (date_time, day) attribute pair of a lake-shaped scan below
+    * `plan`, if any: a file relation whose PARTITION schema contains
+    * the string `day` and whose data schema contains the string
+    * `date_time`, with both attributes still visible in `plan`'s
+    * output (matched by exprId, so a same-named pair from an arbitrary
+    * frame — where day need not be date_time's prefix — never
+    * triggers the rewrite). */
+  private def lakeAttrs(plan: LogicalPlan)
+      : Option[(Attribute, Attribute)] =
+    plan.collectLeaves().collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if (l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.partitionSchema.exists(f =>
+                f.name == "day" && f.dataType == StringType) &&
+              fs.dataSchema.exists(f =>
+                f.name == "date_time" && f.dataType == StringType)
+            case _ => false
+          }) =>
+        val dt = l.output.find(a => a.name == "date_time"
+          && a.dataType == StringType)
+        val day = l.output.find(a => a.name == "day"
+          && a.dataType == StringType)
+        (dt, day)
+    }.flatMap {
+      case (Some(dt), Some(day))
+          if plan.outputSet.contains(dt) && plan.outputSet.contains(day) =>
+        Some((dt, day))
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      (child.output.find(a => a.name == "date_time"
-          && a.dataType == StringType),
-        child.output.find(a => a.name == "day"
-          && a.dataType == StringType)) match {
-        case (Some(dt), Some(day)) =>
+      lakeAttrs(child) match {
+        case Some((dt, day)) =>
           val conjuncts = splitConjuncts(cond)
           val derived = conjuncts.flatMap(derive(_, dt, day))
             .filterNot(d => conjuncts.exists(_.semanticEquals(d)))
           if (derived.isEmpty) f
           else Filter(derived.foldLeft(cond)(And), child)
-        case _ => f
+        case None => f
       }
   }
 

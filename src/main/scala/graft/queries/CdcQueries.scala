@@ -413,6 +413,9 @@ object CdcQueries {
                  OR NOT regexp_matches(ts,
                    '^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$$'))
                THEN 1 END) AS ts_format,
+             -- value is DOUBLE at the source: the cast-failure rule
+             -- cannot fire on this derivation
+             0::BIGINT AS value_not_numeric,
              count(*) AS rows_total
            FROM dirty""",
       "c06_value_parse" ->

@@ -229,8 +229,9 @@ object LlmQueries {
         s"""WITH idx AS (
              SELECT id, unnest(grams) AS gram FROM (
                SELECT doc_id AS id,
-                 list_distinct([substr(t, i, 8)
-                   FOR i IN range(1, len(t) - 6)]) AS grams
+                 list_distinct(CASE WHEN len(t) < 8 THEN [t]
+                   ELSE [substr(t, i, 8)
+                     FOR i IN range(1, len(t) - 6)] END) AS grams
                FROM (SELECT doc_id, $norm AS t FROM documents))),
            inf AS (SELECT id, gram FROM (
              SELECT id, gram, count(*) OVER (PARTITION BY gram) AS df
@@ -253,8 +254,9 @@ object LlmQueries {
         s"""WITH idx AS (
              SELECT id, unnest(grams) AS gram FROM (
                SELECT doc_id AS id,
-                 list_distinct([substr(t, i, 8)
-                   FOR i IN range(1, len(t) - 6)]) AS grams
+                 list_distinct(CASE WHEN len(t) < 8 THEN [t]
+                   ELSE [substr(t, i, 8)
+                     FOR i IN range(1, len(t) - 6)] END) AS grams
                FROM (SELECT doc_id, $norm AS t FROM documents))),
            inf AS (SELECT id, gram FROM (
              SELECT id, gram, count(*) OVER (PARTITION BY gram) AS df

@@ -22,9 +22,11 @@ SFDIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
     else "/root/testdata/sf0.01"
 OUT = "/tmp/graft_verify"
 ONLY = None
-for a in sys.argv:
-    if a.startswith("--only"):
+for i, a in enumerate(sys.argv):
+    if a.startswith("--only="):
         ONLY = a.split("=", 1)[1].split(",")
+    elif a == "--only" and i + 1 < len(sys.argv):
+        ONLY = sys.argv[i + 1].split(",")
 
 if "--skip-verify" not in sys.argv:
     r = subprocess.run(

@@ -45,4 +45,33 @@ object Chunking {
         array_join(slice(col("tk"), col("start") + 1,
           lit(chunkTokens)), " ").as("chunk_text"))
   }
+
+  /** Sequence packing: assign chunks to fixed token-budget bins by
+    * contiguous fill — bin = floor(exclusive-prefix-sum / budget) in a
+    * deterministic order within each shard. Sharding (e.g. by source)
+    * keeps the prefix sum a per-partition window instead of a global
+    * sort, which is what makes packing parallel at corpus scale; bins
+    * may overflow by at most one chunk (the standard streaming
+    * packing approximation — exact bin packing is NP-hard and
+    * sequential).
+    *
+    * @param chunks  rows with `tokensCol` counts and the ordering keys
+    * @param shardCol partition key (bins never span shards)
+    * @param orderCols deterministic fill order within a shard
+    * @param budget  bin capacity in tokens
+    */
+  def pack(chunks: DataFrame, shardCol: String, orderCols: Seq[String],
+      tokensCol: String = "chunk_tokens", budget: Int = 1024)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    chunks
+      .withColumn("_cum", sum(col(tokensCol)).over(w))
+      .withColumn("bin_id",
+        ((col("_cum") - col(tokensCol)) / budget).cast("long"))
+      .drop("_cum")
+  }
 }

@@ -171,6 +171,23 @@ object LlmQueries {
         .limit(20)
     }),
 
+    // Sequence packing: chunks fill fixed 512-token bins per source
+    // shard (contiguous-fill prefix-sum assignment; bins never span
+    // shards, so packing parallelizes across the corpus).
+    "t08_packing" -> ((s, dir) => {
+      val chunks = Chunking.chunk(docs(s, dir), chunkTokens = 64,
+        overlapTokens = 8)
+        .withColumnRenamed("id", "doc_id")
+        .join(docs(s, dir).select(col("doc_id"), col("source")),
+          "doc_id")
+      Chunking.pack(chunks, "source", Seq("doc_id", "chunk_idx"),
+        budget = 512)
+        .groupBy(col("source"), col("bin_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("chunk_tokens")).as("bin_tokens"))
+        .orderBy("source", "bin_id")
+    }),
+
     // Deterministic stratified capping: at most N docs per source,
     // selected by content-hash order — the reproducible domain-cap
     // sampling step of corpus curation (hash order, not random, so
@@ -368,6 +385,29 @@ object LlmQueries {
              FROM documents)
            WHERE len(term) > 0
            GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20""",
+      "t08_packing" ->
+        s"""WITH toks AS (SELECT doc_id, string_split($norm, ' ') AS tk
+             FROM documents),
+           st AS (SELECT doc_id, tk,
+             unnest(range(0, len(tk), 56)) AS start,
+             generate_subscripts(range(0, len(tk), 56), 1) - 1
+               AS chunk_idx
+             FROM toks),
+           chunks AS (SELECT doc_id, chunk_idx,
+             least(len(tk) - start, 64) AS chunk_tokens
+             FROM st),
+           sharded AS (SELECT c.doc_id, c.chunk_idx, c.chunk_tokens,
+             d.source FROM chunks c JOIN documents d USING (doc_id)),
+           packed AS (SELECT source, chunk_tokens,
+             ((sum(chunk_tokens) OVER (PARTITION BY source
+                 ORDER BY doc_id, chunk_idx
+                 ROWS UNBOUNDED PRECEDING) - chunk_tokens) // 512)
+               AS bin_id
+             FROM sharded)
+           SELECT source, bin_id, count(*) AS n_chunks,
+             sum(chunk_tokens) AS bin_tokens
+           FROM packed GROUP BY source, bin_id
+           ORDER BY source, bin_id""",
       "t07_stratified_cap" ->
         """SELECT source, doc_id, rn FROM (
              SELECT source, doc_id,

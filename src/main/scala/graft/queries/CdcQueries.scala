@@ -287,7 +287,11 @@ object CdcQueries {
           count(lit(1)).as("n_events"),
           date_format(min(col("ts")), DT).as("session_start"),
           date_format(max(col("ts")), DT).as("session_end"),
-          round(sum(col("value")), 2).as("session_value"))
+          // Sum as decimal so the result is independent of partition
+          // order (double addition is not associative); final DOUBLE so
+          // both engines stringify identically.
+          round(sum(col("value").cast("decimal(38,6)")), 2)
+            .cast("double").as("session_value"))
         .orderBy("user_id", "session_id")
     }),
 
@@ -489,14 +493,14 @@ object CdcQueries {
                THEN 1 ELSE 0 END AS new_session
              FROM w),
            sess AS (SELECT user_id, event_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id
+             (sum(new_session) OVER (PARTITION BY user_id
                ORDER BY event_id
-               ROWS UNBOUNDED PRECEDING) AS session_id
+               ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
              FROM flagged)
            SELECT user_id, session_id, count(*) AS n_events,
              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
              strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-             round(sum(value), 2) AS session_value
+             round(sum(value::DECIMAL(38,6)), 2)::DOUBLE AS session_value
            FROM sess GROUP BY user_id, session_id
            ORDER BY user_id, session_id""",
       "w01_state_changes" ->

@@ -399,13 +399,13 @@ object LlmQueries {
            sharded AS (SELECT c.doc_id, c.chunk_idx, c.chunk_tokens,
              d.source FROM chunks c JOIN documents d USING (doc_id)),
            packed AS (SELECT source, chunk_tokens,
-             ((sum(chunk_tokens) OVER (PARTITION BY source
+             (((sum(chunk_tokens) OVER (PARTITION BY source
                  ORDER BY doc_id, chunk_idx
-                 ROWS UNBOUNDED PRECEDING) - chunk_tokens) // 512)
+                 ROWS UNBOUNDED PRECEDING) - chunk_tokens) // 512))::BIGINT
                AS bin_id
              FROM sharded)
            SELECT source, bin_id, count(*) AS n_chunks,
-             sum(chunk_tokens) AS bin_tokens
+             sum(chunk_tokens)::BIGINT AS bin_tokens
            FROM packed GROUP BY source, bin_id
            ORDER BY source, bin_id""",
       "t07_stratified_cap" ->

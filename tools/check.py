@@ -74,6 +74,15 @@ def compare(name: str):
     exact = True
     for c in s.columns:
         a, b = s[c].values, d[c].values
+        # DuckDB HUGEINT (sum/`//` over ints) lands as float64 while
+        # Spark emits int64; the driver stringifies them differently
+        # ("3.0" vs "3") -> hash mismatch even with equal values. Flag
+        # any int-vs-float column pairing as a type gap.
+        if {a.dtype.kind, b.dtype.kind} & {"i", "u"} and \
+                {a.dtype.kind, b.dtype.kind} & {"f"}:
+            return ("TYPE-MISMATCH",
+                    f"col {c}: spark={a.dtype} duck={b.dtype} "
+                    "(HUGEINT? cast oracle ::BIGINT)")
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             af = a.astype(float)
             bf = b.astype(float)

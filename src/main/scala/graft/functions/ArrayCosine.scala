@@ -105,6 +105,13 @@ object GraftFunctions {
         "graft_minhash_sig",
         exprs => MinHashSig(exprs(0),
           exprs(1).eval().asInstanceOf[Int]), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_poly_minhash_sig",
+        exprs => PolyMinHashSig(exprs(0),
+          exprs(1).eval().asInstanceOf[Int]), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_poly_simhash",
+        exprs => PolySimHash(exprs.head), "built-in")
       registered += key
     }
   }
@@ -121,4 +128,13 @@ object GraftFunctions {
   def minhashSig(shingles: Column, k: Int): Column =
     call_function("graft_minhash_sig", shingles,
       org.apache.spark.sql.functions.lit(k))
+
+  /** Column form (requires [[register]] on the session first). */
+  def polyMinhashSig(shingles: Column, k: Int): Column =
+    call_function("graft_poly_minhash_sig", shingles,
+      org.apache.spark.sql.functions.lit(k))
+
+  /** Column form (requires [[register]] on the session first). */
+  def polySimhash(tokens: Column): Column =
+    call_function("graft_poly_simhash", tokens)
 }

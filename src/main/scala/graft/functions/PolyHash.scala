@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Portable-hash variants of the signature kernels.
+  *
+  * Same one-pass native shape as [[MinHashSig]] / [[SimHash64]], but
+  * the per-element hash is a base-31 polynomial over Unicode code
+  * points modulo 1e9+7 — plain modular arithmetic reproducible
+  * verbatim in any engine's SQL (`list_reduce` over `ascii(c)` in
+  * DuckDB), which is what lets the LSH-family queries carry a full
+  * external oracle instead of a rows-only check. xxhash64 remains the
+  * production default (better mixing, fewer collisions); these exist so
+  * correctness of the banding/blocking dataflow is externally
+  * verifiable end-to-end.
+  */
+object PolyHash {
+
+  val P: Long = 1000000007L
+  /** Knuth multiplicative mix + 2^30 fold for simhash bit votes. */
+  val Mix: Long = 2654435761L
+  val SimBits: Int = 30
+  private val M30: Long = 1L << SimBits
+
+  /** Base-31 polynomial over code points, mod P. Empty string -> 0. */
+  def hashString(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31L + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Affine-permutation coefficients, simple enough to restate in SQL:
+    * a_i = ((i*1103515245 + 12345) mod (P-1)) + 1, b_i = (i*69069 + 7)
+    * mod P. All intermediate products fit in signed 64-bit. */
+  def multiplier(i: Int): Long =
+    ((i.toLong * 1103515245L + 12345L) % (P - 1L)) + 1L
+  def offset(i: Int): Long = (i.toLong * 69069L + 7L) % P
+
+  def minhash(shingles: ArrayData, k: Int): Array[Long] = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val h = hashString(shingles.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val v = (multiplier(j) * h + offset(j)) % P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    mins
+  }
+
+  /** 30-bit simhash: per token, mixed = (polyhash * Mix) mod 2^30;
+    * each bit casts a +-1 vote; signature sets bits with positive
+    * votes. */
+  def simhash(tokens: ArrayData): Long = {
+    val counts = new Array[Int](SimBits)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val m = (hashString(tokens.getUTF8String(i)) * Mix) % M30
+        var b = 0
+        while (b < SimBits) {
+          if (((m >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < SimBits) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** Portable minhash signature (see [[PolyHash]]). */
+case class PolyMinHashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${t.simpleString(10)}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, false)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      PolyHash.minhash(input.asInstanceOf[ArrayData], k))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.PolyHash.minhash($c, $k))")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PolyMinHashSig = copy(child = newChild)
+
+  override def prettyName: String = "poly_minhash_sig"
+}
+
+/** Portable 30-bit simhash (see [[PolyHash]]). */
+case class PolySimHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${t.simpleString(10)}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    PolyHash.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PolyHash.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PolySimHash = copy(newChild)
+
+  override def prettyName: String = "poly_simhash"
+}

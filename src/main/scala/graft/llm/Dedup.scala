@@ -56,21 +56,27 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleN: Int = 5, bands: Int = 8,
-      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+      rowsPerBand: Int = 4, threshold: Double = 0.5,
+      portable: Boolean = false): DataFrame = {
     val k = bands * rowsPerBand
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // Referenced by the band explode and four downstream joins —
     // cache once instead of recomputing shingles+signatures per branch
     // (per-doc signature state is tiny relative to the corpus).
+    val sigExpr =
+      if (portable)
+        graft.functions.GraftFunctions.polyMinhashSig(col("sh"), k)
+      else graft.functions.GraftFunctions.minhashSig(col("sh"), k)
     val sigs = graft.core.Partitioning.ensureWidth(docs).select(
       col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("mh",
-        graft.functions.GraftFunctions.minhashSig(col("sh"), k))
+      .withColumn("mh", sigExpr)
       .cache()
+    val bandExpr =
+      if (portable) polyBands(col("mh"), bands, rowsPerBand)
+      else lshBands(col("mh"), bands, rowsPerBand)
     val buckets = sigs
-      .select(col("id"),
-        posexplode(lshBands(col("mh"), bands, rowsPerBand)))
+      .select(col("id"), posexplode(bandExpr))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
     val pairs = buckets.as("a").join(buckets.as("b"),
@@ -104,19 +110,27 @@ object Dedup {
 
   /** SimHash near-dedup: 64-bit signature; near-dups collide on at
     * least one of four 16-bit sub-signatures when hamming distance
-    * <= 3 (pigeonhole), verified exactly by bit_count. */
+    * <= 3 (pigeonhole), verified exactly by bit_count. The portable
+    * variant uses the 30-bit [[graft.functions.PolyHash]] signature in
+    * five 6-bit sub-signatures (same blocking dataflow, external-oracle
+    * reproducible). */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+      textCol: String = "text", maxHamming: Int = 3,
+      portable: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sigExpr =
+      if (portable)
+        graft.functions.GraftFunctions.polySimhash(tokens(col(textCol)))
+      else graft.functions.GraftFunctions.simhash64(tokens(col(textCol)))
+    val (nChunks, chunkBits) = if (portable) (5, 6) else (4, 16)
+    val mask = (1L << chunkBits) - 1L
     val sigs = graft.core.Partitioning.ensureWidth(docs).select(
-      col(idCol).as("id"),
-      graft.functions.GraftFunctions
-        .simhash64(tokens(col(textCol))).as("sig"))
+      col(idCol).as("id"), sigExpr.as("sig"))
     val buckets = sigs
       .select(col("id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          i => call_function("shiftright", col("sig"), i * lit(16))
-            .bitwiseAND(lit(0xFFFFL)))))
+        posexplode(transform(sequence(lit(0), lit(nChunks - 1)),
+          i => call_function("shiftright", col("sig"),
+            i * lit(chunkBits)).bitwiseAND(lit(mask)))))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_val")
     val a = buckets.as("a")
@@ -189,9 +203,12 @@ object Dedup {
       vecCol: String = "embedding", dim: Int, planes: Int = 16,
       threshold: Double = 0.95): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val sig = hyperplaneSignature(col(vecCol), dim, planes)
+    // Signature over the double-cast vector: float->double cast is
+    // exact and double +/* is what external engines use, so the sign
+    // bits are reproducible bit-for-bit outside Spark.
     val sigs = emb.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"), sig.as("sig"))
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("sig", hyperplaneSignature(col("v"), dim, planes))
     val a = sigs.as("a")
     val b = sigs.as("b")
     a.join(b, col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
@@ -202,19 +219,27 @@ object Dedup {
         col("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane sign signature: plane p's
-    * component d is a fixed pseudo-random +-1 from xxhash64(p, d); the
-    * signature packs the sign bits of the dot products into a long. */
-  private[llm] def hyperplaneSignature(vec: org.apache.spark.sql.Column,
+  /** Plane p's component d: a fixed pseudo-random +-1 from a byteswap
+    * hash of (p, d). Plan-time constant — the same values are baked
+    * into the DuckDB oracle SQL, so the signature needs no portable
+    * hashing at all. */
+  private[graft] def planeSign(p: Int, d: Int): Double =
+    if (scala.util.hashing.byteswap64(
+      p.toLong * 1000003L + d) % 2 == 0) 1.0 else -1.0
+
+  /** Deterministic pseudo-random hyperplane sign signature over an
+    * `array<double>` vector; packs the sign bits of the dot products
+    * into a long. Left-associated double sums, so any engine repeating
+    * the same expression gets bit-identical dots. */
+  private[graft] def hyperplaneSignature(
+      vec: org.apache.spark.sql.Column,
       dim: Int, planes: Int): org.apache.spark.sql.Column = {
     val bits = (0 until planes).map { p =>
       val comps = (0 until dim).map { d =>
-        val sign = if (scala.util.hashing.byteswap64(
-          p.toLong * 1000003L + d) % 2 == 0) 1.0f else -1.0f
-        element_at(vec, d + 1) * lit(sign)
+        element_at(vec, d + 1) * lit(planeSign(p, d))
       }
       val dot = comps.reduce(_ + _)
-      when(dot > 0f, lit(1L) * lit(1L << p)).otherwise(lit(0L))
+      when(dot > 0d, lit(1L) * lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

@@ -63,8 +63,12 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4,
       excludeSelf: Boolean = true): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
+    // Pseudo-random-but-portable sample order: an LCG step of the id,
+    // plain modular arithmetic any engine reproduces (Murmur3 `hash`
+    // would be Spark-private).
     val centroids = corpus
-      .orderBy(pmod(hash(col("id")), lit(1000003)).asc, col("id").asc)
+      .orderBy(((col("id") * 1103515245L + 12345L) % 2147483648L).asc,
+        col("id").asc)
       .limit(nCentroids)
       .select(col("id").as("cid"), col("vec").as("cvec"))
 

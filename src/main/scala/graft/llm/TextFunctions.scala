@@ -55,6 +55,16 @@ object TextFunctions {
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(slice(minhashes, b * rows + 1, lit(rows))))
 
+  /** Portable band signatures: base-31 fold of each band's components
+    * mod 1e9+7 — same collision semantics as [[lshBands]] (cross-band
+    * hashes are keyed by band index anyway), restatable in external
+    * SQL. Components are < 1e9+7 so the fold never overflows int64. */
+  def polyBands(minhashes: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => aggregate(slice(minhashes, b * rows + 1, lit(rows)),
+        lit(0L),
+        (acc, v) => (acc * 31L + v) % graft.functions.PolyHash.P))
+
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -28,17 +28,19 @@ object LlmQueries {
         .orderBy("content_hash")
     }),
 
-    // MinHash+LSH near-dup pairs (rows-only: xxhash64 not in DuckDB).
+    // MinHash+LSH near-dup pairs. Gated on the portable polynomial
+    // hash (full oracle restates the banding in DuckDB list algebra);
+    // xxhash64 stays the production default in Dedup.minhashPairs.
     "d02_minhash_pairs" -> ((s, dir) => {
       Dedup.minhashPairs(docs(s, dir), shingleN = 8, bands = 16,
-        rowsPerBand = 4, threshold = 0.3)
+        rowsPerBand = 4, threshold = 0.3, portable = true)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash near-dup pairs (rows-only).
+    // SimHash near-dup pairs, portable 30-bit signature (full oracle).
     "d03_simhash_pairs" -> ((s, dir) => {
-      Dedup.simhashPairs(docs(s, dir), maxHamming = 16)
+      Dedup.simhashPairs(docs(s, dir), maxHamming = 8, portable = true)
         .orderBy("id_a", "id_b")
     }),
 
@@ -62,8 +64,9 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
-    // Embedding-cosine near-dup through hyperplane LSH buckets
-    // (rows-only: signature uses host hashing).
+    // Embedding-cosine near-dup through hyperplane LSH buckets. The
+    // plane signs are plan-time constants baked identically into the
+    // DuckDB oracle, so the query carries a full oracle.
     "d05_embedding_dups" -> ((s, dir) => {
       Dedup.embeddingPairs(emb(s, dir), dim = 64, planes = 6,
         threshold = 0.2)
@@ -216,7 +219,10 @@ object LlmQueries {
     }),
 
     // Multimodal batched decode (stubbed codec, real mapPartitions
-    // batch plumbing; rows-only).
+    // batch plumbing). The FakeCodec byte histogram is restated in the
+    // DuckDB oracle (the corpus is ASCII, so codepoint == byte), which
+    // gates the batch contract end-to-end. Buckets 1..3 (space/digits,
+    // uppercase, lowercase) are the informative ones for text bytes.
     "mm02_media_features" -> ((s, dir) => {
       import s.implicits._
       val media = docs(s, dir)
@@ -229,10 +235,37 @@ object LlmQueries {
         .as[Multimodal.MediaRow]
       Multimodal.decodeFeatures(rows)
         .select(col("media_id"),
-          round(element_at(col("features"), 1), 6).as("f0"),
-          round(element_at(col("features"), 8), 6).as("f7"))
+          round(element_at(col("features"), 2).cast("double"), 6)
+            .as("f1"),
+          round(element_at(col("features"), 3).cast("double"), 6)
+            .as("f2"),
+          round(element_at(col("features"), 4).cast("double"), 6)
+            .as("f3"))
         .orderBy("media_id")
     }))
+
+  /** DuckDB restatement of the base-31 mod-1e9+7 polynomial hash of
+    * every string in list expression `src` (mirrors
+    * [[graft.functions.PolyHash.hashString]]). */
+  private def polyHashListSql(src: String): String =
+    s"""[list_reduce(list_prepend(0::BIGINT,
+       [ascii(c)::BIGINT FOR c IN string_split(g, '')]),
+       (a, c) -> (a*31 + c) % 1000000007) FOR g IN $src]"""
+
+  /** DuckDB restatement of [[graft.llm.Dedup.hyperplaneSignature]]:
+    * the plane signs are plan-time constants, emitted here as the SAME
+    * literals the Spark expression bakes in; dots are left-associated
+    * double sums, bit-identical across engines. */
+  private def hyperSigSql(vecExpr: String, dim: Int,
+      planes: Int): String =
+    (0 until planes).map { p =>
+      val dot = (0 until dim).map { d =>
+        val s =
+          if (graft.llm.Dedup.planeSign(p, d) > 0) "1.0" else "(-1.0)"
+        s"$vecExpr[${d + 1}]*$s"
+      }.mkString(" + ")
+      s"(CASE WHEN ($dot) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")::BIGINT")
 
   val oracles: Map[String, String] = {
     val norm =
@@ -242,6 +275,73 @@ object LlmQueries {
         s"""SELECT md5($norm) AS content_hash,
            min(doc_id) AS keep_id, count(*) AS dup_count
            FROM documents GROUP BY 1 ORDER BY 1""",
+      // Portable minhash: polynomial shingle hashes -> 64 affine
+      // permutations mod 1e9+7 -> base-31 band folds -> band-bucket
+      // candidates -> component-estimate prefilter -> exact Jaccard.
+      // Every constant restates the Spark expressions verbatim.
+      "d02_minhash_pairs" ->
+        s"""WITH g AS (SELECT doc_id AS id,
+             list_distinct(CASE WHEN len(t) < 8 THEN [t]
+               ELSE [substr(t, i, 8)
+                 FOR i IN range(1, len(t) - 6)] END) AS grams
+             FROM (SELECT doc_id, $norm AS t FROM documents)),
+           hs AS (SELECT id, grams,
+             ${polyHashListSql("grams")} AS hs FROM g),
+           sig AS (SELECT id, grams,
+             [list_min([((((i*1103515245 + 12345) % 1000000006) + 1) * h
+                + (i*69069 + 7) % 1000000007) % 1000000007
+               FOR h IN hs]) FOR i IN range(0, 64)] AS mh
+             FROM hs),
+           bands AS (SELECT id, b AS band_idx,
+             list_reduce(list_prepend(0::BIGINT, mh[b*4+1 : b*4+4]),
+               (a, v) -> (a*31 + v) % 1000000007) AS band_hash
+             FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bt),
+           pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bands a JOIN bands b
+             ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.id < b.id),
+           est AS (SELECT id_a, id_b FROM pairs
+             JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+             WHERE len([i FOR i IN range(1, 65)
+               IF sa.mh[i] = sb.mh[i]])::DOUBLE / 64 >= 0.15),
+           ver AS (SELECT id_a, id_b,
+             len(list_intersect(sa.grams, sb.grams))::DOUBLE AS inter,
+             (len(sa.grams) + len(sb.grams))::DOUBLE AS tot
+             FROM est
+             JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b)
+           SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+             SELECT id_a, id_b, CASE WHEN tot - inter = 0 THEN 1.0
+               ELSE inter / (tot - inter) END AS jaccard FROM ver)
+           WHERE jaccard >= 0.3
+           ORDER BY id_a, id_b""",
+      // Portable 30-bit simhash: mixed polynomial token hashes vote on
+      // 30 bits; five 6-bit sub-signatures block candidates; bit_count
+      // of the xor verifies hamming <= 8.
+      "d03_simhash_pairs" ->
+        s"""WITH tk AS (SELECT doc_id AS id,
+             string_split($norm, ' ') AS toks FROM documents),
+           hs AS (SELECT id,
+             [(h * 2654435761) % 1073741824 FOR h IN
+               ${polyHashListSql("toks")}] AS hs
+             FROM tk),
+           sig AS (SELECT id,
+             list_sum([CASE WHEN 2*len([h FOR h IN hs
+                 IF (h // (1::BIGINT << b)) % 2 = 1]) > len(hs)
+               THEN (1::BIGINT << b) ELSE 0 END
+               FOR b IN range(0, 30)])::BIGINT AS sig
+             FROM hs),
+           chunks AS (SELECT id, sig, c AS chunk_idx,
+             (sig // (1::BIGINT << (c*6))) % 64 AS chunk_val
+             FROM sig CROSS JOIN (SELECT unnest(range(5)) AS c) ct),
+           pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.sig AS sig_a, b.sig AS sig_b
+             FROM chunks a JOIN chunks b
+             ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+               AND a.id < b.id)
+           SELECT id_a, id_b,
+             bit_count(xor(sig_a, sig_b))::INTEGER AS hamming
+           FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 8
+           ORDER BY id_a, id_b""",
       "d04_ngram_jaccard" ->
         s"""WITH idx AS (
              SELECT id, unnest(grams) AS gram FROM (
@@ -302,6 +402,76 @@ object LlmQueries {
              row_number() OVER (PARTITION BY qid
                ORDER BY cos DESC, id ASC) AS rank
              FROM scored)
+           SELECT qid, id, round(cos, 6) AS cosine, rank
+           FROM ranked WHERE rank <= 10
+           ORDER BY qid, rank""",
+      // Hyperplane-LSH near-dup: signatures restated with the same
+      // baked sign literals as the Spark plan; bucket self-join; exact
+      // cosine verify.
+      "d05_embedding_dups" ->
+        s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             FROM embeddings),
+           sig AS (SELECT id, v,
+             ${hyperSigSql("v", 64, 6)} AS sig FROM e),
+           cand AS (SELECT a.id AS id_a, b.id AS id_b,
+             list_cosine_similarity(a.v, b.v) AS cos
+             FROM sig a JOIN sig b ON a.sig = b.sig AND a.id < b.id)
+           SELECT id_a, id_b, round(cos, 6) AS cosine FROM cand
+           WHERE cos >= 0.2 ORDER BY id_a, id_b""",
+      // LSH-bucketed ANN with hamming-1 multi-probe: the probe set is
+      // the query signature and its single-bit flips.
+      "s02_ann_lsh" ->
+        s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             FROM embeddings),
+           sig AS (SELECT id, v,
+             ${hyperSigSql("v", 64, 6)} AS sig FROM e),
+           q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+             FROM embeddings WHERE vec_id < 5),
+           qs AS (SELECT qid, qv,
+             ${hyperSigSql("qv", 64, 6)} AS qsig FROM q),
+           probes AS (SELECT qid, qv, unnest([qsig,
+             xor(qsig, 1), xor(qsig, 2), xor(qsig, 4),
+             xor(qsig, 8), xor(qsig, 16), xor(qsig, 32)]) AS bucket
+             FROM qs),
+           cand AS (SELECT p.qid, s.id,
+             list_cosine_similarity(p.qv, s.v) AS cos
+             FROM probes p JOIN sig s ON s.sig = p.bucket
+             WHERE s.id <> p.qid),
+           ranked AS (SELECT qid, id, cos,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC, id ASC) AS rank FROM cand)
+           SELECT qid, id, round(cos, 6) AS cosine, rank
+           FROM ranked WHERE rank <= 10
+           ORDER BY qid, rank""",
+      // IVF-flat ANN: LCG-ordered deterministic centroid sample,
+      // argmax-cosine list assignment, nProbe=4 probing.
+      "s03_ann_ivf" ->
+        s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             FROM embeddings),
+           q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+             FROM embeddings WHERE vec_id < 5),
+           cent AS (SELECT id AS cid, v AS cv FROM e
+             ORDER BY (id * 1103515245 + 12345) % 2147483648 ASC,
+               id ASC LIMIT 16),
+           lists AS (SELECT id, v, cid FROM (
+             SELECT e.id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                   c.cid ASC) AS cr
+             FROM e CROSS JOIN cent c) WHERE cr <= 1),
+           probes AS (SELECT qid, qv, cid FROM (
+             SELECT q.qid, q.qv, c.cid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                   c.cid ASC) AS cr
+             FROM q CROSS JOIN cent c) WHERE cr <= 4),
+           cand AS (SELECT p.qid, l.id,
+             list_cosine_similarity(p.qv, l.v) AS cos
+             FROM lists l JOIN probes p USING (cid)
+             WHERE l.id <> p.qid),
+           ranked AS (SELECT qid, id, cos,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC, id ASC) AS rank FROM cand)
            SELECT qid, id, round(cos, 6) AS cosine, rank
            FROM ranked WHERE rank <= 10
            ORDER BY qid, rank""",
@@ -419,6 +589,22 @@ object LlmQueries {
         """SELECT doc_id AS media_id,
            octet_length(encode(text)) AS n_bytes,
            sha256(text) AS sha
-           FROM documents ORDER BY media_id""")
+           FROM documents ORDER BY media_id""",
+      // FakeCodec's 8-bucket byte histogram, restated per-codepoint
+      // (the corpus is ASCII, so codepoint == UTF-8 byte). Counts
+      // divide in FLOAT exactly like the codec, then widen to DOUBLE
+      // for the rounded output.
+      "mm02_media_features" ->
+        """WITH f AS (SELECT doc_id AS media_id,
+             string_split(text, '') AS cs,
+             greatest(length(text), 1) AS n FROM documents)
+           SELECT media_id,
+             round((len([c FOR c IN cs IF ascii(c) // 32 = 1])::FLOAT
+               / n::FLOAT)::DOUBLE, 6) AS f1,
+             round((len([c FOR c IN cs IF ascii(c) // 32 = 2])::FLOAT
+               / n::FLOAT)::DOUBLE, 6) AS f2,
+             round((len([c FOR c IN cs IF ascii(c) // 32 = 3])::FLOAT
+               / n::FLOAT)::DOUBLE, 6) AS f3
+           FROM f ORDER BY media_id""")
   }
 }

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The portable-hash kernels must equal a direct Scala model of the
+  * arithmetic the DuckDB oracles restate (base-31 polynomial mod
+  * 1e9+7, affine minhash permutations, Knuth-mixed 30-bit simhash
+  * votes) — if these drift, the external oracle parity of
+  * d02/d03 silently breaks. */
+class PolyHashSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val P = 1000000007L
+
+  private def modelHash(s: String): Long =
+    s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % P)
+
+  test("hashString: polynomial over code points, empty -> 0") {
+    assert(PolyHash.hashString(
+      org.apache.spark.unsafe.types.UTF8String.fromString("")) == 0L)
+    for (s <- Seq("ab", "hello world", "été", "中文字", "a b  c", "0")) {
+      assert(PolyHash.hashString(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        == modelHash(s), s"hash mismatch for '$s'")
+    }
+  }
+
+  test("poly minhash equals per-seed model; values stay below P") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "x", "longish",
+      "12345", "z")
+    val rows = (0 until 50).map { i =>
+      (i.toLong, (0 to rnd.nextInt(20)).map(_ =>
+        words(rnd.nextInt(words.size))).distinct)
+    }.toDF("id", "sh")
+    val k = 16
+    val out = rows.select(col("sh"),
+      GraftFunctions.polyMinhashSig(col("sh"), k).as("mh"))
+      .as[(Seq[String], Seq[Long])].collect()
+    out.foreach { case (sh, mh) =>
+      assert(mh.length == k)
+      val hs = sh.map(modelHash)
+      (0 until k).foreach { i =>
+        val expect = hs
+          .map(h => (PolyHash.multiplier(i) * h + PolyHash.offset(i)) % P)
+          .min
+        assert(mh(i) == expect && mh(i) < P)
+      }
+    }
+  }
+
+  test("poly simhash equals bit-vote model; fits in 30 bits") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val words = Vector("the", "quick", "brown", "fox", "", "a", "b42")
+    val rows = (0 until 50).map { i =>
+      (i.toLong, (0 until rnd.nextInt(30)).map(_ =>
+        words(rnd.nextInt(words.size))))
+    }.toDF("id", "tk")
+    val out = rows.select(col("tk"),
+      GraftFunctions.polySimhash(col("tk")).as("sig"))
+      .as[(Seq[String], Long)].collect()
+    out.foreach { case (tk, sig) =>
+      assert(sig >= 0L && sig < (1L << 30))
+      val mixed = tk.map(t => (modelHash(t) * PolyHash.Mix) % (1L << 30))
+      val expect = (0 until 30).foldLeft(0L) { (acc, b) =>
+        val votes = mixed.map(m => if (((m >> b) & 1L) == 1L) 1 else -1).sum
+        if (votes > 0) acc | (1L << b) else acc
+      }
+      assert(sig == expect)
+    }
+  }
+}

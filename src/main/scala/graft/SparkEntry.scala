@@ -13,9 +13,10 @@ import graft.queries.{CdcQueries, LlmQueries, RelationalQueries}
   *  - `d*`/`s*`/`t*`/`mm*` LLM-data-pipeline operators
   *    ([[LlmQueries]])
   *
-  * Every query with portable-SQL semantics has a DuckDB oracle in
-  * [[oracleSql]]; hash-based operators (minhash/simhash/LSH) are
-  * rows-only here and exactly verified in ScalaTest.
+  * Every query has a DuckDB oracle in [[oracleSql]] — the hash-based
+  * operators (minhash/simhash/LSH) run on portable polynomial hashes
+  * in their gated form (see [[graft.functions.PolyHash]]), with
+  * xxhash64 as the production default verified in ScalaTest.
   */
 object SparkEntry {
 

@@ -60,6 +60,34 @@ object Lake {
     Option(row.getString(0))
   }
 
+  /** [[resumePoint]] with the reference's newest-first early exit
+    * (`db_extractor.py:55-70`): list the `day=` partition directories,
+    * drop the sentinel day, and aggregate ONLY the lexicographic-max
+    * day's files — one directory listing plus one partition's footer
+    * stats, regardless of how many years the lake holds. Valid because
+    * `day` is derived from `date_time`, so the global non-sentinel max
+    * lives in the max non-sentinel day partition by construction. */
+  def resumePointAt(spark: SparkSession, path: String): Option[String] = {
+    configure(spark)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val days = fs.listStatus(root).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("day="))
+      .map(_.stripPrefix("day="))
+      .filter(_ != Sentinel.substring(0, 10))
+      .toSeq
+    if (days.isEmpty) None
+    else {
+      val row = spark.read.parquet(s"$path/day=${days.max}")
+        .where(col("date_time") =!= lit(Sentinel))
+        .agg(max("date_time")).head()
+      Option(row.getString(0))
+    }
+  }
+
   /** S5/R1 (`row_integrity.py`): lake row count (Spark answers from
     * Parquet footer statistics — no data read). */
   def lakeCount(lake: DataFrame): Long = lake.count()

@@ -71,7 +71,7 @@ object Jobs {
       p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
     }
     val resume: String =
-      (if (lakeExistsNow) Lake.resumePoint(Lake.read(spark, lakePath))
+      (if (lakeExistsNow) Lake.resumePointAt(spark, lakePath)
        else None).getOrElse(MinDate)
     val stop = source.maxDate.getOrElse(return Seq.empty)
 

@@ -223,6 +223,56 @@ object CdcQueries {
       Consolidate.netChanges(parsed).orderBy("day", "id")
     }),
 
+    // S12-S15 + M1-M4 end-to-end: the production lifecycle against a
+    // real on-disk lake. Cold-start backfill (append, S13) of the
+    // pre-MIN_DATE slice, resume-point incremental walk with
+    // refetch-overwrite (S7/S12/S14), CDC consolidate+merge into the
+    // persisted lake (M1/M4), a pure-delete batch that empties one day
+    // partition (M2 explicit deletion), then the historical repair
+    // pass (S15, content-preserving). The final lake state is read
+    // back and gated against a DuckDB restatement
+    // (`db_extractor.py:254-325` + `consolidate.cpp:184-238`).
+    "c13_lifecycle" -> ((s, dir) => {
+      import graft.io.Lake
+      import graft.jobs.Jobs
+      Lake.configure(s)
+      val lakePath =
+        s"${System.getProperty("java.io.tmpdir")}/graft_c13_lake"
+      val lp = new org.apache.hadoop.fs.Path(lakePath)
+      val fs = lp.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(lp, true)
+
+      // Raw source rows: wall-clock date_time, shifted 15 years back
+      // on every 11th row so the pre-MIN_DATE backfill path has data.
+      val ev = events(s, dir)
+      val shifted = when(col("event_id") % 11 === 0,
+        col("ts") - expr("INTERVAL 15 YEARS")).otherwise(col("ts"))
+      val raw = ev.select(
+        col("event_id").as("id"),
+        date_format(shifted, DT).as("date_time"),
+        col("value"),
+        Timeseries.epochToUtc2(col("ts").cast("timestamp").cast("long"))
+          .as("ts"))
+
+      Jobs.extract(s, new Jobs.FrameSource(raw), lakePath)
+      Lake.mergeIntoLake(s, lakePath,
+        Consolidate.netChanges(changeEvents(s, dir)))
+      // Empty one day via a pure-delete batch: its partition directory
+      // must disappear (M2).
+      val killDay = "2024-01-15"
+      val kill = Lake.read(s, lakePath).where(col("day") === killDay)
+        .select(col("day"), col("id"), lit("D").as("op"),
+          lit(null).cast("string").as("date_time"),
+          lit(null).cast("double").as("value"),
+          lit(null).cast("string").as("ts"))
+      Lake.mergeIntoLake(s, lakePath, kill)
+      Jobs.repairHistorical(s, lakePath)
+
+      Lake.read(s, lakePath)
+        .select("id", "date_time", "value", "ts", "day")
+        .orderBy("day", "id")
+    }),
+
     // R1: count reconciliation report.
     "c11_reconcile" -> ((s, dir) => {
       val dbCount = events(s, dir).count()
@@ -293,6 +343,45 @@ object CdcQueries {
           round(sum(col("value").cast("decimal(38,6)")), 2)
             .cast("double").as("session_value"))
         .orderBy("user_id", "session_id")
+    }),
+
+    // W3: full-cluster daily report over a snapshot-shaped derivation
+    // of the events fixture — 20 "nodes" keyed by user_id, poll order
+    // by event_id, replication lag from the value column (NULL for
+    // 'view' snapshots to exercise the null-lag edge).
+    "w04_cluster_report" -> ((s, dir) => {
+      val snaps = events(s, dir).select(
+        concat(lit("10.0.0."), col("user_id") % 20).as("ip"),
+        col("event_id").cast("long").as("pollTs"),
+        (col("event_type") =!= "error").as("isOnline"),
+        (col("user_id") % 20 === 0).as("isMaster"),
+        when(col("event_type") =!= "view",
+          struct(floor(col("value") * 1000).cast("long")
+            .as("secondsBehindMaster")))
+          .as("replication"))
+      graft.monitor.Monitor.clusterReport(snaps)
+    }),
+
+    // H1: GTID most-advanced election. Contender GTID sets are
+    // rendered from per-node aggregates ("aaaa:1-maxSeq,bbbb:1-count"),
+    // so the real interval parser + subset algebra runs; the election
+    // itself is driver-side by design (cluster-sized input,
+    // `orchestrator.py:584-633`).
+    "h01_gtid_election" -> ((s, dir) => {
+      import s.implicits._
+      val stats = events(s, dir)
+        .groupBy((col("user_id") % 3).as("node"))
+        .agg(max("event_id").as("x"), count(lit(1)).as("y"))
+        .orderBy("node")
+        .collect() // 3 rows: cluster-size, driver-side by design (H1)
+      val contenders = stats.toSeq.map { r =>
+        (s"node${r.getLong(0)}",
+          s"aaaa:1-${r.getLong(1)},bbbb:1-${r.getLong(2)}")
+      }
+      val winner =
+        graft.monitor.Gtid.mostAdvanced(contenders).getOrElse("none")
+      Seq((winner, contenders.size.toLong))
+        .toDF("winner", "n_contenders")
     }),
 
     // H3: CASE-hierarchy status classification over grouped rows
@@ -469,6 +558,27 @@ object CdcQueries {
       "c11_reconcile" ->
         """SELECT count(*) AS db_count, count(*) AS parquet_count,
            0::BIGINT AS difference, TRUE AS matches FROM events""",
+      // Lifecycle restatement: extract lands every raw row exactly once
+      // (backfill covers pre-MIN_DATE days; the incremental pass
+      // rewrites from the resume day forward with identical content),
+      // then the consolidated change batch merges in, then the
+      // pure-delete batch removes the killed day wholesale.
+      "c13_lifecycle" ->
+        s"""WITH raw AS (SELECT event_id AS id,
+             strftime(CASE WHEN event_id % 11 = 0
+                 THEN ts - INTERVAL 15 YEAR ELSE ts END,
+               '%Y-%m-%d %H:%M:%S') AS date_time,
+             value,
+             strftime(ts + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS ts
+             FROM events),
+           existing AS (SELECT id, date_time, value, ts,
+             substr(date_time, 1, 10) AS day FROM raw),
+           ev AS ($changeEventsSql),
+           changes AS (${consolidateSql("")}),
+           merged AS ($mergeSelectSql)
+           SELECT id, date_time, value, ts, day FROM merged
+           WHERE day <> '2024-01-15'
+           ORDER BY day, id""",
       "c12_asof" ->
         """WITH lefts AS (SELECT user_id, ts, event_id FROM events
              WHERE event_id % 2 = 1),
@@ -521,6 +631,35 @@ object CdcQueries {
            count(CASE WHEN event_type = 'error' THEN 1 END) AS n_err,
            count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_buy,
            count(*) AS n_total
-           FROM events GROUP BY user_id ORDER BY user_id""")
+           FROM events GROUP BY user_id ORDER BY user_id""",
+      // W3: latest snapshot per node (arg_max by poll order), then the
+      // cluster rollup. 'view' snapshots carry NULL lag, which must
+      // not count as lagging.
+      "w04_cluster_report" ->
+        """WITH latest AS (SELECT user_id % 20 AS node,
+             arg_max(event_type, event_id) AS et,
+             arg_max(value, event_id) AS v
+             FROM events GROUP BY 1)
+           SELECT count(*) AS nodes,
+             count(CASE WHEN et <> 'error' THEN 1 END) AS online,
+             count(CASE WHEN node = 0 THEN 1 END) AS masters,
+             count(CASE WHEN et <> 'view'
+               AND floor(v * 1000)::BIGINT > 600 THEN 1 END) AS lagging
+           FROM latest""",
+      // H1 closed form: "aaaa:1-x,bbbb:1-y" is a subset of
+      // "aaaa:1-x',bbbb:1-y'" iff x <= x' and y <= y'; the election
+      // picks the first contender (node order) dominating all others,
+      // 'none' when the cluster diverged.
+      "h01_gtid_election" ->
+        """WITH stats AS (SELECT user_id % 3 AS node,
+             max(event_id) AS x, count(*) AS y
+             FROM events GROUP BY 1),
+           dom AS (SELECT node FROM stats s
+             WHERE NOT EXISTS (SELECT 1 FROM stats o
+               WHERE o.x > s.x OR o.y > s.y)
+             ORDER BY node LIMIT 1)
+           SELECT coalesce((SELECT 'node' || node FROM dom), 'none')
+             AS winner,
+           (SELECT count(*) FROM stats)::BIGINT AS n_contenders""")
   }
 }

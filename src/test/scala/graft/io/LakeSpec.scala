@@ -46,6 +46,27 @@ class LakeSpec extends SparkSpec {
       .contains("2024-03-02 09:00:00"))
   }
 
+  test("resumePointAt reads only the max day partition (early exit)") {
+    val path = tmp()
+    seed(path)
+    assert(Lake.resumePointAt(spark, path)
+      .contains("2024-03-02 09:00:00"))
+    // Prove the pruning: inject an out-of-place row with a LARGER
+    // date_time inside a SMALLER day partition (cannot arise naturally
+    // because day derives from date_time). The early-exit read must
+    // not see it, while the full-scan form does.
+    Seq((99L, "2024-03-05 00:00:00", Some(9.0), "2024-03-05 00:00:00"))
+      .toDF("id", "date_time", "value", "ts")
+      .withColumn("day", lit("2024-03-01"))
+      .write.mode("append").partitionBy("day").parquet(path)
+    assert(Lake.resumePointAt(spark, path)
+      .contains("2024-03-02 09:00:00"))
+    assert(Lake.resumePoint(Lake.read(spark, path))
+      .contains("2024-03-05 00:00:00"))
+    // An empty lake directory and a missing path both resolve to None.
+    assert(Lake.resumePointAt(spark, path + "_missing").isEmpty)
+  }
+
   test("mergeIntoLake applies changes and prunes emptied days") {
     val path = tmp()
     seed(path)

@@ -140,7 +140,8 @@ object Lake {
     }
     val existing =
       if (lakeExists)
-        read(spark, lakePath).where(col("day").isin(dirtyDays: _*))
+        read(spark, lakePath)
+          .where(col("day").isin(dirtyDays.toIndexedSeq: _*))
       else
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -247,10 +247,58 @@ object Dedup {
   /** Survivor view: given a pair list, keep the smallest id of each
     * connected component's star (greedy: drop any id that appears as the
     * larger side of a pair). One pass, no iterative connected
-    * components — the standard large-corpus approximation. */
+    * components — the standard large-corpus approximation. Under-keeps
+    * nothing but can over-keep: a non-minimal node all of whose
+    * neighbors are larger survives (e.g. edges (1,2),(2,4),(3,4) keep
+    * {1,3}, not the true component minimum {1}). [[survivorsCC]] is
+    * the exact form. */
   def survivors(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
     val losers = pairs.select(col("id_b").as(idCol)).distinct()
     docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Exact survivor view via distributed connected components:
+    * min-label propagation ("hash-to-min", the dataflow core of
+    * Kiveris et al., "Connected components in MapReduce and beyond",
+    * SoCC 2014) — each round every vertex adopts the smallest label in
+    * its neighborhood, converging in O(component diameter) rounds.
+    * Near-dup components are shallow (dup clusters, not social
+    * graphs), so rounds stay single-digit at corpus scale; every round
+    * is one hash join + one min-aggregation on (vertex) keys, and
+    * `localCheckpoint` truncates the growing lineage so plan size
+    * stays constant. Only ids travel — never text or signatures. */
+  def survivorsCC(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("a").as("v")).distinct()
+        .withColumn("label", col("v"))
+        .localCheckpoint()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val prop = edges
+          .join(labels.withColumnRenamed("v", "a"), "a")
+          .select(col("b").as("v"), col("label"))
+        val next = labels.select("v", "label").union(prop)
+          .groupBy("v").agg(min("label").as("label"))
+          .localCheckpoint()
+        // Convergence probe: any vertex whose label still shrank?
+        val changed = next
+          .join(labels.withColumnRenamed("label", "prev_label"), "v")
+          .where(col("label") =!= col("prev_label"))
+          .limit(1).count()
+        labels = next
+        converged = changed == 0L
+        i += 1
+      }
+      val losers = labels.where(col("label") =!= col("v"))
+        .select(col("v").as(idCol))
+      // left_anti keeps every unpaired doc plus each component's min id
+      docs.join(losers, Seq(idCol), "left_anti")
+    } finally edges.unpersist()
   }
 }

@@ -62,18 +62,22 @@ object Monitor {
       out.toSeq
   }
 
-  /** W2 over a historical snapshot table (batch replay). */
+  /** W2 over a historical snapshot table (batch replay). A lag()
+    * window pairs each snapshot with its predecessor — the shuffle
+    * sort spills instead of materializing a node's whole history in
+    * one task's heap, so arbitrarily long replay histories are fine. */
   def anomaliesBatch(snapshots: Dataset[NodeStatus]): Dataset[Anomaly] = {
     val spark = snapshots.sparkSession
     import spark.implicits._
-    snapshots
-      .groupByKey(_.ip)
-      .flatMapGroups { (_, it) =>
-        val sorted = it.toSeq.sortBy(_.pollTs)
-        sorted.zip(None +: sorted.map(Some(_))).flatMap {
-          case (cur, prev) => diff(cur, prev)
-        }
-      }
+    val df = snapshots.toDF()
+    val cur = struct(df.columns.toIndexedSeq.map(col): _*)
+    val w = Window.partitionBy(col("ip")).orderBy(col("pollTs"))
+    df
+      .withColumn("cur", cur)
+      .withColumn("prev", lag(col("cur"), 1).over(w))
+      .select(col("cur"), col("prev"))
+      .as[(NodeStatus, Option[NodeStatus])]
+      .flatMap { case (c, p) => diff(c, p) }
   }
 
   /** W2 as a streaming stateful operator; state = last snapshot/node. */

@@ -64,6 +64,17 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Exact survivor view: full connected components over the near-dup
+    // graph (min-label propagation), not the greedy star drop — chains
+    // A~B~C resolve to the single component minimum.
+    "d07_survivors_cc" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), shingleN = 8,
+        threshold = 0.3, maxDocFreq = 50)
+      Dedup.survivorsCC(docs(s, dir), pairs)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Embedding-cosine near-dup through hyperplane LSH buckets. The
     // plane signs are plan-time constants baked identically into the
     // DuckDB oracle, so the query carries a full oracle.
@@ -87,7 +98,8 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
-    // LSH-bucketed ANN (rows-only; recall vs s01 asserted in tests).
+    // LSH-bucketed ANN (full oracle: baked plane signs; recall vs s01
+    // additionally gated by s04).
     "s02_ann_lsh" -> ((s, dir) => {
       val corpus = emb(s, dir)
         .select(col("vec_id").as("id"),
@@ -100,7 +112,32 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
-    // IVF-flat ANN (rows-only; recall vs s01 asserted in tests).
+    // ANN quality gate: recall@10 of the LSH path against the exact
+    // brute-force baseline, per query — approximate-search quality as
+    // a hash-gated number, not just a ScalaTest assertion.
+    "s04_ann_recall" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val queries = emb(s, dir).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qvec"))
+      val exact = Similarity.bruteForceTopK(corpus, queries, k = 10)
+        .select(col("qid"), col("id"))
+      val approx = Similarity
+        .lshTopK(corpus, queries, k = 10, dim = 64, planes = 6)
+        .select(col("qid"), col("id"))
+      val hits = exact.join(approx, Seq("qid", "id"))
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+      queries.select(col("qid")).distinct()
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)) / 10.0).as("recall"))
+        .orderBy("qid")
+    }),
+
+    // IVF-flat ANN (full oracle: portable centroid sample order).
     "s03_ann_ivf" -> ((s, dir) => {
       val corpus = emb(s, dir)
         .select(col("vec_id").as("id"),
@@ -270,6 +307,42 @@ object LlmQueries {
   val oracles: Map[String, String] = {
     val norm =
       "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val s01Sql =
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+           FROM embeddings WHERE vec_id < 5),
+         scored AS (SELECT qid, e.vec_id AS id,
+           list_cosine_similarity(qvec::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+           FROM q, embeddings e WHERE e.vec_id <> qid),
+         ranked AS (SELECT qid, id, cos,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY cos DESC, id ASC) AS rank
+           FROM scored)
+         SELECT qid, id, round(cos, 6) AS cosine, rank
+         FROM ranked WHERE rank <= 10
+         ORDER BY qid, rank"""
+    val s02Sql =
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+           FROM embeddings),
+         sig AS (SELECT id, v,
+           ${hyperSigSql("v", 64, 6)} AS sig FROM e),
+         q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+         qs AS (SELECT qid, qv,
+           ${hyperSigSql("qv", 64, 6)} AS qsig FROM q),
+         probes AS (SELECT qid, qv, unnest([qsig,
+           xor(qsig, 1), xor(qsig, 2), xor(qsig, 4),
+           xor(qsig, 8), xor(qsig, 16), xor(qsig, 32)]) AS bucket
+           FROM qs),
+         cand AS (SELECT p.qid, s.id,
+           list_cosine_similarity(p.qv, s.v) AS cos
+           FROM probes p JOIN sig s ON s.sig = p.bucket
+           WHERE s.id <> p.qid),
+         ranked AS (SELECT qid, id, cos,
+           row_number() OVER (PARTITION BY qid
+             ORDER BY cos DESC, id ASC) AS rank FROM cand)
+         SELECT qid, id, round(cos, 6) AS cosine, rank
+         FROM ranked WHERE rank <= 10
+         ORDER BY qid, rank"""
     Map(
       "d01_exact_dedup" ->
         s"""SELECT md5($norm) AS content_hash,
@@ -392,19 +465,56 @@ object LlmQueries {
            SELECT doc_id, lang, n_chars FROM documents
            WHERE doc_id NOT IN (SELECT id_b FROM losers)
            ORDER BY doc_id""",
-      "s01_ann_bruteforce" ->
-        """WITH q AS (SELECT vec_id AS qid, embedding AS qvec
-             FROM embeddings WHERE vec_id < 5),
-           scored AS (SELECT qid, e.vec_id AS id,
-             list_cosine_similarity(qvec::DOUBLE[], e.embedding::DOUBLE[]) AS cos
-             FROM q, embeddings e WHERE e.vec_id <> qid),
-           ranked AS (SELECT qid, id, cos,
-             row_number() OVER (PARTITION BY qid
-               ORDER BY cos DESC, id ASC) AS rank
-             FROM scored)
-           SELECT qid, id, round(cos, 6) AS cosine, rank
-           FROM ranked WHERE rank <= 10
-           ORDER BY qid, rank""",
+      // Exact connected components over the same near-dup graph: a
+      // recursive transitive closure labels each vertex with the
+      // smallest reachable id; non-minimal members are dropped.
+      "d07_survivors_cc" ->
+        s"""WITH RECURSIVE idx AS (
+             SELECT id, unnest(grams) AS gram FROM (
+               SELECT doc_id AS id,
+                 list_distinct(CASE WHEN len(t) < 8 THEN [t]
+                   ELSE [substr(t, i, 8)
+                     FOR i IN range(1, len(t) - 6)] END) AS grams
+               FROM (SELECT doc_id, $norm AS t FROM documents))),
+           inf AS (SELECT id, gram FROM (
+             SELECT id, gram, count(*) OVER (PARTITION BY gram) AS df
+             FROM idx) WHERE df BETWEEN 2 AND 50),
+           sizes AS (SELECT id, count(*) AS sz FROM inf GROUP BY id),
+           inter AS (SELECT a.id AS id_a, b.id AS id_b,
+               count(*) AS inter
+             FROM inf a JOIN inf b
+             ON a.gram = b.gram AND a.id < b.id
+             GROUP BY 1, 2),
+           pairs AS (SELECT id_a, id_b FROM inter
+             JOIN sizes sa ON sa.id = id_a
+             JOIN sizes sb ON sb.id = id_b
+             WHERE inter::DOUBLE
+               / (sa.sz + sb.sz - inter)::DOUBLE >= 0.3),
+           edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+             UNION ALL SELECT id_b, id_a FROM pairs),
+           reach AS (
+             SELECT a AS v, b AS r FROM edges
+             UNION
+             SELECT re.v, e.b AS r FROM reach re
+             JOIN edges e ON re.r = e.a),
+           cc_losers AS (SELECT v FROM reach
+             GROUP BY v HAVING min(r) < v)
+           SELECT doc_id, lang, n_chars FROM documents
+           WHERE doc_id NOT IN (SELECT v FROM cc_losers)
+           ORDER BY doc_id""",
+      "s01_ann_bruteforce" -> s01Sql,
+      // Recall@10 of the LSH path vs the brute-force baseline, both
+      // restated from their own oracle definitions.
+      "s04_ann_recall" ->
+        s"""WITH s1 AS ($s01Sql), s2 AS ($s02Sql),
+           h AS (SELECT s1.qid, count(*) AS hits FROM s1
+             JOIN s2 ON s1.qid = s2.qid AND s1.id = s2.id
+             GROUP BY s1.qid)
+           SELECT q.qid, coalesce(hits, 0)::BIGINT AS hits,
+             coalesce(hits, 0) / 10.0 AS recall
+           FROM (SELECT DISTINCT qid FROM s1) q
+           LEFT JOIN h ON q.qid = h.qid
+           ORDER BY q.qid""",
       // Hyperplane-LSH near-dup: signatures restated with the same
       // baked sign literals as the Spark plan; bucket self-join; exact
       // cosine verify.
@@ -420,29 +530,7 @@ object LlmQueries {
            WHERE cos >= 0.2 ORDER BY id_a, id_b""",
       // LSH-bucketed ANN with hamming-1 multi-probe: the probe set is
       // the query signature and its single-bit flips.
-      "s02_ann_lsh" ->
-        s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
-             FROM embeddings),
-           sig AS (SELECT id, v,
-             ${hyperSigSql("v", 64, 6)} AS sig FROM e),
-           q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-             FROM embeddings WHERE vec_id < 5),
-           qs AS (SELECT qid, qv,
-             ${hyperSigSql("qv", 64, 6)} AS qsig FROM q),
-           probes AS (SELECT qid, qv, unnest([qsig,
-             xor(qsig, 1), xor(qsig, 2), xor(qsig, 4),
-             xor(qsig, 8), xor(qsig, 16), xor(qsig, 32)]) AS bucket
-             FROM qs),
-           cand AS (SELECT p.qid, s.id,
-             list_cosine_similarity(p.qv, s.v) AS cos
-             FROM probes p JOIN sig s ON s.sig = p.bucket
-             WHERE s.id <> p.qid),
-           ranked AS (SELECT qid, id, cos,
-             row_number() OVER (PARTITION BY qid
-               ORDER BY cos DESC, id ASC) AS rank FROM cand)
-           SELECT qid, id, round(cos, 6) AS cosine, rank
-           FROM ranked WHERE rank <= 10
-           ORDER BY qid, rank""",
+      "s02_ann_lsh" -> s02Sql,
       // IVF-flat ANN: LCG-ordered deterministic centroid sample,
       // argmax-cosine list assignment, nProbe=4 probing.
       "s03_ann_ivf" ->

@@ -109,4 +109,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.nonEmpty)
     assert(pairs.forall { case (a, b) => a % 3 == b % 3 })
   }
+
+  test("survivorsCC resolves chains exactly where greedy over-keeps") {
+    // Component {1,2,3,4} via edges (1,2),(2,4),(3,4): node 3's only
+    // neighbor is larger, so the greedy star drop keeps {1,3}; true
+    // connected components keep only the minimum {1}. Node 9 is
+    // untouched by any pair and must survive both.
+    val ds = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 4L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val greedy = Dedup.survivors(ds, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    val exact = Dedup.survivorsCC(ds, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(greedy == Set(1L, 3L, 9L))
+    assert(exact == Set(1L, 9L))
+  }
+
+  test("survivorsCC handles multiple components and no pairs") {
+    val ds = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((5L, 6L), (2L, 3L)).toDF("id_a", "id_b")
+    val exact = Dedup.survivorsCC(ds, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(1L, 2L, 4L, 5L))
+    val none = Dedup.survivorsCC(ds,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(none == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
 }

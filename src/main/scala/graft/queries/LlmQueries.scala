@@ -8,10 +8,12 @@ import graft.llm.{Chunking, Dedup, Multimodal, Similarity, TextAnalysis, TextFun
 /** LLM-data-pipeline operator surface (north star,
   * `BASELINE.json`): dedup family, similarity search, text analysis,
   * multimodal-column plumbing — over the `documents` / `embeddings`
-  * fixtures. Hash-family internals (xxhash64) are not reproducible in
-  * DuckDB, so minhash/simhash queries are declared without oracles
-  * (driver rows-only check) and verified by ScalaTest instead; every
-  * thing expressible in portable SQL gets a full oracle.
+  * fixtures. Every query carries a full DuckDB oracle: the hash-family
+  * queries run their gated form on the portable polynomial hash
+  * ([[graft.functions.PolyHash]], restated verbatim in DuckDB list
+  * SQL), plan-time constants (hyperplane signs, affine coefficients)
+  * are baked identically into the generated oracle text, and xxhash64
+  * remains the production default verified by ScalaTest.
   */
 object LlmQueries {
 

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Chunking, Dedup, Multimodal, Similarity, TextAnalysis, TextFunctions}
+import graft.llm.{Chunking, Dedup, Multimodal, Similarity, Sketches, TextAnalysis, TextFunctions}
 
 /** LLM-data-pipeline operator surface (north star,
   * `BASELINE.json`): dedup family, similarity search, text analysis,
@@ -211,6 +211,23 @@ object LlmQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("term").asc)
         .limit(20)
+    }),
+
+    // Count-min-sketch heavy hitters: the sublinear-memory variant of
+    // t05 — counters capped at depth x width however large the corpus;
+    // output compares the exact count of the top-20 terms with the
+    // sketch estimate (CMS guarantee: estimate >= truth).
+    "t09_cms_heavy_hitters" -> ((s, dir) => {
+      val terms = docs(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .where(length(col("term")) > 0)
+      val counters = Sketches.cmsCounters(terms)
+      val top = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(20)
+      Sketches.cmsEstimate(counters, top.select("term"))
+        .join(top, "term")
+        .select(col("term"), col("cnt"), col("cms_estimate"))
+        .orderBy(col("cnt").desc, col("term").asc)
     }),
 
     // Sequence packing: chunks fill fixed 512-token bins per source
@@ -645,6 +662,38 @@ object LlmQueries {
              FROM documents)
            WHERE len(term) > 0
            GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20""",
+      // CMS restatement: the same portable hash family (baked affine
+      // coefficients), depth-4 width-1024 counters, min-of-counters
+      // estimate for the exact top 20.
+      "t09_cms_heavy_hitters" -> {
+        val coefs = (0 until 4).map(i =>
+          s"(${i}, ${graft.functions.PolyHash.multiplier(i)}, " +
+            s"${graft.functions.PolyHash.offset(i)})").mkString(", ")
+        val termHash =
+          """list_reduce(list_prepend(0::BIGINT,
+             [ascii(c)::BIGINT FOR c IN string_split(term, '')]),
+             (acc, c) -> (acc*31 + c) % 1000000007)"""
+        s"""WITH terms AS (SELECT term FROM (
+             SELECT unnest(string_split($norm, ' ')) AS term
+             FROM documents) WHERE len(term) > 0),
+           th AS (SELECT term, $termHash AS h FROM terms),
+           cf(r, a, b) AS (SELECT * FROM (VALUES $coefs)),
+           counters AS (SELECT r,
+             ((a * h + b) % 1000000007) % 1024 AS bucket,
+             count(*) AS ccnt
+             FROM th CROSS JOIN cf GROUP BY 1, 2),
+           top AS (SELECT term, count(*) AS cnt FROM terms
+             GROUP BY 1 ORDER BY cnt DESC, term ASC LIMIT 20),
+           toph AS (SELECT term, cnt, $termHash AS h FROM top),
+           probes AS (SELECT term, cnt, r,
+             ((a * h + b) % 1000000007) % 1024 AS bucket
+             FROM toph CROSS JOIN cf)
+           SELECT p.term, p.cnt, min(c.ccnt)::BIGINT AS cms_estimate
+           FROM probes p
+           JOIN counters c ON c.r = p.r AND c.bucket = p.bucket
+           GROUP BY p.term, p.cnt
+           ORDER BY p.cnt DESC, p.term ASC"""
+      },
       "t08_packing" ->
         s"""WITH toks AS (SELECT doc_id, string_split($norm, ' ') AS tk
              FROM documents),

@@ -165,6 +165,21 @@ object RelationalQueries {
            ORDER BY o_orderpriority""")
     }),
 
+    // Exact order statistics: interpolated percentiles per group (the
+    // exact `percentile` aggregate — at 100 TB the drop-in is
+    // `percentile_approx`, same plan shape, bounded memory).
+    "q12_quantiles" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(expr("percentile(o_totalprice, 0.5D)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.95D)"), 4).as("p95"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Join strategy contrast: big-big shuffle join (orders x lineitem)
     // with aggregate pushdown below the join via pre-aggregation.
     "q10_preagg_join" -> ((s, dir) => {
@@ -214,6 +229,16 @@ object RelationalQueries {
          FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC
          LIMIT 25""",
+    // quantile_cont computes the same p*(n-1) linear interpolation as
+    // Spark's exact percentile; 4dp rounding absorbs ulp differences.
+    "q12_quantiles" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+         round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+         round(min(o_totalprice), 2) AS min_price,
+         round(max(o_totalprice), 2) AS max_price
+         FROM orders GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
     "q05_distinct_custkeys" ->
       """SELECT c_mktsegment,
          count(DISTINCT o_custkey) AS n_customers,

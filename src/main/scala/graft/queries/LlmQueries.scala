@@ -230,6 +230,19 @@ object LlmQueries {
         .orderBy(col("cnt").desc, col("term").asc)
     }),
 
+    // HyperLogLog register table over the corpus vocabulary: the
+    // bounded-state (2^p rows) distinct-count sketch; registers are
+    // exact integers so the sketch STATE hash-gates, and the estimate
+    // derived from it is asserted against the true vocabulary size in
+    // SketchesSpec.
+    "t10_hll_registers" -> ((s, dir) => {
+      val terms = docs(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .where(length(col("term")) > 0)
+      Sketches.hllRegisters(terms, p = 8)
+        .orderBy("bucket")
+    }),
+
     // Sequence packing: chunks fill fixed 512-token bins per source
     // shard (contiguous-fill prefix-sum assignment; bins never span
     // shards, so packing parallelizes across the corpus).
@@ -662,6 +675,33 @@ object LlmQueries {
              FROM documents)
            WHERE len(term) > 0
            GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20""",
+      // HLL registers: bucket = h mod 256, rho = trailing-zero rank
+      // of the remaining bits + 1 (23 when they are all zero) — pure
+      // integer arithmetic on the portable hash.
+      "t10_hll_registers" ->
+        s"""WITH terms AS (SELECT term FROM (
+             SELECT unnest(string_split($norm, ' ')) AS term
+             FROM documents) WHERE len(term) > 0),
+           th AS (SELECT
+             list_reduce(list_prepend(0::BIGINT,
+               [ascii(c)::BIGINT FOR c IN string_split(term, '')]),
+               (acc, c) -> (acc*31 + c) % 1000000007) AS h
+             FROM terms),
+           -- xxhash32-style avalanche finalizer (must mirror
+           -- Sketches.hllRegisters exactly)
+           mx0 AS (SELECT xor(h, h // 65536) AS x FROM th),
+           mx1 AS (SELECT (x * 2654435761) % 1073741824 AS x FROM mx0),
+           mx2 AS (SELECT xor(x, x // 8192) AS x FROM mx1),
+           mx3 AS (SELECT (x * 2246822519) % 1073741824 AS x FROM mx2),
+           mx4 AS (SELECT xor(x, x // 65536) AS x FROM mx3),
+           hb AS (SELECT x % 256 AS bucket, x // 256 AS rest FROM mx4),
+           rho AS (SELECT bucket,
+             CASE WHEN rest = 0 THEN 23
+               ELSE len([k FOR k IN range(1, 23)
+                 IF rest % (1::BIGINT << k) = 0]) + 1 END AS rho
+             FROM hb)
+           SELECT bucket, max(rho)::INTEGER AS max_rho
+           FROM rho GROUP BY bucket ORDER BY bucket""",
       // CMS restatement: the same portable hash family (baked affine
       // coefficients), depth-4 width-1024 counters, min-of-counters
       // estimate for the exact top 20.

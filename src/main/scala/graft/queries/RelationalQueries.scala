@@ -180,6 +180,30 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Interval join via bucket quantization (ops/RangeJoin): lineitems
+    // shipped inside 14-day promo windows derived from a deterministic
+    // order sample. A raw theta join would be a nested loop; the
+    // bucket rewrite makes it an equi join + refine.
+    "q13_range_join" -> ((s, dir) => {
+      def day(c: org.apache.spark.sql.Column) =
+        datediff(c.cast("date"), to_date(lit("1970-01-01")))
+          .cast("long")
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_quantity"),
+        day(col("l_shipdate")).as("ship_day"))
+      val win = t(s, dir, "orders")
+        .where(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("window_id"),
+          day(col("o_orderdate")).as("lo"))
+        .withColumn("hi", col("lo") + 14)
+      graft.ops.RangeJoin
+        .pointInRange(li, "ship_day", win, "lo", "hi", bucket = 7L)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("window_id")
+    }),
+
     // Join strategy contrast: big-big shuffle join (orders x lineitem)
     // with aggregate pushdown below the join via pre-aggregation.
     "q10_preagg_join" -> ((s, dir) => {
@@ -229,6 +253,20 @@ object RelationalQueries {
          FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC
          LIMIT 25""",
+    // The oracle states the range join as the plain theta join the
+    // bucket rewrite must be equivalent to.
+    "q13_range_join" ->
+      """WITH li AS (SELECT l_orderkey, l_quantity,
+           date_diff('day', DATE '1970-01-01', l_shipdate::DATE)
+             AS ship_day FROM lineitem),
+         win AS (SELECT o_orderkey AS window_id,
+           date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+             AS lo FROM orders WHERE o_orderkey % 97 = 0)
+         SELECT window_id, count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+         FROM li JOIN win
+         ON ship_day >= lo AND ship_day < lo + 14
+         GROUP BY window_id ORDER BY window_id""",
     // quantile_cont computes the same p*(n-1) linear interpolation as
     // Spark's exact percentile; 4dp rounding absorbs ulp differences.
     "q12_quantiles" ->

@@ -31,6 +31,24 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hll registers are bounded and the estimate tracks the truth") {
+    val rnd = new scala.util.Random(17)
+    // ~600 distinct terms, heavy repetition: registers must not care.
+    val vocab = (0 until 600).map(i => s"tok${i}_${rnd.nextInt(9)}")
+    val occurrences = (0 until 5000).map(_ => vocab(rnd.nextInt(vocab.size)))
+    val df = occurrences.toDF("term")
+    val exact = df.distinct().count().toDouble
+    val regs = Sketches.hllRegisters(df, p = 8)
+    assert(regs.count() <= 256)
+    val est = Sketches.hllEstimate(regs, p = 8)
+    val err = math.abs(est - exact) / exact
+    assert(err < 0.25, s"estimate $est vs exact $exact (err $err)")
+    // Occurrences and distinct terms produce identical registers.
+    val regsD = Sketches.hllRegisters(df.distinct(), p = 8)
+    assert(regs.orderBy("bucket").collect().toSeq
+      == regsD.orderBy("bucket").collect().toSeq)
+  }
+
   test("wide sketch with few terms estimates exactly (no collisions)") {
     val df = terms.toDF("term")
     val counters = Sketches.cmsCounters(df, depth = 4, width = 1024)

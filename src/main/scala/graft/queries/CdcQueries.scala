@@ -384,6 +384,45 @@ object CdcQueries {
         .toDF("winner", "n_contenders")
     }),
 
+    // Event-time tumbling windows — the batch form of
+    // StreamOps.windowedCounts (same code path; the watermark is a
+    // no-op in batch), gating the window-aggregation semantics the
+    // streaming surface relies on. Value sums go through DECIMAL so
+    // the result is partition-order independent.
+    "w05_event_windows" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        col("ts"), col("event_type"),
+        col("value").cast("decimal(38,6)").as("value"))
+      graft.streaming.StreamOps
+        .windowedCounts(ev, "ts", "event_type", "1 hour", "1 hour")
+        .select(
+          date_format(col("window.start"), DT).as("window_start"),
+          col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // Two-phase salted aggregation (ops/SkewAgg): hot keys fan out
+    // over salt buckets in phase 1, partials merge per key in a tiny
+    // phase 2 — must be indistinguishable from the plain groupBy,
+    // which is exactly what the oracle states.
+    "c14_salted_agg" -> ((s, dir) => {
+      import graft.ops.SkewAgg
+      val ev = events(s, dir).select(
+        col("event_type"), col("value"),
+        col("value").cast("decimal(38,6)").as("value_d"))
+      SkewAgg.saltedAgg(ev, Seq("event_type"), Seq(
+          SkewAgg.count("n"),
+          SkewAgg.sum("value_d", "sum_v"),
+          SkewAgg.min("value", "min_v"),
+          SkewAgg.max("value", "max_v")), buckets = 32)
+        .select(col("event_type"), col("n"),
+          col("sum_v").cast("double").as("sum_v"),
+          col("min_v"), col("max_v"),
+          (col("sum_v").cast("double") / col("n")).as("avg_v"))
+        .orderBy("event_type")
+    }),
+
     // H3: CASE-hierarchy status classification over grouped rows
     // (per-user activity classing, the orchestrator's shape).
     "w02_status_classify" -> ((s, dir) => {
@@ -632,6 +671,21 @@ object CdcQueries {
            count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_buy,
            count(*) AS n_total
            FROM events GROUP BY user_id ORDER BY user_id""",
+      // Tumbling 1h windows align to the epoch exactly like
+      // date_trunc('hour').
+      "w05_event_windows" ->
+        """SELECT strftime(date_trunc('hour', ts),
+             '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n,
+           sum(value::DECIMAL(38,6))::DOUBLE AS sum_value
+           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+      // The salted aggregation must equal the plain groupBy.
+      "c14_salted_agg" ->
+        """SELECT event_type, count(*) AS n,
+           sum(value::DECIMAL(38,6))::DOUBLE AS sum_v,
+           min(value) AS min_v, max(value) AS max_v,
+           (sum(value::DECIMAL(38,6))::DOUBLE / count(*)) AS avg_v
+           FROM events GROUP BY event_type ORDER BY event_type""",
       // W3: latest snapshot per node (arg_max by poll order), then the
       // cluster rollup. 'view' snapshots carry NULL lag, which must
       // not count as lagging.

@@ -311,6 +311,27 @@ object LlmQueries {
           round(element_at(col("features"), 4).cast("double"), 6)
             .as("f3"))
         .orderBy("media_id")
+    }),
+
+    // Frame-sample stub over video-typed payloads: every 4th 1 KiB
+    // slice becomes a "frame" row (the flatMap 1->N contract). The
+    // oracle slices the same byte ranges via substr (ASCII corpus:
+    // codepoint == byte) and digests them.
+    "mm03_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      val rows = Multimodal
+        .withMediaColumns(media, "payload", "video")
+        .select(col("doc_id").as("media_id"), col("payload"),
+          col("meta").as("meta"))
+        .as[Multimodal.MediaRow]
+      Multimodal.sampleFrames(rows, stride = 4)
+        .select(col("media_id"), col("frame_idx"),
+          octet_length(col("frame_bytes")).cast("long")
+            .as("frame_len"),
+          sha2(col("frame_bytes"), 256).as("frame_sha"))
+        .orderBy("media_id", "frame_idx")
     }))
 
   /** DuckDB restatement of the base-31 mod-1e9+7 polynomial hash of
@@ -784,6 +805,20 @@ object LlmQueries {
                / n::FLOAT)::DOUBLE, 6) AS f2,
              round((len([c FOR c IN cs IF ascii(c) // 32 = 3])::FLOAT
                / n::FLOAT)::DOUBLE, 6) AS f3
-           FROM f ORDER BY media_id""")
+           FROM f ORDER BY media_id""",
+      // Frame sampling: frame i covers bytes [i*1024, i*1024+1024) of
+      // the payload, i stepping by the stride over max(1, len//1024)
+      // frames.
+      "mm03_frame_sample" ->
+        """WITH f AS (SELECT doc_id AS media_id, text,
+             length(text) AS len FROM documents),
+           idx AS (SELECT media_id, text, len,
+             unnest(range(0, greatest(len // 1024, 1), 4))
+               AS frame_idx FROM f)
+           SELECT media_id, frame_idx::INTEGER AS frame_idx,
+             least(1024, len - frame_idx*1024)::BIGINT AS frame_len,
+             sha256(substr(text, (frame_idx*1024 + 1)::INTEGER, 1024))
+               AS frame_sha
+           FROM idx ORDER BY media_id, frame_idx""")
   }
 }

@@ -79,7 +79,12 @@ object Dedup {
       .select(col("id"), posexplode(bandExpr))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
-    val pairs = buckets.as("a").join(buckets.as("b"),
+    // Corpus-sized self-join: force sort-merge (AQE upgrades it back
+    // to broadcast at runtime when the fixture is genuinely small).
+    // Catalyst's static size estimate for the exploded band rows is
+    // far under reality, and broadcasting a corpus-sized side is the
+    // one thing this operator must never do at scale.
+    val pairs = buckets.as("a").join(buckets.as("b").hint("merge"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
@@ -88,9 +93,15 @@ object Dedup {
     // Signature estimate: E[matching components / k] = jaccard. Loose
     // margin (half the threshold) so estimate variance can't drop true
     // positives; exact verify does the final cut.
-    val withSig = pairs
+    //
+    // The sig/shingle lookups build their hash side from the PAIR
+    // stream (shuffle_hash on the narrow id-pair side): array columns
+    // defeat Catalyst's size estimate and it would otherwise broadcast
+    // the corpus signature table — backwards at any scale.
+    val withSig = pairs.hint("shuffle_hash")
       .join(sigs.select(col("id").as("id_a"), col("mh").as("mh_a")),
         "id_a")
+      .hint("shuffle_hash")
       .join(sigs.select(col("id").as("id_b"), col("mh").as("mh_b")),
         "id_b")
       .withColumn("est",
@@ -98,9 +109,10 @@ object Dedup {
           (x, y) => x === y), e => e)).cast("double") / k)
       .where(col("est") >= threshold * 0.5)
       .select("id_a", "id_b")
-    withSig
+    withSig.hint("shuffle_hash")
       .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")),
         "id_a")
+      .hint("shuffle_hash")
       .join(sigs.select(col("id").as("id_b"), col("sh").as("sh_b")),
         "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
@@ -134,7 +146,9 @@ object Dedup {
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_val")
     val a = buckets.as("a")
-    val b = buckets.as("b")
+    // Corpus-sized self-join — sort-merge, never broadcast (see
+    // minhashPairs); AQE re-broadcasts small fixtures at runtime.
+    val b = buckets.as("b").hint("merge")
     a.join(b,
         col("a.chunk_idx") === col("b.chunk_idx") &&
         col("a.chunk_val") === col("b.chunk_val") &&
@@ -210,7 +224,9 @@ object Dedup {
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("sig", hyperplaneSignature(col("v"), dim, planes))
     val a = sigs.as("a")
-    val b = sigs.as("b")
+    // As in minhashPairs: the vector-carrying self-join must not
+    // broadcast a corpus-sized side on a bad static estimate.
+    val b = sigs.as("b").hint("merge")
     a.join(b, col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
       .withColumn("cosine",
         graft.functions.GraftFunctions.arrayCosine(col("a.v"), col("b.v")))

@@ -37,6 +37,11 @@ object CdcQueries {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
           timestamp_micros((col("ts") / 1000).cast("long")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Plain-parquet TIMESTAMP (e.g. the synthesized stress
+        // fixture): NTZ won't cast to epoch seconds — reinterpret in
+        // the UTC session first (same instants).
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Chunking, Dedup, Multimodal, Similarity, Sketches, TextAnalysis, TextFunctions}
+import graft.llm.{Chunking, Contamination, Dedup, Multimodal, Scrub, Similarity, Sketches, TextAnalysis, TextFunctions}
 
 /** LLM-data-pipeline operator surface (north star,
   * `BASELINE.json`): dedup family, similarity search, text analysis,
@@ -258,6 +258,35 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_chunks"),
           sum(col("chunk_tokens")).as("bin_tokens"))
         .orderBy("source", "bin_id")
+    }),
+
+    // PII scrubbing: synthetic emails/IPs injected deterministically,
+    // counted and redacted by RE2-compatible regex projections; the
+    // scrubbed text is fingerprinted so redaction itself is gated.
+    "t11_pii_scrub" -> ((s, dir) => {
+      val dirty = docs(s, dir).withColumn("text2",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com now")))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" from 10.1.2."),
+              col("doc_id") % 256))
+          .otherwise(col("text")))
+      dirty.select(
+        col("doc_id"),
+        Scrub.emailCount(col("text2")).as("n_email"),
+        Scrub.ipCount(col("text2")).as("n_ip"),
+        md5(Scrub.scrub(col("text2"))).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark contamination: fraction of each doc's 8-gram shingles
+    // present in the "benchmark" set (docs with id < 50) — the
+    // decontamination overlap check.
+    "t12_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Contamination.overlapRatios(d, d.where(col("doc_id") < 50))
+        .orderBy("doc_id")
     }),
 
     // Deterministic stratified capping: at most N docs per source,
@@ -778,6 +807,44 @@ object LlmQueries {
              sum(chunk_tokens)::BIGINT AS bin_tokens
            FROM packed GROUP BY source, bin_id
            ORDER BY source, bin_id""",
+      // Same regexes, RE2 semantics on both engines; DuckDB needs the
+      // 'g' flag to match Spark's replace-all default.
+      "t11_pii_scrub" -> {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+        s"""WITH dirty AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+               THEN text || ' contact user' || doc_id
+                 || '@example.com now'
+               WHEN doc_id % 11 = 0
+               THEN text || ' from 10.1.2.' || (doc_id % 256)
+               ELSE text END AS text2
+             FROM documents)
+           SELECT doc_id,
+             len(regexp_extract_all(text2, '$email')) AS n_email,
+             len(regexp_extract_all(text2, '$ip')) AS n_ip,
+             md5(regexp_replace(regexp_replace(text2,
+               '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'))
+               AS scrubbed_md5
+           FROM dirty ORDER BY doc_id"""
+      },
+      "t12_contamination" ->
+        s"""WITH g AS (SELECT doc_id AS id, unnest(grams) AS gram FROM (
+             SELECT doc_id,
+               list_distinct(CASE WHEN len(t) < 8 THEN [t]
+                 ELSE [substr(t, i, 8)
+                   FOR i IN range(1, len(t) - 6)] END) AS grams
+             FROM (SELECT doc_id, $norm AS t FROM documents))),
+           bg AS (SELECT DISTINCT gram FROM g WHERE id < 50),
+           sizes AS (SELECT id, count(*) AS n_grams FROM g GROUP BY id),
+           hits AS (SELECT id, count(*) AS n_hit FROM g
+             WHERE gram IN (SELECT gram FROM bg) GROUP BY id)
+           SELECT s.id AS doc_id, s.n_grams,
+             coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+             round(coalesce(h.n_hit, 0)::DOUBLE / s.n_grams::DOUBLE, 6)
+               AS overlap_ratio
+           FROM sizes s LEFT JOIN hits h ON s.id = h.id
+           ORDER BY doc_id""",
       "t07_stratified_cap" ->
         """SELECT source, doc_id, rn FROM (
              SELECT source, doc_id,

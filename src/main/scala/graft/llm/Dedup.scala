@@ -90,32 +90,29 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // Signature estimate: E[matching components / k] = jaccard. Loose
-    // margin (half the threshold) so estimate variance can't drop true
-    // positives; exact verify does the final cut.
+    // One signature+shingle lookup per pair side (two corpus-keyed
+    // joins total, not four): the estimate prefilter and the exact
+    // verify evaluate in the same stage, with the conjunction
+    // short-circuiting so only estimate-survivors (E[matching/k] =
+    // jaccard; loose half-threshold margin) pay for the exact array
+    // intersection.
     //
-    // The sig/shingle lookups build their hash side from the PAIR
-    // stream (shuffle_hash on the narrow id-pair side): array columns
-    // defeat Catalyst's size estimate and it would otherwise broadcast
-    // the corpus signature table — backwards at any scale.
-    val withSig = pairs.hint("shuffle_hash")
-      .join(sigs.select(col("id").as("id_a"), col("mh").as("mh_a")),
-        "id_a")
+    // Both lookups build their hash side from the PAIR stream
+    // (shuffle_hash on the narrow id-pair side): array columns defeat
+    // Catalyst's size estimate and it would otherwise broadcast the
+    // corpus signature table — backwards at any scale.
+    val est =
+      size(filter(zip_with(col("mh_a"), col("mh_b"),
+        (x, y) => x === y), e => e)).cast("double") / k
+    pairs.hint("shuffle_hash")
+      .join(sigs.select(col("id").as("id_a"), col("mh").as("mh_a"),
+        col("sh").as("sh_a")), "id_a")
       .hint("shuffle_hash")
-      .join(sigs.select(col("id").as("id_b"), col("mh").as("mh_b")),
-        "id_b")
-      .withColumn("est",
-        size(filter(zip_with(col("mh_a"), col("mh_b"),
-          (x, y) => x === y), e => e)).cast("double") / k)
-      .where(col("est") >= threshold * 0.5)
-      .select("id_a", "id_b")
-    withSig.hint("shuffle_hash")
-      .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")),
-        "id_a")
-      .hint("shuffle_hash")
-      .join(sigs.select(col("id").as("id_b"), col("sh").as("sh_b")),
-        "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .join(sigs.select(col("id").as("id_b"), col("mh").as("mh_b"),
+        col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        when(est >= threshold * 0.5, jaccard(col("sh_a"), col("sh_b")))
+          .otherwise(lit(-1d)))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -112,6 +112,9 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_poly_simhash",
         exprs => PolySimHash(exprs.head), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_poly_hash",
+        exprs => PolyHashString(exprs.head), "built-in")
       registered += key
     }
   }
@@ -137,4 +140,8 @@ object GraftFunctions {
   /** Column form (requires [[register]] on the session first). */
   def polySimhash(tokens: Column): Column =
     call_function("graft_poly_simhash", tokens)
+
+  /** Column form (requires [[register]] on the session first). */
+  def polyHash(s: Column): Column =
+    call_function("graft_poly_hash", s)
 }

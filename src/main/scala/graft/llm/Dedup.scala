@@ -191,13 +191,21 @@ object Dedup {
       .select("id", "gram")
     val sizes = informative.groupBy("id")
       .agg(count(lit(1)).as("sz"))
-    val inter = informative.as("a").join(informative.as("b"),
+    // Self-join on gram as sort-merge: both sides are the SAME
+    // gram-keyed exchange, so ReuseExchange computes the index once —
+    // a broadcast here would both replicate a corpus-sized side and
+    // force the window subtree to build per branch (observed 3x at
+    // the 10x fixture). Size lookups build from the narrow pair
+    // stream, as in minhashPairs.
+    val inter = informative.as("a")
+      .join(informative.as("b").hint("merge"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    inter.hint("shuffle_hash")
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
         "id_a")
+      .hint("shuffle_hash")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
         "id_b")
       .withColumn("jaccard", col("inter").cast("double") /

@@ -27,9 +27,11 @@ import graft.functions.PolyHash
   */
 object Sketches {
 
-  /** `h` column for a (already normalized) term. */
+  /** `h` column for a (already normalized) term — the native fused
+    * form of [[TextFunctions.rollingFingerprint]]'s arithmetic
+    * (callers register [[graft.functions.GraftFunctions]] first). */
   private def termHash(term: Column): Column =
-    TextFunctions.rollingFingerprint(term)
+    graft.functions.GraftFunctions.polyHash(term)
 
   private def bucket(h: Column, i: Int, width: Int): Column =
     ((lit(PolyHash.multiplier(i)) * h + lit(PolyHash.offset(i)))
@@ -39,6 +41,7 @@ object Sketches {
     * summed occurrence count. Cardinality <= depth x width. */
   def cmsCounters(terms: DataFrame, termCol: String = "term",
       depth: Int = 4, width: Int = 1024): DataFrame = {
+    graft.functions.GraftFunctions.register(terms.sparkSession)
     val h = termHash(col(termCol))
     terms
       .select(posexplode(array(
@@ -56,6 +59,7 @@ object Sketches {
   def cmsEstimate(counters: DataFrame, candidates: DataFrame,
       termCol: String = "term", depth: Int = 4,
       width: Int = 1024): DataFrame = {
+    graft.functions.GraftFunctions.register(candidates.sparkSession)
     val h = termHash(col(termCol))
     val probes = candidates
       .select(col(termCol),
@@ -87,6 +91,7 @@ object Sketches {
   def hllRegisters(terms: DataFrame, termCol: String = "term",
       p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, "p in [4,16]")
+    graft.functions.GraftFunctions.register(terms.sparkSession)
     val m = (1L << p)
     // The raw polynomial hash clusters on structured vocabularies
     // (shared prefixes differing in trailing chars), and a linear

@@ -183,12 +183,17 @@ object LlmQueries {
     }),
 
     // Document fingerprinting: md5 canonical + rolling hash (oracle
-    // covers both — the rolling hash is modular arithmetic).
+    // covers both — the rolling hash is modular arithmetic, computed
+    // by the native fused expression; the HOF form it must equal is
+    // pinned in PolyHashSpec).
     "t04_fingerprint" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       docs(s, dir).select(
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp_md5"),
-        TextFunctions.rollingFingerprint(col("text")).as("fp_roll"))
+        graft.functions.GraftFunctions
+          .polyHash(TextFunctions.normalizeText(col("text")))
+          .as("fp_roll"))
         .orderBy("doc_id")
     }),
 

@@ -18,6 +18,21 @@ class PolyHashSpec extends SparkSpec {
   private def modelHash(s: String): Long =
     s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % P)
 
+  test("native poly_hash equals the HOF rollingFingerprint") {
+    GraftFunctions.register(spark)
+    val rows = Seq("", "a", "Hello,  World ", "tok123_4",
+      "the quick brown fox", "mixed 99 UPPER case")
+      .toDF("text")
+    val out = rows.select(
+      GraftFunctions.polyHash(
+        graft.llm.TextFunctions.normalizeText(col("text")))
+        .as("native"),
+      graft.llm.TextFunctions.rollingFingerprint(col("text"))
+        .as("hof"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (n, h) => assert(n == h) }
+  }
+
   test("hashString: polynomial over code points, empty -> 0") {
     assert(PolyHash.hashString(
       org.apache.spark.unsafe.types.UTF8String.fromString("")) == 0L)

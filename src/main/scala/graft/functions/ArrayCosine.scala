@@ -115,6 +115,11 @@ object GraftFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_poly_hash",
         exprs => PolyHashString(exprs.head), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_poly_bloom",
+        exprs => PolyBloomAgg(exprs(0),
+          exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().asInstanceOf[Int]), "built-in")
       registered += key
     }
   }
@@ -144,4 +149,10 @@ object GraftFunctions {
   /** Column form (requires [[register]] on the session first). */
   def polyHash(s: Column): Column =
     call_function("graft_poly_hash", s)
+
+  /** Bloom bitmap aggregate (requires [[register]] first). */
+  def polyBloom(key: Column, mBits: Int, k: Int): Column =
+    call_function("graft_poly_bloom", key,
+      org.apache.spark.sql.functions.lit(mBits),
+      org.apache.spark.sql.functions.lit(k))
 }

@@ -204,6 +204,46 @@ object RelationalQueries {
         .orderBy("window_id")
     }),
 
+    // Custom Catalyst aggregate: portable bloom filter over the
+    // urgent orders' keys — the bitmap words are exact integers, so
+    // the sketch STATE hash-gates against the oracle's bit_or
+    // restatement. (The scale use: semi-join pushdown — ship the
+    // bitmap, prune the probe side before the real join.)
+    "b01_bloom_bitmap" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .agg(graft.functions.GraftFunctions
+          .polyBloom(col("o_orderkey"), 4096, 3).as("bm"))
+        .select(posexplode(col("bm")))
+        .select(col("pos").as("word_idx"), col("col").as("bits"))
+        .orderBy("word_idx")
+    }),
+
+    // Bloom probe semantics: no false negatives, bounded false
+    // positives — both visible in the (bloom_hit, actual) pairing.
+    "b02_bloom_probe" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("key"))
+      val bloom = urgent
+        .agg(graft.functions.GraftFunctions
+          .polyBloom(col("key"), 4096, 3).as("bm"))
+      val probes = t(s, dir, "orders")
+        .where(col("o_orderkey") % 51 === 0)
+        .select(col("o_orderkey").as("key"))
+      probes.crossJoin(broadcast(bloom))
+        .withColumn("bloom_hit",
+          graft.functions.PolyBloom
+            .mightContain(col("bm"), col("key"), 4096, 3))
+        .join(urgent.distinct().withColumn("present", lit(1)),
+          Seq("key"), "left")
+        .select(col("key"), col("bloom_hit"),
+          col("present").isNotNull.as("actual"))
+        .orderBy("key")
+    }),
+
     // Join strategy contrast: big-big shuffle join (orders x lineitem)
     // with aggregate pushdown below the join via pre-aggregation.
     "q10_preagg_join" -> ((s, dir) => {
@@ -219,7 +259,44 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }))
 
+  /** Baked affine coefficients for the bloom oracles (must equal
+    * PolyHash.multiplier/offset). */
+  private def bloomCf: String = (0 until 3).map(i =>
+    s"(${graft.functions.PolyHash.multiplier(i)}, " +
+      s"${graft.functions.PolyHash.offset(i)})").mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "b01_bloom_bitmap" ->
+      s"""WITH build AS (SELECT DISTINCT o_orderkey % 1000000007 AS h
+           FROM orders WHERE o_orderpriority = '1-URGENT'),
+         cf(a, b) AS (SELECT * FROM (VALUES $bloomCf)),
+         pos AS (SELECT DISTINCT ((a*h + b) % 1000000007) % 4096 AS p
+           FROM build CROSS JOIN cf),
+         w AS (SELECT (p // 32)::INTEGER AS word_idx,
+             bit_or(1::BIGINT << (p % 32)::INTEGER)::BIGINT AS bits
+           FROM pos GROUP BY 1)
+         SELECT r.word_idx, coalesce(w.bits, 0)::BIGINT AS bits
+         FROM (SELECT unnest(range(128))::INTEGER AS word_idx) r
+         LEFT JOIN w USING (word_idx)
+         ORDER BY word_idx""",
+    "b02_bloom_probe" ->
+      s"""WITH build AS (SELECT DISTINCT o_orderkey AS key
+           FROM orders WHERE o_orderpriority = '1-URGENT'),
+         cf(a, b) AS (SELECT * FROM (VALUES $bloomCf)),
+         pos AS (SELECT DISTINCT
+             ((a*(key % 1000000007) + b) % 1000000007) % 4096 AS p
+           FROM build CROSS JOIN cf),
+         probe AS (SELECT o_orderkey AS key FROM orders
+           WHERE o_orderkey % 51 = 0),
+         pp AS (SELECT key,
+             ((a*(key % 1000000007) + b) % 1000000007) % 4096 AS p
+           FROM probe CROSS JOIN cf),
+         hits AS (SELECT key,
+             bool_and(p IN (SELECT p FROM pos)) AS bloom_hit
+           FROM pp GROUP BY key)
+         SELECT key, bloom_hit,
+           (key IN (SELECT key FROM build)) AS actual
+         FROM hits ORDER BY key""",
     "q01_pushdown_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
          strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_dt

@@ -428,6 +428,35 @@ object CdcQueries {
         .orderBy("event_type")
     }),
 
+    // Ordered-sequence funnel: users progressing signup -> click ->
+    // purchase in event order (conditional min-sequence chaining; each
+    // stage joins the previous stage's anchor and looks strictly
+    // later). One small aggregate per stage — no per-user state.
+    "w06_funnel" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      val s1 = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("event_id").as("s1"))
+      val s2 = ev.join(s1, "user_id")
+        .where(col("event_type") === "click"
+          && col("event_id") > col("s1"))
+        .groupBy("user_id").agg(min("event_id").as("s2"))
+      val s3 = ev.join(s2, "user_id")
+        .where(col("event_type") === "purchase"
+          && col("event_id") > col("s2"))
+        .groupBy("user_id").agg(min("event_id").as("s3"))
+      val n1 = s1.count(); val n2 = s2.count(); val n3 = s3.count()
+      import s.implicits._
+      Seq((n1, n2, n3))
+        .toDF("n_signup", "n_signup_click", "n_full_funnel")
+        .select(col("n_signup"), col("n_signup_click"),
+          col("n_full_funnel"),
+          round(col("n_signup_click") / col("n_signup"), 6)
+            .as("click_rate"),
+          round(col("n_full_funnel") / col("n_signup"), 6)
+            .as("funnel_rate"))
+    }),
+
     // H3: CASE-hierarchy status classification over grouped rows
     // (per-user activity classing, the orchestrator's shape).
     "w02_status_classify" -> ((s, dir) => {
@@ -676,6 +705,26 @@ object CdcQueries {
            count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_buy,
            count(*) AS n_total
            FROM events GROUP BY user_id ORDER BY user_id""",
+      "w06_funnel" ->
+        """WITH ev AS (SELECT user_id, event_id, event_type
+             FROM events),
+           s1 AS (SELECT user_id, min(event_id) AS s1 FROM ev
+             WHERE event_type = 'signup' GROUP BY user_id),
+           s2 AS (SELECT ev.user_id, min(event_id) AS s2 FROM ev
+             JOIN s1 ON ev.user_id = s1.user_id
+             WHERE event_type = 'click' AND event_id > s1
+             GROUP BY ev.user_id),
+           s3 AS (SELECT ev.user_id, min(event_id) AS s3 FROM ev
+             JOIN s2 ON ev.user_id = s2.user_id
+             WHERE event_type = 'purchase' AND event_id > s2
+             GROUP BY ev.user_id)
+           SELECT (SELECT count(*) FROM s1)::BIGINT AS n_signup,
+             (SELECT count(*) FROM s2)::BIGINT AS n_signup_click,
+             (SELECT count(*) FROM s3)::BIGINT AS n_full_funnel,
+             round((SELECT count(*) FROM s2)::DOUBLE
+               / (SELECT count(*) FROM s1), 6) AS click_rate,
+             round((SELECT count(*) FROM s3)::DOUBLE
+               / (SELECT count(*) FROM s1), 6) AS funnel_rate""",
       // Tumbling 1h windows align to the epoch exactly like
       // date_trunc('hour').
       "w05_event_windows" ->

@@ -116,6 +116,10 @@ object GraftFunctions {
         "graft_poly_hash",
         exprs => PolyHashString(exprs.head), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_poly_minhash_longs",
+        exprs => PolyMinHashLongs(exprs(0),
+          exprs(1).eval().asInstanceOf[Int]), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_poly_bloom",
         exprs => PolyBloomAgg(exprs(0),
           exprs(1).eval().asInstanceOf[Int],
@@ -149,6 +153,11 @@ object GraftFunctions {
   /** Column form (requires [[register]] on the session first). */
   def polyHash(s: Column): Column =
     call_function("graft_poly_hash", s)
+
+  /** Column form (requires [[register]] on the session first). */
+  def polyMinhashLongs(hashes: Column, k: Int): Column =
+    call_function("graft_poly_minhash_longs", hashes,
+      org.apache.spark.sql.functions.lit(k))
 
   /** Bloom bitmap aggregate (requires [[register]] first). */
   def polyBloom(key: Column, mBits: Int, k: Int): Column =

@@ -67,6 +67,26 @@ object PolyHash {
     mins
   }
 
+  /** Minhash over PRE-hashed elements (values already in [0, P)). */
+  def minhashLongs(hashes: ArrayData, k: Int): Array[Long] = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      if (!hashes.isNullAt(i)) {
+        val h = hashes.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = (multiplier(j) * h + offset(j)) % P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    mins
+  }
+
   /** 30-bit simhash: per token, mixed = (polyhash * Mix) mod 2^30;
     * each bit casts a +-1 vote; signature sets bits with positive
     * votes. */
@@ -153,6 +173,38 @@ case class PolyMinHashSig(child: Expression, k: Int)
       : PolyMinHashSig = copy(child = newChild)
 
   override def prettyName: String = "poly_minhash_sig"
+}
+
+/** Portable minhash over an already-hashed `array<long>` (values in
+  * [0, P)) — lets callers hash each shingle once, carry 8-byte keys
+  * instead of strings, and reuse the hashes for the exact-intersection
+  * verify. */
+case class PolyMinHashLongs(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<long>, got ${t.simpleString(10)}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, false)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      PolyHash.minhashLongs(input.asInstanceOf[ArrayData], k))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.PolyHash.minhashLongs($c, $k))")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PolyMinHashLongs = copy(child = newChild)
+
+  override def prettyName: String = "poly_minhash_longs"
 }
 
 /** Portable 30-bit simhash (see [[PolyHash]]). */

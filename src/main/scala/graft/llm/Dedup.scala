@@ -63,14 +63,22 @@ object Dedup {
     // Referenced by the band explode and four downstream joins —
     // cache once instead of recomputing shingles+signatures per branch
     // (per-doc signature state is tiny relative to the corpus).
-    val sigExpr =
+    // Portable mode hashes each shingle ONCE to a long in [0, P):
+    // signatures come from affine permutations of those hashes, and
+    // the exact verify intersects the 8-byte hash arrays instead of
+    // strings — half the shuffle width, cheaper comparisons, same
+    // oracle-exact semantics (the oracle hashes identically).
+    val shExpr: org.apache.spark.sql.Column =
       if (portable)
-        graft.functions.GraftFunctions.polyMinhashSig(col("sh"), k)
-      else graft.functions.GraftFunctions.minhashSig(col("sh"), k)
+        transform(shingles(col(textCol), shingleN),
+          g => graft.functions.GraftFunctions.polyHash(g))
+      else shingles(col(textCol), shingleN)
     val sigs = graft.core.Partitioning.ensureWidth(docs).select(
-      col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("mh", sigExpr)
+      col(idCol).as("id"), shExpr.as("sh"))
+      .withColumn("mh",
+        if (portable)
+          graft.functions.GraftFunctions.polyMinhashLongs(col("sh"), k)
+        else graft.functions.GraftFunctions.minhashSig(col("sh"), k))
       .cache()
     val bandExpr =
       if (portable) polyBands(col("mh"), bands, rowsPerBand)
@@ -174,6 +182,10 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleN: Int = 5,
       threshold: Double = 0.5, maxDocFreq: Long = 100L): DataFrame = {
+    // (Measured: hashing grams to longs here was consistently SLOWER
+    // at the 10x fixture — the index is consumed by one shared
+    // gram-keyed exchange, so the hash projection only adds a pass
+    // without shrinking any reused shuffle. String grams stay.)
     val index = graft.core.Partitioning.ensureWidth(docs)
       .select(col(idCol).as("id"),
         explode(shingles(col(textCol), shingleN)).as("gram"))

@@ -445,9 +445,9 @@ object LlmQueries {
                ELSE [substr(t, i, 8)
                  FOR i IN range(1, len(t) - 6)] END) AS grams
              FROM (SELECT doc_id, $norm AS t FROM documents)),
-           hs AS (SELECT id, grams,
+           hs AS (SELECT id,
              ${polyHashListSql("grams")} AS hs FROM g),
-           sig AS (SELECT id, grams,
+           sig AS (SELECT id, hs,
              [list_min([((((i*1103515245 + 12345) % 1000000006) + 1) * h
                 + (i*69069 + 7) % 1000000007) % 1000000007
                FOR h IN hs]) FOR i IN range(0, 64)] AS mh
@@ -465,8 +465,8 @@ object LlmQueries {
              WHERE len([i FOR i IN range(1, 65)
                IF sa.mh[i] = sb.mh[i]])::DOUBLE / 64 >= 0.15),
            ver AS (SELECT id_a, id_b,
-             len(list_intersect(sa.grams, sb.grams))::DOUBLE AS inter,
-             (len(sa.grams) + len(sb.grams))::DOUBLE AS tot
+             len(list_intersect(sa.hs, sb.hs))::DOUBLE AS inter,
+             (len(sa.hs) + len(sb.hs))::DOUBLE AS tot
              FROM est
              JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b)
            SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (

@@ -116,6 +116,10 @@ object GraftFunctions {
         "graft_poly_hash",
         exprs => PolyHashString(exprs.head), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_poly_shingle_hashes",
+        exprs => PolyShingleHashes(exprs(0),
+          exprs(1).eval().asInstanceOf[Int]), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_poly_minhash_longs",
         exprs => PolyMinHashLongs(exprs(0),
           exprs(1).eval().asInstanceOf[Int]), "built-in")
@@ -153,6 +157,11 @@ object GraftFunctions {
   /** Column form (requires [[register]] on the session first). */
   def polyHash(s: Column): Column =
     call_function("graft_poly_hash", s)
+
+  /** Column form (requires [[register]] on the session first). */
+  def polyShingleHashes(text: Column, n: Int): Column =
+    call_function("graft_poly_shingle_hashes", text,
+      org.apache.spark.sql.functions.lit(n))
 
   /** Column form (requires [[register]] on the session first). */
   def polyMinhashLongs(hashes: Column, k: Int): Column =

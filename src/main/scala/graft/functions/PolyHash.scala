@@ -87,6 +87,69 @@ object PolyHash {
     mins
   }
 
+  private val P2: Long = 1000000009L
+
+  /** Normalized code points of `s`: lowercased (same whole-string
+    * lowercase as Spark's `lower`), `\s+` runs (the Java-regex ASCII
+    * set) collapsed to single spaces, leading/trailing space trimmed —
+    * exactly `trim(regexp_replace(lower(s), "\\s+", " "))`. */
+  private def normalizedCodePoints(s: UTF8String): Array[Int] = {
+    val lowered = s.toLowerCase.toString
+    val out = new Array[Int](lowered.length)
+    var n = 0
+    var i = 0
+    var pendingSpace = false
+    while (i < lowered.length) {
+      val cp = lowered.codePointAt(i)
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (isWs) { if (n > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { out(n) = ' '; n += 1; pendingSpace = false }
+        out(n) = cp; n += 1
+      }
+      i += Character.charCount(cp)
+    }
+    java.util.Arrays.copyOf(out, n)
+  }
+
+  /** Distinct n-gram hashes of the normalized text (see
+    * [[PolyShingleHashes]]); short texts yield the whole-text hash. */
+  def shingleHashes(s: UTF8String, n: Int): Array[Long] = {
+    val cps = normalizedCodePoints(s)
+    val len = cps.length
+    def fullHash(base: Long, mod: Long): Long = {
+      var acc = 0L; var i = 0
+      while (i < len) { acc = (acc * base + cps(i)) % mod; i += 1 }
+      acc
+    }
+    if (len < n) return Array(fullHash(31L, P))
+    // pow31 = 31^(n-1) mod P; pow131 likewise for the shadow hash
+    var pow1 = 1L; var pow2 = 1L
+    var j = 1
+    while (j < n) { pow1 = pow1 * 31L % P; pow2 = pow2 * 131L % P2; j += 1 }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](len - n + 1)
+    var count = 0
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < len) {
+      if (i >= n) {
+        // evict cps(i - n) from both rolling hashes
+        h1 = (h1 - cps(i - n) * pow1 % P + P) % P
+        h2 = (h2 - cps(i - n) * pow2 % P2 + P2) % P2
+      }
+      h1 = (h1 * 31L + cps(i)) % P
+      h2 = (h2 * 131L + cps(i)) % P2
+      if (i >= n - 1) {
+        val key: java.lang.Long = h1 * P2 + h2
+        if (seen.add(key)) { out(count) = h1; count += 1 }
+      }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, count)
+  }
+
   /** 30-bit simhash: per token, mixed = (polyhash * Mix) mod 2^30;
     * each bit casts a +-1 vote; signature sets bits with positive
     * votes. */
@@ -113,6 +176,53 @@ object PolyHash {
     }
     sig
   }
+}
+
+/** Fused normalize -> shingle -> hash: emits the distinct character
+  * n-gram hashes of the normalized text in one pass.
+  *
+  * Semantically identical to
+  * `transform(shingles(text, n), g => poly_hash(g))` — same
+  * normalization (lowercase, `\s+` collapse, trim), same short-text
+  * rule (one whole-text shingle), same first-occurrence order — but
+  * computed with a ROLLING update of the base-31 mod-P polynomial
+  * (subtract the outgoing codepoint times 31^(n-1), shift, add the
+  * incoming one) instead of materializing every substring: O(len)
+  * work and zero intermediate arrays per document.
+  *
+  * Distinctness is by gram CONTENT, tracked via a composite of two
+  * independent rolling hashes (base 31 mod 1e9+7 — the emitted value
+  * — and base 131 mod 1e9+9): two distinct grams colliding on both
+  * (~1e-18) is the only divergence from string-distinct semantics, so
+  * the emitted multiset matches `list_distinct` + per-gram hashing in
+  * an external oracle exactly.
+  */
+case class PolyShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${t.simpleString(10)}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, false)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(PolyHash.shingleHashes(
+      input.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.PolyHash.shingleHashes($c, $n))")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PolyShingleHashes = copy(child = newChild)
+
+  override def prettyName: String = "poly_shingle_hashes"
 }
 
 /** Native scalar form of the base-31 polynomial hash — semantically

@@ -63,15 +63,17 @@ object Dedup {
     // Referenced by the band explode and four downstream joins —
     // cache once instead of recomputing shingles+signatures per branch
     // (per-doc signature state is tiny relative to the corpus).
-    // Portable mode hashes each shingle ONCE to a long in [0, P):
-    // signatures come from affine permutations of those hashes, and
-    // the exact verify intersects the 8-byte hash arrays instead of
-    // strings — half the shuffle width, cheaper comparisons, same
-    // oracle-exact semantics (the oracle hashes identically).
+    // Portable mode hashes each shingle ONCE to a long in [0, P) via
+    // the fused rolling-hash expression (normalize+shingle+hash in one
+    // pass, no intermediate arrays): signatures come from affine
+    // permutations of those hashes, and the exact verify intersects
+    // the 8-byte hash arrays instead of strings — half the shuffle
+    // width, cheaper comparisons, same oracle-exact semantics (the
+    // oracle hashes its distinct gram strings identically).
     val shExpr: org.apache.spark.sql.Column =
       if (portable)
-        transform(shingles(col(textCol), shingleN),
-          g => graft.functions.GraftFunctions.polyHash(g))
+        graft.functions.GraftFunctions
+          .polyShingleHashes(col(textCol), shingleN)
       else shingles(col(textCol), shingleN)
     val sigs = graft.core.Partitioning.ensureWidth(docs).select(
       col(idCol).as("id"), shExpr.as("sh"))

@@ -43,6 +43,28 @@ class PolyHashSpec extends SparkSpec {
     }
   }
 
+  test("fused shingle hashes equal the HOF compose on varied text") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(23)
+    val rows = (Seq("", "ab", "abcdefgh", "  spaced\t out \n text  ",
+      "UPPER and lower Mixed", "aaaaaaaaaaaaaaaa",
+      "répétition répétition") ++
+      (0 until 40).map(_ => (0 until rnd.nextInt(120))
+        .map(_ => "abcde tx ".charAt(rnd.nextInt(9))).mkString))
+      .toDF("text")
+    for (n <- Seq(3, 5, 8)) {
+      val out = rows.select(
+        GraftFunctions.polyShingleHashes(col("text"), n).as("native"),
+        transform(
+          graft.llm.TextFunctions.shingles(col("text"), n),
+          g => GraftFunctions.polyHash(g)).as("hof"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      out.foreach { case (nat, hof) =>
+        assert(nat == hof, s"n=$n native=$nat hof=$hof")
+      }
+    }
+  }
+
   test("poly minhash equals per-seed model; values stay below P") {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(11)

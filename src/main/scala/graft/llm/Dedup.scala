@@ -184,13 +184,15 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleN: Int = 5,
       threshold: Double = 0.5, maxDocFreq: Long = 100L): DataFrame = {
-    // (Measured: hashing grams to longs here was consistently SLOWER
-    // at the 10x fixture — the index is consumed by one shared
-    // gram-keyed exchange, so the hash projection only adds a pass
-    // without shrinking any reused shuffle. String grams stay.)
+    // Index keys are the fused rolling-hash gram longs (one pass:
+    // normalize+shingle+hash, no substring arrays) — narrower
+    // exchanges and long-keyed window/join. (A scalar hash projection
+    // AFTER the string-shingle HOF measured slower; replacing the HOF
+    // itself is what pays.)
     val index = graft.core.Partitioning.ensureWidth(docs)
       .select(col(idCol).as("id"),
-        explode(shingles(col(textCol), shingleN)).as("gram"))
+        explode(graft.functions.GraftFunctions
+          .polyShingleHashes(col(textCol), shingleN)).as("gram"))
     // Document frequency via a count window over gram: ONE exchange of
     // the index that every downstream consumer (pair join included)
     // reuses. Measured faster than the agg+join alternative, which

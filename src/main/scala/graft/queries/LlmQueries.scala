@@ -504,7 +504,8 @@ object LlmQueries {
            ORDER BY id_a, id_b""",
       "d04_ngram_jaccard" ->
         s"""WITH idx AS (
-             SELECT id, unnest(grams) AS gram FROM (
+             SELECT id, unnest(${polyHashListSql("grams")}) AS gram
+             FROM (
                SELECT doc_id AS id,
                  list_distinct(CASE WHEN len(t) < 8 THEN [t]
                    ELSE [substr(t, i, 8)
@@ -529,7 +530,8 @@ object LlmQueries {
            ORDER BY id_a, id_b""",
       "d06_dedup_survivors" ->
         s"""WITH idx AS (
-             SELECT id, unnest(grams) AS gram FROM (
+             SELECT id, unnest(${polyHashListSql("grams")}) AS gram
+             FROM (
                SELECT doc_id AS id,
                  list_distinct(CASE WHEN len(t) < 8 THEN [t]
                    ELSE [substr(t, i, 8)
@@ -557,7 +559,8 @@ object LlmQueries {
       // smallest reachable id; non-minimal members are dropped.
       "d07_survivors_cc" ->
         s"""WITH RECURSIVE idx AS (
-             SELECT id, unnest(grams) AS gram FROM (
+             SELECT id, unnest(${polyHashListSql("grams")}) AS gram
+             FROM (
                SELECT doc_id AS id,
                  list_distinct(CASE WHEN len(t) < 8 THEN [t]
                    ELSE [substr(t, i, 8)

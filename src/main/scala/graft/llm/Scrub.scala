@@ -43,13 +43,15 @@ object Contamination {
   def overlapRatios(docs: DataFrame, bench: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       shingleN: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // Fused rolling-hash grams (8-byte keys through the semi join).
     val grams = graft.core.Partitioning.ensureWidth(docs)
       .select(col(idCol).as("id"),
-        explode(TextFunctions.shingles(col(textCol), shingleN))
-          .as("gram"))
+        explode(graft.functions.GraftFunctions
+          .polyShingleHashes(col(textCol), shingleN)).as("gram"))
     val benchGrams = bench
-      .select(explode(TextFunctions.shingles(col(textCol), shingleN))
-        .as("gram"))
+      .select(explode(graft.functions.GraftFunctions
+        .polyShingleHashes(col(textCol), shingleN)).as("gram"))
       .distinct()
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
     val hits = grams.join(benchGrams, Seq("gram"), "left_semi")

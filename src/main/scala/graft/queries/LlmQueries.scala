@@ -837,7 +837,8 @@ object LlmQueries {
            FROM dirty ORDER BY doc_id"""
       },
       "t12_contamination" ->
-        s"""WITH g AS (SELECT doc_id AS id, unnest(grams) AS gram FROM (
+        s"""WITH g AS (SELECT doc_id AS id,
+             unnest(${polyHashListSql("grams")}) AS gram FROM (
              SELECT doc_id,
                list_distinct(CASE WHEN len(t) < 8 THEN [t]
                  ELSE [substr(t, i, 8)

@@ -16,9 +16,9 @@ import graft.jobs.Jobs.SourceTable
   * pushdown, now expressed as predicates). MAX/COUNT go through
   * Catalyst's JDBC aggregate pushdown.
   *
-  * Untested in this environment (no MySQL) — covered structurally by
-  * the [[graft.jobs.Jobs.FrameSource]] fixture path, which exercises
-  * the same [[SourceTable]] contract.
+  * Exercised for real against embedded Derby in `JdbcSourceSpec`
+  * (same JDBC code path; MySQL differs only in the URL/driver), plus
+  * structurally by the [[graft.jobs.Jobs.FrameSource]] fixture path.
   */
 final class JdbcSource(spark: SparkSession, url: String, table: String,
     dtCol: String = "date_time",
@@ -26,19 +26,31 @@ final class JdbcSource(spark: SparkSession, url: String, table: String,
   extends SourceTable {
 
   override def readWindow(from: String, to: String): DataFrame = {
-    val days = {
-      val f = java.time.LocalDate.parse(from.substring(0, 10))
-      val t = java.time.LocalDate.parse(to.substring(0, 10))
-      Iterator.iterate(f)(_.plusDays(1)).takeWhile(!_.isAfter(t))
-        .map(_.toString).toArray
-    }
-    // One partition per day: `dtCol >= day AND dtCol < day+1`, clipped
-    // to the window bounds — MySQL evaluates each range on its index.
-    val predicates = days.map { d =>
-      s"$dtCol >= GREATEST('$d 00:00:00', '$from') AND " +
-        s"$dtCol < LEAST('${java.time.LocalDate.parse(d).plusDays(1)}" +
-        s" 00:00:00', '$to')"
-    }
+    val f = java.time.LocalDate.parse(from.substring(0, 10))
+    val t = java.time.LocalDate.parse(to.substring(0, 10))
+    val nDays = math.max(1L,
+      java.time.temporal.ChronoUnit.DAYS.between(f, t) + 1)
+    // One partition per day — but never more than maxParts predicates:
+    // a historical-backfill window can span decades (the cold-start
+    // read is `dt < MIN_DATE` from year 1), and a predicate per day
+    // there would mean hundreds of thousands of empty JDBC partitions
+    // and a task binary carrying them all. Wide windows coarsen to
+    // day-aligned chunks instead.
+    val maxParts = 128L
+    val daysPerPart = (nDays + maxParts - 1) / maxParts
+    val predicates = Iterator
+      .iterate(f)(_.plusDays(daysPerPart))
+      .takeWhile(!_.isAfter(t))
+      .map { start =>
+        val dayLo = s"$start 00:00:00"
+        val dayHi = s"${start.plusDays(daysPerPart)} 00:00:00"
+        // Clipping happens HERE (19-char strings compare
+        // chronologically), so the predicates are plain range
+        // comparisons any JDBC backend accepts.
+        val lo = if (from > dayLo) from else dayLo
+        val hi = if (to < dayHi) to else dayHi
+        s"$dtCol >= '$lo' AND $dtCol < '$hi'"
+      }.toArray
     spark.read.jdbc(url, table, predicates, props)
       .select(col("id"), col(dtCol).as("date_time"), col("value"),
         col("ts"))

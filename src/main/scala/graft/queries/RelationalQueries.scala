@@ -244,6 +244,21 @@ object RelationalQueries {
         .orderBy("key")
     }),
 
+    // Correlated SCALAR subquery (TPC-H Q2 shape): each customer's
+    // cheapest orders. Catalyst decorrelates the per-row subquery into
+    // an aggregate + join — the second decorrelation path next to
+    // q11's correlated EXISTS.
+    "q14_correlated_scalar" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v14")
+      s.sql(
+        """SELECT o_custkey, o_orderkey, o_totalprice
+           FROM orders_v14 o
+           WHERE o_totalprice = (
+             SELECT min(o2.o_totalprice) FROM orders_v14 o2
+             WHERE o2.o_custkey = o.o_custkey)
+           ORDER BY o_custkey, o_orderkey""")
+    }),
+
     // Join strategy contrast: big-big shuffle join (orders x lineitem)
     // with aggregate pushdown below the join via pre-aggregation.
     "q10_preagg_join" -> ((s, dir) => {
@@ -344,6 +359,13 @@ object RelationalQueries {
          FROM li JOIN win
          ON ship_day >= lo AND ship_day < lo + 14
          GROUP BY window_id ORDER BY window_id""",
+    "q14_correlated_scalar" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+         FROM orders o
+         WHERE o_totalprice = (
+           SELECT min(o2.o_totalprice) FROM orders o2
+           WHERE o2.o_custkey = o.o_custkey)
+         ORDER BY o_custkey, o_orderkey""",
     // quantile_cont computes the same p*(n-1) linear interpolation as
     // Spark's exact percentile; 4dp rounding absorbs ulp differences.
     "q12_quantiles" ->

@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the run's FINAL stdout line as JSON. By
+// default sbt pipes a forked process through its logger ([info]
+// prefixes on stdout, [error] on stderr) and appends a [success]
+// trailer — both break the parse. StdoutOutput passes the forked
+// JVM's streams through untouched; showSuccess drops the trailer.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by the command loop, not another setting —
+// lintUnused false-positives on it.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

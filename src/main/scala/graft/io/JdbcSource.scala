@@ -13,8 +13,15 @@ import graft.jobs.Jobs.SourceTable
   * shape is a partitioned JDBC scan — one predicate per day inside the
   * requested window, so each executor reads its own day slice and the
   * day-range WHERE is evaluated by MySQL (the reference's hand-written
-  * pushdown, now expressed as predicates). MAX/COUNT go through
-  * Catalyst's JDBC aggregate pushdown.
+  * pushdown, now expressed as predicates). MAX/COUNT are shipped as
+  * one-row SQL aggregates through the `query` option — DSv1
+  * `spark.read.jdbc` does NOT push aggregates (that exists only on the
+  * DSv2 `JDBCTableCatalog` path), so an `.agg(max(...))` over a plain
+  * table read would stream the whole table through one connection to
+  * compute a scalar. Shipping the text mirrors the reference exactly:
+  * `SELECT MAX(date_time)` (`db_extractor.py:29-49`) and
+  * `SELECT COUNT(*)` (`row_integrity.py:48`), answered from the
+  * source's index.
   *
   * Exercised for real against embedded Derby in `JdbcSourceSpec`
   * (same JDBC code path; MySQL differs only in the URL/driver), plus
@@ -56,10 +63,33 @@ final class JdbcSource(spark: SparkSession, url: String, table: String,
         col("ts"))
   }
 
+  /** One-row aggregate pushed to the source as SQL text. The loaded
+    * relation IS the aggregate (Spark wraps it as a subquery scan), so
+    * exactly one row crosses JDBC. */
+  private def aggFrame(sql: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("query", sql)
+    props.stringPropertyNames().asScala.toSeq.sorted
+      .foldLeft(base)((r, k) => r.option(k, props.getProperty(k)))
+      .load()
+  }
+
+  /** Exposed for plan-shape assertions in `JdbcSourceSpec`. */
+  private[io] def maxDateFrame: DataFrame =
+    aggFrame(s"SELECT MAX($dtCol) AS m FROM $table")
+      // Cast Spark-side: one row, and MySQL DATETIME arrives as a
+      // timestamp while the Derby fixture stores VARCHAR.
+      .select(col("m").cast("string").as("m"))
+
   override def maxDate: Option[String] =
-    Option(spark.read.jdbc(url, table, props)
-      .agg(max(col(dtCol)).cast("string")).head().getString(0))
+    Option(maxDateFrame.head().getString(0))
+
+  private[io] def countFrame: DataFrame =
+    aggFrame(s"SELECT COUNT(*) AS c FROM $table")
 
   override def count: Long =
-    spark.read.jdbc(url, table, props).count()
+    // Engines disagree on COUNT's return type (Derby INT, MySQL
+    // BIGINT) — widen whatever arrives.
+    countFrame.head().get(0).asInstanceOf[Number].longValue()
 }

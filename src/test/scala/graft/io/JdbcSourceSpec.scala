@@ -63,6 +63,58 @@ class JdbcSourceSpec extends SparkSpec {
     assert(source.count == 200)
   }
 
+  test("maxDate/count plans carry the aggregate to the source") {
+    seeded
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    for ((df, sqlFragment) <- Seq(
+        source.maxDateFrame -> "SELECT MAX(date_time)",
+        source.countFrame -> "SELECT COUNT(*)")) {
+      val plan = df.queryExecution.optimizedPlan
+      // No Spark-side Aggregate: the scan relation IS the one-row
+      // aggregate query, so only a scalar crosses JDBC.
+      assert(plan.collect { case a: Aggregate => a }.isEmpty,
+        s"Spark-side aggregate found — not pushed:\n$plan")
+      assert(plan.toString.contains(sqlFragment),
+        s"relation does not embed `$sqlFragment`:\n$plan")
+      assert(df.count() == 1)
+    }
+  }
+
+  test("schema-qualified quoted identifiers survive the same paths") {
+    seeded
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE SCHEMA GRAFTX")
+      st.execute(
+        """CREATE TABLE GRAFTX."tsQ" (id BIGINT NOT NULL,
+           date_time VARCHAR(19) NOT NULL, value DOUBLE,
+           ts VARCHAR(19) NOT NULL)""")
+      st.execute("""INSERT INTO GRAFTX."tsQ" VALUES
+        (1, '2024-04-01 08:00:00', 0.5, '2024-04-01 08:00:00'),
+        (2, '2024-04-02 09:00:00', 1.0, '2024-04-02 09:00:00')""")
+    } finally conn.close()
+    // The reference reads `enexory`.`api_data_timeseries` — a
+    // schema-qualified, quoted identifier. Same shape here in Derby's
+    // (ANSI double-quote) dialect; MySQL differs only in quote char.
+    val qualified = new JdbcSource(spark, url, """GRAFTX."tsQ"""")
+    assert(qualified.count == 2)
+    assert(qualified.maxDate.contains("2024-04-02 09:00:00"))
+    val win = qualified.readWindow("2024-04-01 00:00:00",
+      "2024-04-03 00:00:00")
+    assert(win.count() == 2)
+  }
+
+  test("MySQL URLs resolve the backtick-quoting dialect") {
+    // No MySQL server in the sandbox; assert the dialect Spark would
+    // apply to the reference's URL quotes identifiers with backticks,
+    // so `enexory`.`api_data_timeseries` round-trips unharmed.
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    val d = JdbcDialects.get("jdbc:mysql://db:3306/enexory")
+    assert(d.quoteIdentifier("api_data_timeseries")
+      == "`api_data_timeseries`")
+  }
+
   test("extract lifecycle runs end-to-end over real JDBC") {
     seeded
     val lake = java.nio.file.Files

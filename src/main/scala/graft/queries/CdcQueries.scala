@@ -472,6 +472,65 @@ object CdcQueries {
             .otherwise("idle"))
         .select("user_id", "status", "n_err", "n_buy", "n_total")
         .orderBy("user_id")
+    }),
+
+    // H2 split-brain guard, gated: a healthy snapshot set (a single
+    // master node — user_id % 20 == 0 is one ip) and one with an
+    // injected second master (user_id % 10 == 0 -> nodes 0 and 10).
+    // The guard's contract — throw iff more than one distinct master
+    // ip is visible — is gated by reporting whether it threw next to
+    // the distributed master count it saw.
+    "h02_split_brain" -> ((s, dir) => {
+      import s.implicits._
+      def snaps(masterMod: Int) = events(s, dir).select(
+        concat(lit("10.0.0."), col("user_id") % 20).as("ip"),
+        (col("user_id") % masterMod === 0).as("isMaster"))
+      val rows = Seq(("healthy", 20), ("injected", 10)).map {
+        case (scenario, mod) =>
+          val df = snaps(mod)
+          val masters = df.where(col("isMaster"))
+            .select("ip").distinct().count()
+          val threw =
+            try { graft.monitor.Monitor.assertSingleMaster(df); false }
+            catch { case _: IllegalStateException => true }
+          (scenario, masters, masters > 1, threw)
+      }
+      rows.toDF("scenario", "masters", "is_split_brain", "guard_threw")
+        .orderBy("scenario")
+    }),
+
+    // W1: the typed snapshot model — snapshot rows round-trip through
+    // the Dataset[NodeStatus] encoder (nullable nested replication
+    // struct included) and project back out as portable columns. The
+    // typed map is deliberate here: this query gates the case-class
+    // model itself, not an expression pipeline.
+    "w07_node_snapshot" -> ((s, dir) => {
+      import s.implicits._
+      import graft.core.Schemas
+      val typed = events(s, dir).select(
+        concat(lit("10.0.0."), col("user_id") % 20).as("ip"),
+        (col("event_type") =!= "error").as("isOnline"),
+        (col("user_id") % 20 === 0).as("isMaster"),
+        when(col("event_type") =!= "view", struct(
+          floor(col("value") * 1000).cast("long")
+            .as("secondsBehindMaster"),
+          lit("Yes").as("slaveIoRunning"),
+          when(col("event_type") === "click", "No").otherwise("Yes")
+            .as("slaveSqlRunning"),
+          lit("10.0.0.0").as("masterHost"),
+          when(col("event_type") === "error", "io error")
+            .otherwise("").as("lastError"))).as("replication"),
+        col("event_id").cast("long").as("pollTs"))
+        .as[Schemas.NodeStatus]
+      typed.map { n =>
+        (n.ip, n.pollTs, n.isOnline, n.isMaster,
+          n.replication.flatMap(_.secondsBehindMaster).getOrElse(-1L),
+          n.replication.map(_.slaveSqlRunning).getOrElse("NULL"),
+          n.replication.exists(_.secondsBehindMaster
+            .exists(_ > Schemas.LagThresholdSeconds)))
+      }.toDF("ip", "poll_ts", "is_online", "is_master", "lag_s",
+          "sql_running", "is_lagging")
+        .orderBy("poll_ts")
     }))
 
   val oracles: Map[String, String] = {
@@ -768,6 +827,39 @@ object CdcQueries {
              ORDER BY node LIMIT 1)
            SELECT coalesce((SELECT 'node' || node FROM dom), 'none')
              AS winner,
-           (SELECT count(*) FROM stats)::BIGINT AS n_contenders""")
+           (SELECT count(*) FROM stats)::BIGINT AS n_contenders""",
+      // H2: the guard throws exactly when more than one master ip is
+      // visible — so guard_threw is definitionally masters > 1.
+      "h02_split_brain" ->
+        """SELECT scenario, masters, masters > 1 AS is_split_brain,
+             masters > 1 AS guard_threw
+           FROM (
+             SELECT 'healthy' AS scenario,
+               count(DISTINCT CASE WHEN user_id % 20 = 0
+                 THEN user_id % 20 END)::BIGINT AS masters
+             FROM events
+             UNION ALL
+             SELECT 'injected',
+               count(DISTINCT CASE WHEN user_id % 10 = 0
+                 THEN user_id % 20 END)::BIGINT
+             FROM events)
+           ORDER BY scenario""",
+      // W1: NULL-replication ('view') rows surface as lag -1 /
+      // 'NULL'; a NULL lag inside a present struct must not count as
+      // lagging (FALSE AND NULL = FALSE, NULL-guarded by coalesce).
+      "w07_node_snapshot" ->
+        """SELECT '10.0.0.' || (user_id % 20) AS ip,
+             event_id AS poll_ts,
+             event_type <> 'error' AS is_online,
+             user_id % 20 = 0 AS is_master,
+             coalesce(CASE WHEN event_type <> 'view'
+               THEN floor(value * 1000)::BIGINT END, -1) AS lag_s,
+             CASE WHEN event_type = 'view' THEN 'NULL'
+                  WHEN event_type = 'click' THEN 'No'
+                  ELSE 'Yes' END AS sql_running,
+             coalesce(event_type <> 'view'
+               AND floor(value * 1000)::BIGINT > 600, FALSE)
+               AS is_lagging
+           FROM events ORDER BY poll_ts""")
   }
 }

@@ -321,29 +321,31 @@ object LlmQueries {
         .orderBy("media_id")
     }),
 
-    // Multimodal batched decode (stubbed codec, real mapPartitions
-    // batch plumbing). The FakeCodec byte histogram is restated in the
-    // DuckDB oracle (the corpus is ASCII, so codepoint == byte), which
-    // gates the batch contract end-to-end. Buckets 1..3 (space/digits,
-    // uppercase, lowercase) are the informative ones for text bytes.
+    // Multimodal batched decode — REAL codec. Each doc becomes a real
+    // 8-bit grayscale PNG (dims and pixels derived from media_id, so
+    // the oracle knows the source raster without decoding anything),
+    // encoded AND decoded by javax.imageio inside mapPartitions tasks.
+    // PNG is lossless, so the decoded pixel stats gate the whole
+    // encode→binary-column→decode round trip exactly.
     "mm02_media_features" -> ((s, dir) => {
       import s.implicits._
-      val media = docs(s, dir)
-        .withColumn("payload", encode(col("text"), "UTF-8"))
-      val withMeta = Multimodal.withMediaColumns(media, "payload",
-        "image")
-      val rows = withMeta.select(
-        col("doc_id").as("media_id"), col("payload"),
-        col("meta").as("meta"))
-        .as[Multimodal.MediaRow]
-      Multimodal.decodeFeatures(rows)
-        .select(col("media_id"),
-          round(element_at(col("features"), 2).cast("double"), 6)
-            .as("f1"),
-          round(element_at(col("features"), 3).cast("double"), 6)
-            .as("f2"),
-          round(element_at(col("features"), 4).cast("double"), 6)
-            .as("f3"))
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + (id / 9) % 9).toInt
+          val px = Array.tabulate(w * h)(i =>
+            ((id * 31 + i * 7) % 256).toByte)
+          val payload = Multimodal.ImageCodec.encodePng(w, h, px)
+          Multimodal.MediaRow(id, payload, Multimodal.MediaMeta(
+            "image", payload.length.toLong, "", w, h))
+        }
+      }
+      Multimodal.decodeImageFeatures(media)
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("px_sum").cast("double")
+            / (col("width") * col("height")), 6).as("mean_px"),
+          col("px_min"), col("px_max"), col("px_hash"))
         .orderBy("media_id")
     }),
 
@@ -866,22 +868,27 @@ object LlmQueries {
            octet_length(encode(text)) AS n_bytes,
            sha256(text) AS sha
            FROM documents ORDER BY media_id""",
-      // FakeCodec's 8-bucket byte histogram, restated per-codepoint
-      // (the corpus is ASCII, so codepoint == UTF-8 byte). Counts
-      // divide in FLOAT exactly like the codec, then widen to DOUBLE
-      // for the rounded output.
+      // The oracle restates the SOURCE raster formula (dims and
+      // pixels are functions of media_id); the Spark side must
+      // recover exactly these stats from the decoded PNG. list_sum
+      // returns HUGEINT — cast to DOUBLE before dividing; seed the
+      // rolling hash with a BIGINT so the fold stays in int64.
       "mm02_media_features" ->
-        """WITH f AS (SELECT doc_id AS media_id,
-             string_split(text, '') AS cs,
-             greatest(length(text), 1) AS n FROM documents)
-           SELECT media_id,
-             round((len([c FOR c IN cs IF ascii(c) // 32 = 1])::FLOAT
-               / n::FLOAT)::DOUBLE, 6) AS f1,
-             round((len([c FOR c IN cs IF ascii(c) // 32 = 2])::FLOAT
-               / n::FLOAT)::DOUBLE, 6) AS f2,
-             round((len([c FOR c IN cs IF ascii(c) // 32 = 3])::FLOAT
-               / n::FLOAT)::DOUBLE, 6) AS f3
-           FROM f ORDER BY media_id""",
+        """WITH im AS (SELECT doc_id AS media_id,
+             (8 + (doc_id % 9))::BIGINT AS w,
+             (8 + ((doc_id // 9) % 9))::BIGINT AS h
+           FROM documents),
+           px AS (SELECT media_id, w, h,
+             [(media_id*31 + i*7) % 256
+              FOR i IN range(0, w*h)] AS ps
+           FROM im)
+           SELECT media_id, w::INTEGER AS width, h::INTEGER AS height,
+             round(list_sum(ps)::DOUBLE / (w*h), 6) AS mean_px,
+             list_min(ps)::INTEGER AS px_min,
+             list_max(ps)::INTEGER AS px_max,
+             list_reduce(list_prepend(0::BIGINT, ps),
+               (a, c) -> (a*31 + c) % 1000000007)::BIGINT AS px_hash
+           FROM px ORDER BY media_id""",
       // Frame sampling: frame i covers bytes [i*1024, i*1024+1024) of
       // the payload, i stepping by the stride over max(1, len//1024)
       // frames.

@@ -41,6 +41,36 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).sum > 0.99f)
   }
 
+  test("real PNG codec round-trips every pixel exactly") {
+    val w = 13
+    val h = 7
+    val px = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val payload = Multimodal.ImageCodec.encodePng(w, h, px)
+    // a real PNG container, not a fake: magic bytes \x89PNG
+    assert((payload(0) & 0xFF) == 0x89)
+    assert(payload(1) == 'P'.toByte && payload(2) == 'N'.toByte)
+    val (dw, dh, samples) = Multimodal.ImageCodec.decode(payload)
+    assert(dw == w && dh == h)
+    assert(samples.toSeq == px.toSeq.map(_ & 0xFF))
+  }
+
+  test("distributed image decode recovers source raster stats") {
+    val media = spark.createDataset(Seq(1L, 2L)).mapPartitions { it =>
+      it.map { id =>
+        val px = Array.tabulate(16)(i => (id * 10 + i).toByte)
+        Multimodal.MediaRow(id,
+          Multimodal.ImageCodec.encodePng(4, 4, px),
+          Multimodal.MediaMeta("image", 0L, "", 4, 4))
+      }
+    }
+    val feats = Multimodal.decodeImageFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).width == 4 && feats(1L).height == 4)
+    assert(feats(1L).px_min == 10 && feats(1L).px_max == 25)
+    assert(feats(1L).px_sum == (10 to 25).sum.toLong)
+    assert(feats(2L).px_min == 20 && feats(2L).px_max == 35)
+  }
+
   test("frame sampling emits stride-spaced frames") {
     val rows = media.select(col("media_id"), col("bytes").as("payload"),
       col("meta")).as[Multimodal.MediaRow]

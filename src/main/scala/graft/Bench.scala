@@ -12,6 +12,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Optional subset (comma-separated names) for targeted A/B runs;
+    // default is the full headline suite.
+    val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(SparkEntry.benchQueries)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,7 +46,7 @@ object Bench {
       "/root/testdata/sf0.001")
     val warm =
       if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
-    SparkEntry.benchQueries.foreach { n =>
+    names.foreach { n =>
       try SparkEntry.queries(n)(spark, warm)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -49,7 +54,7 @@ object Bench {
       }
     }
 
-    val results = SparkEntry.benchQueries.map(n => n -> run(n))
+    val results = names.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

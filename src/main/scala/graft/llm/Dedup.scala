@@ -60,9 +60,13 @@ object Dedup {
       portable: Boolean = false): DataFrame = {
     val k = bands * rowsPerBand
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    // Referenced by the band explode and four downstream joins —
-    // cache once instead of recomputing shingles+signatures per branch
-    // (per-doc signature state is tiny relative to the corpus).
+    // The signature subtree feeds the band explode and two pair-side
+    // lookups. NOT cached: with the fused rolling-hash shingling the
+    // recompute is cheaper than the memory pin — measured at 10x
+    // (/tmp/graft_sf1, local[32]): no-cache min 12.3 s / median
+    // 13.3 s vs cached min 19.5 s / median 21.9 s; at sf0.1 2.2 s vs
+    // 2.8 s. ReuseExchange still dedupes the exchange where consumers
+    // share partitioning (same conclusion as the d04 index, below).
     // Portable mode hashes each shingle ONCE to a long in [0, P) via
     // the fused rolling-hash expression (normalize+shingle+hash in one
     // pass, no intermediate arrays): signatures come from affine
@@ -81,7 +85,6 @@ object Dedup {
         if (portable)
           graft.functions.GraftFunctions.polyMinhashLongs(col("sh"), k)
         else graft.functions.GraftFunctions.minhashSig(col("sh"), k))
-      .cache()
     val bandExpr =
       if (portable) polyBands(col("mh"), bands, rowsPerBand)
       else lshBands(col("mh"), bands, rowsPerBand)

@@ -36,6 +36,36 @@ class PlanShapeSpec extends SparkSpec {
       "dimension join does not broadcast")
   }
 
+  test("date_time-only filter prunes the lake to the implied days") {
+    import org.apache.spark.sql.functions.col
+    import graft.io.Lake
+    GraftExtensions.install(spark)
+    val lakeDir = java.nio.file.Files
+      .createTempDirectory("graft_prune_lake").toString + "/lake"
+    import spark.implicits._
+    val rows = for (d <- 1 to 10; i <- 1 to 5) yield {
+      val day = f"2024-05-$d%02d"
+      (d * 100L + i, f"$day 01:00:$i%02d", i.toDouble,
+        s"$day 02:00:00", day)
+    }
+    Lake.write(rows.toDF("id", "date_time", "value", "ts", "day"),
+      lakeDir)
+    val df = Lake.read(spark, lakeDir)
+      .where(col("date_time") >= "2024-05-08 00:00:00")
+    assert(df.count() == 15)
+    val scan = df.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec leaf in the plan"))
+    // The rule must derive a `day` partition filter from the pure
+    // date_time predicate, and the scan must actually list only the
+    // implied 3 of 10 day directories.
+    assert(scan.partitionFilters.exists(_.toString.contains("day")),
+      s"DayPruning derived no partition filter: ${scan.partitionFilters}")
+    assert(scan.selectedPartitions.partitionCount == 3,
+      s"expected 3 of 10 day partitions scanned, got " +
+        s"${scan.selectedPartitions.partitionCount}")
+  }
+
   test("no query materializes the plan to an RDD (ScanRDD leaf)") {
     // ExistingRDD / Scan ExistingRDD leaves mean someone called df.rdd
     // mid-plan — the ensureWidth anti-pattern round 1 flagged.

@@ -124,6 +124,10 @@ object GraftFunctions {
         exprs => PolyMinHashLongs(exprs(0),
           exprs(1).eval().asInstanceOf[Int]), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_text_quality_stats",
+        exprs => TextQualityStats(exprs(0),
+          exprs(1).eval().toString), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_poly_bloom",
         exprs => PolyBloomAgg(exprs(0),
           exprs(1).eval().asInstanceOf[Int],
@@ -167,6 +171,11 @@ object GraftFunctions {
   def polyMinhashLongs(hashes: Column, k: Int): Column =
     call_function("graft_poly_minhash_longs", hashes,
       org.apache.spark.sql.functions.lit(k))
+
+  /** Column form (requires [[register]] on the session first). */
+  def textQualityStats(text: Column, stopCsv: String): Column =
+    call_function("graft_text_quality_stats", text,
+      org.apache.spark.sql.functions.lit(stopCsv))
 
   /** Bloom bitmap aggregate (requires [[register]] first). */
   def polyBloom(key: Column, mBits: Int, k: Int): Column =

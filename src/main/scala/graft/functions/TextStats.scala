@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass text-quality statistics kernel.
+  *
+  * Computes, in a single scan of the string, exactly what the HOF
+  * composition in [[graft.llm.TextAnalysis]] computes in four passes
+  * (lower+regexp_replace+trim+split, size, filter-with-In, and
+  * regexp_count):
+  *
+  *  - `n_tokens`: number of whitespace-delimited tokens of the
+  *    normalized text — where "normalized" is
+  *    `trim(regexp_replace(lower(s), "\\s+", " "))` and the Java-regex
+  *    `\s` set is {space, \t, \n, \x0B, \f, \r}. An all-whitespace or
+  *    empty input yields 1, matching `split("", " ") == [""]`.
+  *  - `stop_hits`: tokens (lowercased, punctuation attached — the raw
+  *    split tokens, not word-extracted ones) contained in the
+  *    stopword set.
+  *  - `punct`: occurrences of `[.,;:!?'"()\[\]{}]` in the text.
+  *
+  * Equivalence with the HOF form is pinned in `TextAnalysisSpec`; the
+  * DuckDB oracle restates the same semantics in SQL, so this is
+  * oracle-gated end-to-end. The fused loop exists because interpreted
+  * higher-order functions with a per-token 56-way `In` dominate the
+  * quality query at scale (same lesson as [[PolyShingleHashes]]).
+  */
+object TextStats {
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
+  private def isPunct(c: Char): Boolean = c match {
+    case '.' | ',' | ';' | ':' | '!' | '?' | '\'' | '"' | '(' | ')' |
+        '[' | ']' | '{' | '}' => true
+    case _ => false
+  }
+
+  def compute(s: UTF8String,
+      stop: java.util.HashSet[String]): InternalRow = {
+    val lowered = s.toLowerCase.toString
+    val len = lowered.length
+    var nTok = 0
+    var hits = 0
+    var punct = 0
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    while (i < len) {
+      val c = lowered.charAt(i)
+      if (isWs(c)) {
+        if (sb.length > 0) {
+          nTok += 1
+          if (stop.contains(sb.toString)) hits += 1
+          sb.setLength(0)
+        }
+      } else {
+        sb.append(c)
+        if (isPunct(c)) punct += 1
+      }
+      i += 1
+    }
+    if (sb.length > 0) {
+      nTok += 1
+      if (stop.contains(sb.toString)) hits += 1
+    }
+    // split("", " ") yields [""]: one (empty) token, never a stop hit
+    if (nTok == 0) nTok = 1
+    new GenericInternalRow(Array[Any](nTok, hits, punct))
+  }
+}
+
+/** Native fused form of the quality statistics (see [[TextStats]]).
+  * `stopCsv` is a comma-joined stopword list resolved to a set at plan
+  * time (a plan-time constant, like the minhash coefficients). */
+case class TextQualityStats(child: Expression, stopCsv: String)
+    extends UnaryExpression {
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopCsv.split(',').foreach(w => if (w.nonEmpty) s.add(w))
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${t.simpleString(10)}")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("stop_hits", IntegerType, nullable = false),
+    StructField("punct", IntegerType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    TextStats.compute(input.asInstanceOf[UTF8String], stopSet)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopSet", stopSet,
+      "java.util.HashSet")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextStats.compute($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : TextQualityStats = copy(child = newChild)
+
+  override def prettyName: String = "text_quality_stats"
+}

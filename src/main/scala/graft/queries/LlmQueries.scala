@@ -174,11 +174,18 @@ object LlmQueries {
 
     // Quality scoring features + composite score (full oracle).
     "t03_quality" -> ((s, dir) => {
-      docs(s, dir).select(
-        col("doc_id"),
-        length(col("text")).as("n_chars_q"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      // Fused one-pass stats kernel; formula identical to the HOF
+      // composition (pinned in TextAnalysisSpec), oracle unchanged.
+      graft.functions.GraftFunctions.register(s)
+      docs(s, dir)
+        .withColumn("st", graft.functions.GraftFunctions
+          .textQualityStats(col("text"), TextAnalysis.allStopCsv))
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars_q"),
+          col("st.n_tokens").as("n_tokens"),
+          TextAnalysis.qualityFromStats(col("st"),
+            length(col("text"))).as("quality"))
         .orderBy("doc_id")
     }),
 

@@ -62,6 +62,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L)._2 >= 0L && fp(1L)._2 < 1000000007L)
   }
 
+  test("fused quality stats equal the HOF composition exactly") {
+    graft.functions.GraftFunctions.register(spark)
+    val texts = Seq(
+      "The quick brown fox, with the usual punctuation marks!?",
+      "", "   ", "\t\n\f\r", "one", "der die das und ist",
+      "ALL CAPS AND The MiXeD case", "a.b,c;d:e!f?g'h\"i(j)k[l]{m}",
+      "  leading and trailing   whitespace  ",
+      "unicode für über straße 日本語",
+      "the " * 60 + "end")
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val both = df.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      // HOF composition
+      TextAnalysis.tokenCount(col("text")).as("n_hof"),
+      round(TextAnalysis.qualityScore(col("text")), 6).as("q_hof"),
+      // fused kernel
+      graft.functions.GraftFunctions
+        .textQualityStats(col("text"), TextAnalysis.allStopCsv)
+        .as("st"))
+      .select(col("doc_id"), col("n_hof"), col("q_hof"),
+        col("st.n_tokens").as("n_fused"),
+        TextAnalysis.qualityFromStats(col("st"), col("n_chars"))
+          .as("q_fused"))
+      .collect()
+    for (r <- both) {
+      assert(r.getAs[Int]("n_hof") == r.getAs[Int]("n_fused"),
+        s"token count diverges for doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Double]("q_hof") == r.getAs[Double]("q_fused"),
+        s"quality diverges for doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
   test("quality features append the documented columns") {
     val df = TextAnalysis.qualityFeatures(
       Seq((1L, "some sample text here.")).toDF("doc_id", "text"))

@@ -101,6 +101,72 @@ object Lake {
     Reconciliation(dbCount, pc, pc - dbCount, pc == dbCount)
   }
 
+  /** One compacted day's before/after file counts. */
+  final case class CompactionReport(day: String, filesBefore: Int,
+      filesAfter: Int, bytes: Long)
+
+  /** Small-file compaction — the lake-maintenance pass every
+    * incremental day-partitioned lake needs at scale: each CDC merge
+    * or backfill append leaves per-day file counts growing, and scan
+    * cost at 100 TB is dominated by file-open/footer overhead once
+    * files shrink below ~100 MB.
+    *
+    * Planning is metadata-only (one FS listing, O(#files) driver
+    * work, no data read): a day qualifies when it holds more files
+    * than `ceil(bytes / targetBytesPerFile)`. Only qualifying days are
+    * read and rewritten — dynamic partition overwrite leaves every
+    * other day untouched, matching the merge path's dirty-day
+    * discipline. Rows spread across each day's target file count via a
+    * deterministic hash salt, so a 2 GB day compacts to ~16 files of
+    * ~128 MB, not one giant file.
+    *
+    * The rewrite is idempotent and content-preserving (same rows, same
+    * schema — gated end-to-end by `c15_compaction`); a crash mid-write
+    * is repaired by rerunning, exactly like the day-overwrite extract.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytesPerFile: Long = 128L * 1024 * 1024)
+      : Seq[CompactionReport] = {
+    configure(spark)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Seq.empty
+    def filesOf(day: String): Array[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(new Path(root, s"day=$day"))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val plan = fs.listStatus(root).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      .map(_.getPath.getName.stripPrefix("day="))
+      .map { day =>
+        val files = filesOf(day)
+        val bytes = files.map(_.getLen).sum
+        val want = math.max(1L,
+          (bytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+        (day, files.length, want, bytes)
+      }
+      .filter { case (_, have, want, _) => have > want }
+      .toSeq.sortBy(_._1)
+    if (plan.isEmpty) return Seq.empty
+
+    val wantByDay = plan.map { case (d, _, w, _) => (d, w) }
+    // The target-count lookup is a plan-time literal map: one entry
+    // per compacted day, bounded by the maintenance batch size (pass
+    // a day-ranged path for multi-year sweeps).
+    val wantExpr = element_at(
+      map(wantByDay.flatMap { case (d, w) =>
+        Seq(lit(d), lit(w)) }: _*), col("day"))
+    val dirty = plan.map(_._1)
+    val df = read(spark, path)
+      .where(col("day").isin(dirty: _*))
+      .repartition(plan.map(_._3).sum,
+        col("day"), pmod(xxhash64(col("id")), wantExpr))
+    write(df, path, overwrite = true)
+
+    plan.map { case (day, before, _, bytes) =>
+      CompactionReport(day, before, filesOf(day).length, bytes)
+    }
+  }
+
   /** M1+M2 applied to a lake path: read only the dirty days (partition
     * pruning via the `day IN (...)` filter), merge, dynamic-overwrite the
     * dirty days, then delete day directories whose merged result is empty

@@ -278,6 +278,30 @@ object CdcQueries {
         .orderBy("day", "id")
     }),
 
+    // Lake maintenance: small-file compaction. A deliberately
+    // fragmented lake (round-robin repartition(8) scatters every day
+    // across 8 files) compacts back to one file per day; the gate
+    // hashes the full post-compaction content, so a row lost or
+    // duplicated by the rewrite fails the oracle. File-count and
+    // idempotence assertions live in LakeSpec (the oracle cannot see
+    // the filesystem).
+    "c15_compaction" -> ((s, dir) => {
+      import graft.io.Lake
+      Lake.configure(s)
+      val lakePath =
+        s"${System.getProperty("java.io.tmpdir")}/graft_c15_lake"
+      val lp = new org.apache.hadoop.fs.Path(lakePath)
+      val fs = lp.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(lp, true)
+      val rows = tsRows(s, dir)
+        .withColumn("day", substring(col("date_time"), 1, 10))
+      Lake.write(rows.repartition(8), lakePath)
+      Lake.compact(s, lakePath)
+      Lake.read(s, lakePath)
+        .select("id", "date_time", "value", "ts", "day")
+        .orderBy("day", "id")
+    }),
+
     // R1: count reconciliation report.
     "c11_reconcile" -> ((s, dir) => {
       val dbCount = events(s, dir).count()
@@ -605,6 +629,13 @@ object CdcQueries {
         s"""WITH tsr AS ($tsRowsSql)
            SELECT substr(date_time, 1, 10) AS day, count(*) AS n_rows
            FROM tsr GROUP BY 1 ORDER BY 1""",
+      // Compaction is content-preserving: the post-compaction lake
+      // must hash-equal the raw derivation.
+      "c15_compaction" ->
+        s"""WITH tsr AS ($tsRowsSql)
+           SELECT id, date_time, value, ts,
+             substr(date_time, 1, 10) AS day
+           FROM tsr ORDER BY day, id""",
       "c03_resume_point" ->
         s"""WITH tsr AS ($tsRowsSql)
            SELECT

@@ -109,6 +109,60 @@ class LakeSpec extends SparkSpec {
     assert(back.select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("compaction merges small files, preserves content, idempotent") {
+    val path = tmp() + "/lake"
+    // 3 days x 40 rows, deliberately scattered into 8 files per day
+    val rows = (for (d <- 1 to 3; i <- 1 to 40) yield {
+      val day = f"2024-06-0$d"
+      (d * 100L + i, f"$day 10:00:${i % 60}%02d", Some(i.toDouble),
+        s"$day 11:00:00")
+    }).toDF("id", "date_time", "value", "ts")
+      .withColumn("day", substring($"date_time", 1, 10))
+    Lake.configure(spark)
+    Lake.write(rows.repartition(8), path)
+
+    def filesPerDay(): Map[String, Int] = {
+      val root = new java.io.File(path)
+      root.listFiles().filter(f => f.isDirectory
+          && f.getName.startsWith("day=")).map { d =>
+        d.getName.stripPrefix("day=") ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    }
+    assert(filesPerDay().values.forall(_ > 1), "fixture not fragmented")
+    val before = Lake.read(spark, path).orderBy("id").collect().toSeq
+
+    val report = Lake.compact(spark, path)
+    assert(report.size == 3)
+    assert(report.forall(r => r.filesAfter < r.filesBefore))
+    assert(filesPerDay().values.forall(_ == 1),
+      s"expected single-file days, got ${filesPerDay()}")
+    // content-preserving
+    assert(Lake.read(spark, path).orderBy("id").collect().toSeq
+      == before)
+    // second pass finds nothing to do
+    assert(Lake.compact(spark, path).isEmpty)
+  }
+
+  test("compaction splits oversized days by the byte target") {
+    val path = tmp() + "/lake"
+    val rows = (1 to 4000).map { i =>
+      (i.toLong, f"2024-07-01 ${i % 24}%02d:00:00", Some(i.toDouble),
+        "2024-07-01 12:00:00")
+    }.toDF("id", "date_time", "value", "ts")
+      .withColumn("day", substring($"date_time", 1, 10))
+    Lake.configure(spark)
+    Lake.write(rows.repartition(16), path)
+    // Tiny byte target: one output file cannot hold the day, so the
+    // salt must spread rows over multiple files (not one giant file).
+    val report = Lake.compact(spark, path, targetBytesPerFile = 16L * 1024)
+    assert(report.size == 1)
+    val after = report.head.filesAfter
+    assert(after > 1 && after < 16,
+      s"expected 1 < files < 16 after compaction, got $after")
+    assert(Lake.read(spark, path).count() == 4000)
+  }
+
   test("reconciliation report") {
     val path = tmp()
     seed(path)

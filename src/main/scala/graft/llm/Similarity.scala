@@ -46,31 +46,76 @@ object Similarity {
       .select("qid", "id", "cosine", "rank")
   }
 
+  /** Distributed Lloyd refinement of an initial centroid set (the
+    * k-means step IVF quality depends on): each iteration assigns
+    * every vector to its nearest centroid (broadcast join + windowed
+    * argmax — one narrow pass over the corpus) and recomputes each
+    * centroid as the per-dimension mean of its members. Clusters that
+    * end an iteration empty are dropped (their list would never be
+    * probed anyway).
+    *
+    * Means accumulate in DECIMAL(38,18) so the result is independent
+    * of partition order (double addition is not associative) and
+    * restatable bit-exactly by an external SQL oracle.
+    *
+    * At 100 TB: refine over a corpus SAMPLE (pass a sampled frame),
+    * then assign the full corpus once against the final centroids —
+    * the per-iteration cost here is |input| x nCentroids cosines plus
+    * one (cid, dim)-keyed aggregation of |input| x dim rows.
+    */
+  def refineCentroids(corpus: DataFrame, initial: DataFrame,
+      iterations: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    var cents = initial
+    for (_ <- 1 to iterations) {
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("_csim").desc, col("cid").asc)
+      val assigned = corpus.crossJoin(broadcast(cents))
+        .withColumn("_csim",
+          GraftFunctions.arrayCosine(col("vec"), col("cvec")))
+        .withColumn("_r", row_number().over(w))
+        .where(col("_r") === 1)
+        .select(col("cid"), col("vec"))
+      val perDim = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("i", "v")))
+        .groupBy("cid", "i")
+        .agg((sum(col("v").cast("decimal(38,18)")).cast("double")
+          / count(lit(1))).as("mv"))
+      cents = perDim.groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("i"), col("mv")))),
+          x => x.getField("mv")).as("cvec"))
+    }
+    cents
+  }
+
   /** IVF-flat approximate top-k: partition the corpus into inverted
     * lists around centroids, probe only the `nProbe` lists nearest to
     * each query. Per-query work drops from |corpus| to
     * ~|corpus| * nProbe / nCentroids.
     *
-    * Centroids are deterministic corpus samples (hash-ordered medoids)
-    * — at 100 TB you'd refine them with a couple of Lloyd iterations
-    * over a sample, which drops in here without changing the
-    * assignment/probe dataflow (both are broadcast joins against the
-    * small centroid set; the corpus-side argmax assignment is one
-    * narrow pass that would be computed once and persisted alongside
-    * the embeddings).
+    * Centroids start as deterministic corpus samples (hash-ordered
+    * medoids) and are optionally refined with `lloydIterations` rounds
+    * of distributed k-means ([[refineCentroids]]) — the refinement
+    * changes only the (small, broadcast) centroid set, never the
+    * assignment/probe dataflow.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true, lloydIterations: Int = 0): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     // Pseudo-random-but-portable sample order: an LCG step of the id,
     // plain modular arithmetic any engine reproduces (Murmur3 `hash`
     // would be Spark-private).
-    val centroids = corpus
+    val centroids0 = corpus
       .orderBy(((col("id") * 1103515245L + 12345L) % 2147483648L).asc,
         col("id").asc)
       .limit(nCentroids)
       .select(col("id").as("cid"), col("vec").as("cvec"))
+    val centroids =
+      if (lloydIterations > 0)
+        refineCentroids(corpus, centroids0, lloydIterations)
+      else centroids0
 
     def assign(df: DataFrame, idCol: String, vecCol: String,
         keep: Int): DataFrame = {

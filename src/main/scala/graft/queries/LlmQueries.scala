@@ -153,6 +153,23 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // IVF with one round of distributed Lloyd refinement: same probe
+    // dataflow as s03, better centroids. The oracle recomputes the
+    // refined centroids in SQL — the DECIMAL(38,18) mean arithmetic
+    // makes the per-dimension means bit-identical across engines.
+    "s05_ann_ivf_lloyd" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val queries = emb(s, dir).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qvec"))
+      Similarity.ivfTopK(corpus, queries, k = 10, nCentroids = 16,
+        nProbe = 4, lloydIterations = 1)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("qid", "rank")
+    }),
+
     // Language ID heuristic (full oracle).
     "t01_langid" -> ((s, dir) => {
       docs(s, dir)
@@ -652,6 +669,53 @@ object LlmQueries {
                  ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
                    c.cid ASC) AS cr
              FROM q CROSS JOIN cent c) WHERE cr <= 4),
+           cand AS (SELECT p.qid, l.id,
+             list_cosine_similarity(p.qv, l.v) AS cos
+             FROM lists l JOIN probes p USING (cid)
+             WHERE l.id <> p.qid),
+           ranked AS (SELECT qid, id, cos,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC, id ASC) AS rank FROM cand)
+           SELECT qid, id, round(cos, 6) AS cosine, rank
+           FROM ranked WHERE rank <= 10
+           ORDER BY qid, rank""",
+      // One Lloyd round: assign to the sampled centroids, recompute
+      // each centroid as the per-dim DECIMAL mean of its members
+      // (empty clusters drop out, matching Spark's groupBy), then run
+      // the same IVF probe against the refined set.
+      "s05_ann_ivf_lloyd" ->
+        s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             FROM embeddings),
+           q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+             FROM embeddings WHERE vec_id < 5),
+           cent AS (SELECT id AS cid, v AS cv FROM e
+             ORDER BY (id * 1103515245 + 12345) % 2147483648 ASC,
+               id ASC LIMIT 16),
+           a1 AS (SELECT id, v, cid FROM (
+             SELECT e.id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                   c.cid ASC) AS cr
+             FROM e CROSS JOIN cent c) WHERE cr <= 1),
+           m AS (SELECT cid, i,
+               (sum(val::DECIMAL(38,18))::DOUBLE / count(*)) AS mv
+             FROM (SELECT cid, unnest(v) AS val,
+               unnest(range(len(v))) AS i FROM a1)
+             GROUP BY cid, i),
+           c1 AS (SELECT cid, list(mv ORDER BY i) AS cv FROM m
+             GROUP BY cid),
+           lists AS (SELECT id, v, cid FROM (
+             SELECT e.id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                   c.cid ASC) AS cr
+             FROM e CROSS JOIN c1 c) WHERE cr <= 1),
+           probes AS (SELECT qid, qv, cid FROM (
+             SELECT q.qid, q.qv, c.cid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                   c.cid ASC) AS cr
+             FROM q CROSS JOIN c1 c) WHERE cr <= 4),
            cand AS (SELECT p.qid, l.id,
              list_cosine_similarity(p.qv, l.v) AS cos
              FROM lists l JOIN probes p USING (cid)

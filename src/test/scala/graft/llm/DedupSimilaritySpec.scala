@@ -100,6 +100,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("Lloyd refinement converges to the true cluster means") {
+    // Two tight clusters on orthogonal axes with jitter in a third dim
+    val pts = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array(1.0, 0.0) else Array(0.0, 1.0)
+      (i.toLong, (base :+ (i % 5) * 0.01).toSeq)
+    }.toDF("id", "vec")
+    // Deliberately poor initial centroids: two points from the SAME
+    // cluster — one Lloyd round must still split the data, because
+    // every even point is nearer one of them than the other.
+    val init = pts.where(col("id").isin(0L, 1L))
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val refined = Similarity.refineCentroids(pts, init, iterations = 2)
+      .collect().map(r =>
+        r.getAs[Long]("cid") -> r.getSeq[Double](1)).toMap
+    assert(refined.size == 2)
+    // Each refined centroid points dominantly along one axis
+    val axes = refined.values.map(v =>
+      if (v(0) > v(1)) 0 else 1).toSeq.sorted
+    assert(axes == Seq(0, 1),
+      s"centroids did not separate the clusters: $refined")
+    // And IVF with refinement keeps recall on the shared fixture
+    val qs = vecs.limit(3)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val exact = Similarity.bruteForceTopK(vecs, qs, k = 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(vecs, qs, k = 5, nCentroids = 6,
+      nProbe = 2, lloydIterations = 2)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall with Lloyd refinement: $recall")
+  }
+
   test("embedding near-dup pairs stay within clusters") {
     val pairs = Dedup.embeddingPairs(
       vecs.withColumnRenamed("id", "vec_id")

@@ -128,6 +128,9 @@ object GraftFunctions {
         exprs => TextQualityStats(exprs(0),
           exprs(1).eval().toString), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_text_repetition_stats",
+        exprs => TextRepetitionStats(exprs.head), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_poly_bloom",
         exprs => PolyBloomAgg(exprs(0),
           exprs(1).eval().asInstanceOf[Int],
@@ -176,6 +179,10 @@ object GraftFunctions {
   def textQualityStats(text: Column, stopCsv: String): Column =
     call_function("graft_text_quality_stats", text,
       org.apache.spark.sql.functions.lit(stopCsv))
+
+  /** Column form (requires [[register]] on the session first). */
+  def textRepetitionStats(text: Column): Column =
+    call_function("graft_text_repetition_stats", text)
 
   /** Bloom bitmap aggregate (requires [[register]] first). */
   def polyBloom(key: Column, mBits: Int, k: Int): Column =

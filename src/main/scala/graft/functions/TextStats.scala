@@ -76,6 +76,89 @@ object TextStats {
   }
 }
 
+/** One-pass repetition statistics — the Gopher-style repetition
+  * filters (Rae et al. 2021, "Scaling Language Models", Appendix A:
+  * duplicate-line / top-n-gram fractions) over the whitespace tokens
+  * of the normalized text:
+  *
+  *  - `n_tokens` / `distinct_tokens`: vocabulary concentration
+  *    (tokenization identical to [[TextStats]], including the
+  *    empty-input -> one empty token rule).
+  *  - `n_grams` / `top_gram`: word-bigram count and the multiplicity
+  *    of the most frequent bigram — `top_gram / n_grams` is the
+  *    "fraction of text in the most common n-gram" signal.
+  *
+  * Single scan with two hash maps; O(len) per document, no shuffle —
+  * the operator stays a narrow projection at any corpus size. */
+object TextRepetition {
+
+  def compute(s: UTF8String): InternalRow = {
+    val lowered = s.toLowerCase.toString
+    val len = lowered.length
+    val distinct = new java.util.HashSet[String]()
+    val bigrams = new java.util.HashMap[String, Integer]()
+    var nTok = 0
+    var top = 0
+    var prev: String = null
+    val sb = new java.lang.StringBuilder(16)
+    def endToken(): Unit = if (sb.length > 0) {
+      val tok = sb.toString
+      nTok += 1
+      distinct.add(tok)
+      if (prev != null) {
+        val bg = prev + " " + tok
+        val c = bigrams.merge(bg, 1, (a, b) => a + b)
+        if (c > top) top = c
+      }
+      prev = tok
+      sb.setLength(0)
+    }
+    var i = 0
+    while (i < len) {
+      val c = lowered.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+          c == '\f' || c == '\r') endToken()
+      else sb.append(c)
+      i += 1
+    }
+    endToken()
+    if (nTok == 0) { nTok = 1; distinct.add("") } // split("", " ") = [""]
+    new GenericInternalRow(Array[Any](
+      nTok, distinct.size, math.max(nTok - 1, 0), top))
+  }
+}
+
+/** Native fused repetition statistics (see [[TextRepetition]]). */
+case class TextRepetitionStats(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${t.simpleString(10)}")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("distinct_tokens", IntegerType, nullable = false),
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("top_gram", IntegerType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    TextRepetition.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextRepetition.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : TextRepetitionStats = copy(child = newChild)
+
+  override def prettyName: String = "text_repetition_stats"
+}
+
 /** Native fused form of the quality statistics (see [[TextStats]]).
   * `stopCsv` is a comma-joined stopword list resolved to a set at plan
   * time (a plan-time constant, like the minhash coefficients). */

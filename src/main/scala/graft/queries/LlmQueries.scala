@@ -170,6 +170,27 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Gopher-style repetition filters: vocabulary concentration and
+    // top-bigram fraction from the fused one-pass kernel; the
+    // repetitive flag uses the UNROUNDED fraction on both sides.
+    "t13_repetition" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val frac = when(col("rp.n_grams") > 0,
+        col("rp.top_gram").cast("double")
+          / col("rp.n_grams").cast("double")).otherwise(0d)
+      docs(s, dir)
+        .withColumn("rp", graft.functions.GraftFunctions
+          .textRepetitionStats(col("text")))
+        .select(col("doc_id"),
+          col("rp.n_tokens").as("n_tokens"),
+          round(col("rp.distinct_tokens").cast("double")
+            / col("rp.n_tokens").cast("double"), 6)
+            .as("distinct_ratio"),
+          round(frac, 6).as("top_bigram_frac"),
+          (frac > 0.1d).as("is_repetitive"))
+        .orderBy("doc_id")
+    }),
+
     // Language ID heuristic (full oracle).
     "t01_langid" -> ((s, dir) => {
       docs(s, dir)
@@ -726,6 +747,29 @@ object LlmQueries {
            SELECT qid, id, round(cos, 6) AS cosine, rank
            FROM ranked WHERE rank <= 10
            ORDER BY qid, rank""",
+      // Bigram multiplicities restated with list comprehensions; the
+      // most frequent bigram's count over the bigram total, flag on
+      // the unrounded fraction.
+      "t13_repetition" ->
+        s"""WITH f AS (SELECT doc_id,
+             string_split($norm, ' ') AS tk FROM documents),
+           g AS (SELECT doc_id, tk, len(tk) AS n,
+             [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]
+               AS bg FROM f),
+           h AS (SELECT doc_id, tk, n, bg, len(bg) AS nb,
+             coalesce(list_max(list_transform(list_distinct(bg),
+               x -> len(list_filter(bg, y -> y = x)))), 0) AS top
+             FROM g)
+           SELECT doc_id, n::INTEGER AS n_tokens,
+             round(len(list_distinct(tk))::DOUBLE / n, 6)
+               AS distinct_ratio,
+             CASE WHEN nb > 0
+               THEN round(top::DOUBLE / nb, 6) ELSE 0.0 END
+               AS top_bigram_frac,
+             CASE WHEN nb > 0
+               THEN top::DOUBLE / nb > 0.1 ELSE FALSE END
+               AS is_repetitive
+           FROM h ORDER BY doc_id""",
       "t01_langid" -> {
         def score(lang: String): String = {
           val words = TextAnalysis.stopwords.toMap.apply(lang)

@@ -96,6 +96,29 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("repetition stats: counts, edges, and the degenerate doc") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, "a a a a"),            // bigram "a a" x3 of 3 -> frac 1.0
+      (2L, "one two three four"), // all distinct, top bigram 1 of 3
+      (3L, ""),                   // the empty-token edge
+      (4L, "Spam spam SPAM spam egg")) // case-folds to one token
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      graft.functions.GraftFunctions.textRepetitionStats(col("text"))
+        .as("rp"))
+      .select(col("doc_id"), col("rp.n_tokens"),
+        col("rp.distinct_tokens"), col("rp.n_grams"),
+        col("rp.top_gram"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(out(1L) == ((4, 1, 3, 3)))
+    assert(out(2L) == ((4, 4, 3, 1)))
+    assert(out(3L) == ((1, 1, 0, 0)))
+    assert(out(4L) == ((5, 2, 4, 3))) // "spam spam" x2, "spam egg" x1
+  }
+
   test("quality features append the documented columns") {
     val df = TextAnalysis.qualityFeatures(
       Seq((1L, "some sample text here.")).toDF("doc_id", "text"))

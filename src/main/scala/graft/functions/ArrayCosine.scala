@@ -128,6 +128,11 @@ object GraftFunctions {
         exprs => TextQualityStats(exprs(0),
           exprs(1).eval().toString), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_minhash_jaccard_verify",
+        exprs => MinhashJaccardVerify(exprs(0), exprs(1), exprs(2),
+          exprs(3), exprs(4).eval().asInstanceOf[Int],
+          exprs(5).eval().asInstanceOf[Double]), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_text_repetition_stats",
         exprs => TextRepetitionStats(exprs.head), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -179,6 +184,13 @@ object GraftFunctions {
   def textQualityStats(text: Column, stopCsv: String): Column =
     call_function("graft_text_quality_stats", text,
       org.apache.spark.sql.functions.lit(stopCsv))
+
+  /** Column form (requires [[register]] on the session first). */
+  def minhashJaccardVerify(mhA: Column, mhB: Column, shA: Column,
+      shB: Column, k: Int, threshold: Double): Column =
+    call_function("graft_minhash_jaccard_verify", mhA, mhB, shA, shB,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(threshold))
 
   /** Column form (requires [[register]] on the session first). */
   def textRepetitionStats(text: Column): Column =

@@ -150,6 +150,35 @@ object PolyHash {
     java.util.Arrays.copyOf(out, count)
   }
 
+  /** Fused minhash-estimate prefilter + exact Jaccard verify over a
+    * candidate pair (see [[MinhashJaccardVerify]]): count matching
+    * signature positions; if the estimate `matches/k` clears half the
+    * threshold, compute exact Jaccard over the distinct hash arrays
+    * (|A∩B| via hash set, |A∪B| = |A|+|B|-|A∩B|, empty∪empty -> 1.0),
+    * else return -1. Division order matches the HOF composition
+    * bit-for-bit. */
+  def minhashVerify(mhA: ArrayData, mhB: ArrayData, shA: ArrayData,
+      shB: ArrayData, k: Int, threshold: Double): Double = {
+    val n = math.min(mhA.numElements(), mhB.numElements())
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (mhA.getLong(i) == mhB.getLong(i)) m += 1
+      i += 1
+    }
+    if (m.toDouble / k < threshold * 0.5) return -1.0
+    val na = shA.numElements()
+    val nb = shB.numElements()
+    val set = new java.util.HashSet[java.lang.Long](na * 2)
+    i = 0
+    while (i < na) { set.add(shA.getLong(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nb) { if (set.contains(shB.getLong(i))) inter += 1; i += 1 }
+    val union = (na + nb).toDouble - inter
+    if (union == 0.0) 1.0 else inter / union
+  }
+
   /** 30-bit simhash: per token, mixed = (polyhash * Mix) mod 2^30;
     * each bit casts a +-1 vote; signature sets bits with positive
     * votes. */
@@ -315,6 +344,60 @@ case class PolyMinHashLongs(child: Expression, k: Int)
       : PolyMinHashLongs = copy(child = newChild)
 
   override def prettyName: String = "poly_minhash_longs"
+}
+
+/** Fused candidate-pair verification for minhash dedup: the estimate
+  * prefilter (`size(filter(zip_with(mh_a, mh_b, _ === _), e => e)) / k
+  * >= threshold/2`) and the exact Jaccard over pre-hashed shingles,
+  * evaluated as ONE loop pair with the short-circuit inline.
+  *
+  * Replaces a per-pair tree of four higher-order functions (zip_with,
+  * filter, array_intersect's set build, plus the conditional) that
+  * Spark evaluates interpreted (HOFs are CodegenFallback) — on an
+  * adversarial corpus the verify stage runs once per candidate pair,
+  * and this constant factor dominates d02. Semantics pinned equal to
+  * the HOF form in `DedupSimilaritySpec`.
+  */
+case class MinhashJaccardVerify(mhA: Expression, mhB: Expression,
+    shA: Expression, shB: Expression, k: Int, threshold: Double)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def first: Expression = mhA
+  override def second: Expression = mhB
+  override def third: Expression = shA
+  override def fourth: Expression = shB
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(mhA, mhB, shA, shB).map(_.dataType) match {
+      case Seq(ArrayType(LongType, _), ArrayType(LongType, _),
+          ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case ts => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires four array<long> arguments, got " +
+          ts.map(_.simpleString(10)).mkString(", "))
+    }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.DoubleType
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    PolyHash.minhashVerify(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      d.asInstanceOf[ArrayData], k, threshold)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.PolyHash.minhashVerify(" +
+        s"$a, $b, $c, $d, $k, $threshold);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): MinhashJaccardVerify =
+    copy(mhA = newFirst, mhB = newSecond, shA = newThird,
+      shB = newFourth)
+
+  override def prettyName: String = "minhash_jaccard_verify"
 }
 
 /** Portable 30-bit simhash (see [[PolyHash]]). */

@@ -114,18 +114,29 @@ object Dedup {
     // (shuffle_hash on the narrow id-pair side): array columns defeat
     // Catalyst's size estimate and it would otherwise broadcast the
     // corpus signature table — backwards at any scale.
+    // Portable mode fuses estimate + verify into one native loop pair
+    // (HOFs evaluate interpreted; the verify runs once per candidate
+    // pair, so its constant factor dominates adversarial corpora).
+    // The HOF composition below is the semantics both must satisfy,
+    // pinned equal in DedupSimilaritySpec.
     val est =
       size(filter(zip_with(col("mh_a"), col("mh_b"),
         (x, y) => x === y), e => e)).cast("double") / k
+    val verified =
+      if (portable)
+        graft.functions.GraftFunctions.minhashJaccardVerify(
+          col("mh_a"), col("mh_b"), col("sh_a"), col("sh_b"),
+          k, threshold)
+      else
+        when(est >= threshold * 0.5, jaccard(col("sh_a"), col("sh_b")))
+          .otherwise(lit(-1d))
     pairs.hint("shuffle_hash")
       .join(sigs.select(col("id").as("id_a"), col("mh").as("mh_a"),
         col("sh").as("sh_a")), "id_a")
       .hint("shuffle_hash")
       .join(sigs.select(col("id").as("id_b"), col("mh").as("mh_b"),
         col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        when(est >= threshold * 0.5, jaccard(col("sh_a"), col("sh_b")))
-          .otherwise(lit(-1d)))
+      .withColumn("jaccard", verified)
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -100,6 +100,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("fused minhash verify equals the HOF estimate+jaccard form") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions
+    val k = 8
+    val thr = 0.5
+    // pairs spanning: identical, disjoint, partial overlap, empties
+    val rows = Seq(
+      (Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L),
+        Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L),
+        Seq(10L, 20L, 30L), Seq(10L, 20L, 30L)),
+      (Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L),
+        Seq(9L, 9L, 9L, 9L, 9L, 9L, 9L, 9L),
+        Seq(10L, 20L), Seq(30L, 40L)),
+      (Seq(1L, 2L, 3L, 4L, 9L, 9L, 9L, 9L),
+        Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L),
+        Seq(10L, 20L, 30L, 40L), Seq(30L, 40L, 50L)),
+      (Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L),
+        Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L),
+        Seq.empty[Long], Seq.empty[Long]))
+      .toDF("mh_a", "mh_b", "sh_a", "sh_b")
+    val est = size(filter(zip_with(col("mh_a"), col("mh_b"),
+      (x, y) => x === y), e => e)).cast("double") / k
+    val out = rows.select(
+      when(est >= thr * 0.5,
+        graft.llm.TextFunctions.jaccard(col("sh_a"), col("sh_b")))
+        .otherwise(lit(-1d)).as("hof"),
+      GraftFunctions.minhashJaccardVerify(col("mh_a"), col("mh_b"),
+        col("sh_a"), col("sh_b"), k, thr).as("fused"))
+      .collect()
+    for (r <- out)
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"HOF ${r.getDouble(0)} != fused ${r.getDouble(1)}")
+  }
+
   test("Lloyd refinement converges to the true cluster means") {
     // Two tight clusters on orthogonal axes with jitter in a third dim
     val pts = (0 until 20).map { i =>

@@ -191,6 +191,29 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Deterministic weighted domain mixing: each source samples at a
+    // rate derived from its numeric suffix; the keep predicate is the
+    // portable LCG threshold (production variant uses xxhash64). The
+    // realized per-source rates gate the whole decision function.
+    "t14_domain_mix" -> ((s, dir) => {
+      val src = docs(s, dir)
+        .withColumn("srcn",
+          regexp_extract(col("source"), "src(\\d+)", 1).cast("int"))
+        .withColumn("rate",
+          (lit(1) + col("srcn") % 5).cast("double") / lit(5d))
+      src
+        .withColumn("kept",
+          when(graft.llm.Mixing.keepPortable(col("doc_id"),
+            col("rate")), 1))
+        .groupBy(col("source"),
+          ((lit(1) + col("srcn") % 5) * 20).as("rate_pct"))
+        .agg(count(lit(1)).as("n_total"),
+          count(col("kept")).as("n_kept"),
+          round(count(col("kept")).cast("double") / count(lit(1)), 6)
+            .as("realized_rate"))
+        .orderBy("source")
+    }),
+
     // Language ID heuristic (full oracle).
     "t01_langid" -> ((s, dir) => {
       docs(s, dir)
@@ -770,6 +793,20 @@ object LlmQueries {
                THEN top::DOUBLE / nb > 0.1 ELSE FALSE END
                AS is_repetitive
            FROM h ORDER BY doc_id""",
+      "t14_domain_mix" ->
+        """WITH d AS (SELECT source, doc_id,
+             regexp_extract(source, 'src(\d+)', 1)::INTEGER AS n
+           FROM documents),
+           k AS (SELECT source, (1 + n % 5) * 20 AS rate_pct,
+             CASE WHEN (doc_id * 1103515245 + 12345) % 2147483648
+                 % 1000000
+               < floor(((1 + n % 5)::DOUBLE / 5.0) * 1000000)::BIGINT
+               THEN 1 END AS kept
+           FROM d)
+           SELECT source, rate_pct::INTEGER AS rate_pct,
+             count(*) AS n_total, count(kept) AS n_kept,
+             round(count(kept)::DOUBLE / count(*), 6) AS realized_rate
+           FROM k GROUP BY source, rate_pct ORDER BY source""",
       "t01_langid" -> {
         def score(lang: String): String = {
           val words = TextAnalysis.stopwords.toMap.apply(lang)

@@ -119,6 +119,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == ((5, 2, 4, 3))) // "spam spam" x2, "spam egg" x1
   }
 
+  test("domain mixing: deterministic, near-target rates, both hashes") {
+    val df = (1L to 4000L).toDF("id").withColumn("rate", lit(0.3))
+    for (portable <- Seq(false, true)) {
+      val kept = Mixing.sampleByRate(df, col("id"), col("rate"),
+        portable).count()
+      val rate = kept.toDouble / 4000
+      assert(math.abs(rate - 0.3) < 0.05,
+        s"portable=$portable realized $rate, want ~0.3")
+      // same rows survive a re-evaluation
+      assert(Mixing.sampleByRate(df, col("id"), col("rate"), portable)
+        .count() == kept)
+    }
+    // rate 0 keeps nothing; rate 1 keeps everything
+    assert(Mixing.sampleByRate(
+      df.withColumn("rate", lit(0.0)), col("id"), col("rate")).count() == 0)
+    assert(Mixing.sampleByRate(
+      df.withColumn("rate", lit(1.0)), col("id"), col("rate")).count() == 4000)
+  }
+
   test("quality features append the documented columns") {
     val df = TextAnalysis.qualityFeatures(
       Seq((1L, "some sample text here.")).toDF("doc_id", "text"))

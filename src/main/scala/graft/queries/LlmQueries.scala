@@ -214,6 +214,19 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // Reproducible global training order: total sort by a portable
+    // multiplicative hash (tie-broken by id), enumerated WITHOUT a
+    // single-partition window (range partition + local row_number +
+    // partition offsets — Enumerate.withPosition).
+    "t15_global_shuffle" -> ((s, dir) => {
+      val key = pmod(col("doc_id") * 2654435761L, lit(1000000007L))
+      graft.ops.Enumerate.withPosition(
+        docs(s, dir).select(col("doc_id"), key.as("shuffle_key")),
+        "position", numPartitions = 32,
+        col("shuffle_key"), col("doc_id"))
+        .orderBy("position")
+    }),
+
     // Language ID heuristic (full oracle).
     "t01_langid" -> ((s, dir) => {
       docs(s, dir)
@@ -807,6 +820,15 @@ object LlmQueries {
              count(*) AS n_total, count(kept) AS n_kept,
              round(count(kept)::DOUBLE / count(*), 6) AS realized_rate
            FROM k GROUP BY source, rate_pct ORDER BY source""",
+      // The distributed enumeration must equal the naive global
+      // row_number over the same total order.
+      "t15_global_shuffle" ->
+        """SELECT doc_id,
+             (doc_id * 2654435761) % 1000000007 AS shuffle_key,
+             row_number() OVER (
+               ORDER BY (doc_id * 2654435761) % 1000000007, doc_id)
+               AS position
+           FROM documents ORDER BY position""",
       "t01_langid" -> {
         def score(lang: String): String = {
           val words = TextAnalysis.stopwords.toMap.apply(lang)

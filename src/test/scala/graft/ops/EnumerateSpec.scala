@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EnumerateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("positions are the contiguous global order, no global window") {
+    val df = (1L to 1000L).toDF("id")
+      .withColumn("key", pmod(col("id") * 7919L, lit(104729L)))
+    val out = Enumerate.withPosition(df, "pos", numPartitions = 8,
+      col("key"), col("id"))
+    val rows = out.select("key", "id", "pos")
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    // contiguous 1..N
+    assert(rows.map(_._3).toSeq == (1L to 1000L))
+    // and in (key, id) order
+    assert(rows.map(r => (r._1, r._2)).toSeq ==
+      rows.map(r => (r._1, r._2)).sortBy(identity).toSeq)
+    // the plan contains no single-partition global window: every
+    // window has a partition spec
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [")
+      || !plan.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      "global (unpartitioned) window found")
+  }
+
+  test("more partitions than rows still enumerates correctly") {
+    val df = (1L to 5L).toDF("id")
+    val out = Enumerate.withPosition(df, "pos", numPartitions = 16,
+      col("id"))
+    assert(out.select("pos").as[Long].collect().sorted.toSeq ==
+      (1L to 5L))
+  }
+}

@@ -86,7 +86,16 @@ object Similarity {
           array_sort(collect_list(struct(col("i"), col("mv")))),
           x => x.getField("mv")).as("cvec"))
     }
-    cents
+    // Materialize: the result is <= nCentroids rows by construction,
+    // but as a live plan every consumer (the lists assignment AND the
+    // probes assignment) would re-run the corpus-wide refinement —
+    // ReuseExchange does not fire across the two broadcast branches
+    // (verified in the physical plan). A driver-side copy turns the
+    // refined set into a literal broadcast input, exactly like the
+    // initial plan-time sample.
+    val spark = corpus.sparkSession
+    spark.createDataFrame(
+      java.util.Arrays.asList(cents.collect(): _*), cents.schema)
   }
 
   /** IVF-flat approximate top-k: partition the corpus into inverted

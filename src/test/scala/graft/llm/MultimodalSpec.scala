@@ -54,6 +54,26 @@ class MultimodalSpec extends SparkSpec {
     assert(samples.toSeq == px.toSeq.map(_ & 0xFF))
   }
 
+  test("JPEG payloads decode through the same path (lossy-tolerant)") {
+    // The decode path is format-agnostic (ImageIO sniffs the
+    // container); JPEG is lossy, so assert dims exactly and pixel
+    // stats within a tolerance instead of bit-exactness.
+    val w = 16
+    val h = 12
+    val px = Array.tabulate(w * h)(i => (((i * 31) % 128) + 64).toByte)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, px)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val (dw, dh, samples) = Multimodal.ImageCodec.decode(bos.toByteArray)
+    assert(dw == w && dh == h)
+    val srcMean = px.map(_ & 0xFF).sum.toDouble / px.length
+    val decMean = samples.sum.toDouble / samples.length
+    assert(math.abs(srcMean - decMean) < 8.0,
+      s"JPEG mean drifted: src $srcMean vs decoded $decMean")
+  }
+
   test("distributed image decode recovers source raster stats") {
     val media = spark.createDataset(Seq(1L, 2L)).mapPartitions { it =>
       it.map { id =>

@@ -152,6 +152,106 @@ object Similarity {
       .select("qid", "id", "cosine", "rank")
   }
 
+  /** Product-quantization ANN (the ADC half of Jegou et al.'s IVFADC,
+    * TPAMI 2011): split each vector into `segments` subvectors,
+    * quantize every subvector to its nearest codeword from a
+    * per-segment codebook, and answer queries by ASYMMETRIC distance —
+    * the query stays exact, each corpus vector is represented by its
+    * `segments` code bytes, and the approximate distance is the sum of
+    * per-segment query→codeword distances. A `shortlist` of best
+    * approximate candidates is then reranked with exact cosine.
+    *
+    * Scale shape: codes are `segments` small ints per vector (the
+    * 8-byte-per-vector compression that makes billion-vector search
+    * feasible; production would pack them into one int column). The
+    * code assignment is a broadcast join against `segments x
+    * codebookSize` codewords + windowed argmin; the ADC scan joins the
+    * tiny per-query lookup table (nq x segments x codebookSize rows)
+    * to the codes on (segment, code) and sums per (query, id) —
+    * DECIMAL accumulation so the ranking is partition-order
+    * independent and externally restatable.
+    *
+    * Codebooks are LCG-ordered corpus samples (like [[ivfTopK]]'s
+    * centroids — [[refineCentroids]] per segment is the production
+    * refinement, dropped in the same way).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      segments: Int = 4, codebookSize: Int = 16, shortlist: Int = 50,
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    require(dim % segments == 0, "dim must divide into segments")
+    val segLen = dim / segments
+    // Driver-side codebook: codebookSize sampled vectors (bounded
+    // collect, like the refined centroids), code = sample rank.
+    val sampled = corpus
+      .orderBy(((col("id") * 1103515245L + 12345L) % 2147483648L).asc,
+        col("id").asc)
+      .limit(codebookSize)
+      .select(col("vec")).collect().map(_.getSeq[Double](0))
+    import spark.implicits._
+    val codebook = (for {
+      (v, code) <- sampled.zipWithIndex
+      seg <- 0 until segments
+    } yield (seg, code, v.slice(seg * segLen, (seg + 1) * segLen)))
+      .toSeq.toDF("seg", "code", "cseg")
+
+    def segmented(df: DataFrame, idCol: String, vecCol: String)
+        : DataFrame =
+      df.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(segments - 1)),
+          s => slice(col(vecCol), s * segLen + 1, lit(segLen)))))
+        .withColumnRenamed("pos", "seg")
+        .withColumnRenamed("col", "vseg")
+
+    val l2 = aggregate(zip_with(col("vseg"), col("cseg"),
+      (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
+
+    // Corpus codes: per (id, segment) the nearest codeword.
+    val aw = Window.partitionBy(col("id"), col("seg"))
+      .orderBy(col("_d").asc, col("code").asc)
+    val codes = segmented(corpus, "id", "vec")
+      .join(broadcast(codebook), "seg")
+      .withColumn("_d", l2)
+      .withColumn("_r", row_number().over(aw))
+      .where(col("_r") === 1)
+      .select(col("id"), col("seg"), col("code"))
+
+    // Per-query lookup table: distance from each query subvector to
+    // every codeword (nq x segments x codebookSize rows — tiny).
+    val qlut = segmented(queries, "qid", "qvec")
+      .join(broadcast(codebook), "seg")
+      .withColumn("d", l2)
+      .select(col("qid"), col("seg"), col("code"), col("d"))
+
+    // ADC scan: sum the per-segment lookups; DECIMAL so the 4-way sum
+    // is associative-safe across partitions.
+    val approx = codes.join(broadcast(qlut), Seq("seg", "code"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("d").cast("decimal(38,18)")).cast("double")
+        .as("adist"))
+    val sw = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("id").asc)
+    val short = approx
+      .where(if (excludeSelf) col("qid") =!= col("id") else lit(true))
+      .withColumn("_sr", row_number().over(sw))
+      .where(col("_sr") <= shortlist)
+      .select("qid", "id")
+
+    // Exact rerank of the shortlist.
+    val joined = short
+      .join(corpus, "id")
+      .join(queries.select(col("qid"), col("qvec")), "qid")
+      .withColumn("cosine",
+        GraftFunctions.arrayCosine(col("qvec"), col("vec")))
+    val rw = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    joined
+      .withColumn("rank", row_number().over(rw))
+      .where(col("rank") <= k)
+      .select("qid", "id", "cosine", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: probe the query's signature bucket
     * (plus all hamming-1 neighbor buckets when `multiProbe`), rank by
     * exact cosine within the probed set. Recall is tuned by `planes`

@@ -170,6 +170,24 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // Product-quantization ANN: asymmetric-distance shortlist over
+    // per-segment codes + exact cosine rerank. Codebooks are the
+    // LCG-ordered sample; every double accumulation is either a
+    // left-assoc fold (segment L2, restated as list_reduce) or a
+    // DECIMAL sum (the 4-segment ADC total), so the oracle ranks
+    // identically.
+    "s06_ann_pq" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val queries = emb(s, dir).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qvec"))
+      Similarity.pqTopK(corpus, queries, k = 10, dim = 64)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("qid", "rank")
+    }),
+
     // Gopher-style repetition filters: vocabulary concentration and
     // top-bigram fraction from the fused one-pass kernel; the
     // repetitive flag uses the UNROUNDED fraction on both sides.
@@ -806,6 +824,55 @@ object LlmQueries {
                THEN top::DOUBLE / nb > 0.1 ELSE FALSE END
                AS is_repetitive
            FROM h ORDER BY doc_id""",
+      // PQ: code assignment by per-segment L2 argmin (left-assoc
+      // fold), ADC totals in DECIMAL, shortlist 50, exact rerank.
+      "s06_ann_pq" ->
+        s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             FROM embeddings),
+           q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+             FROM embeddings WHERE vec_id < 5),
+           samp AS (SELECT v, row_number() OVER (
+               ORDER BY (id * 1103515245 + 12345) % 2147483648 ASC,
+                 id ASC) - 1 AS code
+             FROM e QUALIFY code < 16),
+           cb AS (SELECT seg, code,
+               v[seg*16+1 : seg*16+16] AS cseg
+             FROM samp CROSS JOIN range(4) t(seg)),
+           codes AS (SELECT id, seg, code FROM (
+             SELECT e.id, c.seg, c.code, row_number() OVER (
+                 PARTITION BY e.id, c.seg ORDER BY
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   [(e.v[c.seg*16 + i] - c.cseg[i])
+                    * (e.v[c.seg*16 + i] - c.cseg[i])
+                    FOR i IN range(1, 17)]), (a, b) -> a + b) ASC,
+                 c.code ASC) AS r
+             FROM e CROSS JOIN cb c) WHERE r = 1),
+           qlut AS (SELECT q.qid, c.seg, c.code,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                 [(q.qv[c.seg*16 + i] - c.cseg[i])
+                  * (q.qv[c.seg*16 + i] - c.cseg[i])
+                  FOR i IN range(1, 17)]), (a, b) -> a + b) AS d
+             FROM q CROSS JOIN cb c),
+           approx AS (SELECT l.qid, c.id,
+               sum(l.d::DECIMAL(38,18))::DOUBLE AS adist
+             FROM codes c JOIN qlut l
+               ON c.seg = l.seg AND c.code = l.code
+             WHERE l.qid <> c.id
+             GROUP BY l.qid, c.id),
+           short AS (SELECT qid, id FROM (
+             SELECT qid, id, row_number() OVER (PARTITION BY qid
+               ORDER BY adist ASC, id ASC) AS sr FROM approx)
+             WHERE sr <= 50),
+           cand AS (SELECT s.qid, s.id,
+               list_cosine_similarity(q.qv, e.v) AS cos
+             FROM short s JOIN e ON s.id = e.id
+             JOIN q ON s.qid = q.qid),
+           ranked AS (SELECT qid, id, cos,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC, id ASC) AS rank FROM cand)
+           SELECT qid, id, round(cos, 6) AS cosine, rank
+           FROM ranked WHERE rank <= 10
+           ORDER BY qid, rank""",
       "t14_domain_mix" ->
         """WITH d AS (SELECT source, doc_id,
              regexp_extract(source, 'src(\d+)', 1)::INTEGER AS n

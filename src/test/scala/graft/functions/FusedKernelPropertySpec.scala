@@ -1,0 +1,77 @@
+package graft.functions
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.llm.{TextAnalysis, TextFunctions}
+
+/** Randomized equivalence of the fused native kernels against the
+  * higher-order-function compositions they replaced. The fixed-case
+  * pins live in `TextAnalysisSpec`/`DedupSimilaritySpec`; this spec
+  * drives the same pairs with seeded random inputs (messy whitespace,
+  * unicode, punctuation runs, duplicate-heavy arrays) so a divergence
+  * in any normalization or accumulation corner shows up as a failing
+  * seed, not a silent oracle drift. */
+class FusedKernelPropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val rnd = new Random(0xC0FFEE)
+
+  private def randText(): String = {
+    val alphabet = "abc DEF  \t\n.,;:!?'\"()[]{}ü日 0123456789-_/"
+    val n = rnd.nextInt(120)
+    (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+      .mkString
+  }
+
+  test("random texts: fused quality stats == HOF composition") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = (0 until 300).map(i => (i.toLong, randText()))
+      .toDF("doc_id", "text")
+    val out = df.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      TextAnalysis.tokenCount(col("text")).as("n_hof"),
+      round(TextAnalysis.qualityScore(col("text")), 6).as("q_hof"),
+      GraftFunctions.textQualityStats(col("text"),
+        TextAnalysis.allStopCsv).as("st"))
+      .select(col("doc_id"), col("n_hof"), col("q_hof"),
+        col("st.n_tokens").as("n_fused"),
+        TextAnalysis.qualityFromStats(col("st"), col("n_chars"))
+          .as("q_fused"))
+      .collect()
+    for (r <- out) {
+      assert(r.getAs[Int]("n_hof") == r.getAs[Int]("n_fused"),
+        s"token count diverged on doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Double]("q_hof") == r.getAs[Double]("q_fused"),
+        s"quality diverged on doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("random arrays: fused minhash verify == HOF form") {
+    graft.functions.GraftFunctions.register(spark)
+    val k = 16
+    val thr = 0.4
+    def sig(): Seq[Long] = Seq.fill(k)(rnd.nextInt(8).toLong)
+    def grams(): Seq[Long] =
+      Seq.fill(rnd.nextInt(12))(rnd.nextInt(20).toLong).distinct
+    val df = (0 until 300)
+      .map(_ => (sig(), sig(), grams(), grams()))
+      .toDF("mh_a", "mh_b", "sh_a", "sh_b")
+    val est = size(filter(zip_with(col("mh_a"), col("mh_b"),
+      (x, y) => x === y), e => e)).cast("double") / k
+    val out = df.select(
+      when(est >= thr * 0.5,
+        TextFunctions.jaccard(col("sh_a"), col("sh_b")))
+        .otherwise(lit(-1d)).as("hof"),
+      GraftFunctions.minhashJaccardVerify(col("mh_a"), col("mh_b"),
+        col("sh_a"), col("sh_b"), k, thr).as("fused"))
+      .collect()
+    for ((r, i) <- out.zipWithIndex)
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"row $i: HOF ${r.getDouble(0)} != fused ${r.getDouble(1)}")
+  }
+}

@@ -39,11 +39,18 @@ object RelationalQueries {
         .where(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
-            2).as("sum_disc_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          // Sums/avg of doubles accumulate in DECIMAL so the result
+          // is independent of partition order (double addition is not
+          // associative — the 10x fixture exposed the drift on q09).
+          round(sum(col("l_quantity").cast("decimal(38,6)")), 2)
+            .cast("double").as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(38,6)")), 2)
+            .cast("double").as("sum_base_price"),
+          round(sum((col("l_extendedprice")
+            * (lit(1) - col("l_discount"))).cast("decimal(38,6)")), 2)
+            .cast("double").as("sum_disc_price"),
+          round(sum(col("l_discount").cast("decimal(38,6)"))
+            .cast("double") / count(lit(1)), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -61,8 +68,9 @@ object RelationalQueries {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
-            2).as("revenue"),
+          round(sum((col("l_extendedprice")
+            * (lit(1) - col("l_discount"))).cast("decimal(38,6)")), 2)
+            .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("r_name"), col("n_name"))
     }),
@@ -143,7 +151,8 @@ object RelationalQueries {
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .rollup(col("n_name"), col("c_mktsegment"))
-        .agg(round(sum(col("o_totalprice")), 2).as("total"),
+        .agg(round(sum(col("o_totalprice").cast("decimal(38,6)")), 2)
+            .cast("double").as("total"),
           count(lit(1)).as("n"))
         .orderBy(col("n_name").asc_nulls_first,
           col("c_mktsegment").asc_nulls_first)
@@ -200,7 +209,8 @@ object RelationalQueries {
         .pointInRange(li, "ship_day", win, "lo", "hi", bucket = 7L)
         .groupBy("window_id")
         .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"))
+          round(sum(col("l_quantity").cast("decimal(38,6)")), 2)
+            .cast("double").as("sum_qty"))
         .orderBy("window_id")
     }),
 
@@ -264,7 +274,8 @@ object RelationalQueries {
     "q10_preagg_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
-        .agg(round(sum(col("l_extendedprice")), 2).as("order_value"),
+        .agg(round(sum(col("l_extendedprice").cast("decimal(38,6)")),
+            2).cast("double").as("order_value"),
           count(lit(1)).as("n_lines"))
       val o = t(s, dir, "orders")
       o.join(li, o("o_orderkey") === li("l_orderkey"))
@@ -320,17 +331,22 @@ object RelationalQueries {
          ORDER BY l_orderkey, l_linenumber""",
     "q02_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-         round(avg(l_discount), 6) AS avg_disc,
+         round(sum(l_quantity::DECIMAL(38,6)), 2)::DOUBLE AS sum_qty,
+         round(sum(l_extendedprice::DECIMAL(38,6)), 2)::DOUBLE
+           AS sum_base_price,
+         round(sum((l_extendedprice
+           * (1 - l_discount))::DECIMAL(38,6)), 2)::DOUBLE
+           AS sum_disc_price,
+         round(sum(l_discount::DECIMAL(38,6))::DOUBLE / count(*), 6)
+           AS avg_disc,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= '1998-09-02'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
     "q03_join_revenue" ->
       """SELECT r_name, n_name,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         round(sum((l_extendedprice
+           * (1 - l_discount))::DECIMAL(38,6)), 2)::DOUBLE AS revenue,
          count(*) AS n_items
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -355,7 +371,7 @@ object RelationalQueries {
            date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
              AS lo FROM orders WHERE o_orderkey % 97 = 0)
          SELECT window_id, count(*) AS n_items,
-           round(sum(l_quantity), 2) AS sum_qty
+           round(sum(l_quantity::DECIMAL(38,6)), 2)::DOUBLE AS sum_qty
          FROM li JOIN win
          ON ship_day >= lo AND ship_day < lo + 14
          GROUP BY window_id ORDER BY window_id""",
@@ -414,7 +430,8 @@ object RelationalQueries {
          ORDER BY o_custkey""",
     "q09_rollup_revenue" ->
       """SELECT n_name, c_mktsegment,
-         round(sum(o_totalprice), 2) AS total, count(*) AS n
+         round(sum(o_totalprice::DECIMAL(38,6)), 2)::DOUBLE AS total,
+         count(*) AS n
          FROM orders
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -430,7 +447,9 @@ object RelationalQueries {
          ORDER BY o_orderpriority""",
     "q10_preagg_join" ->
       """WITH li AS (
-           SELECT l_orderkey, round(sum(l_extendedprice), 2) AS order_value,
+           SELECT l_orderkey,
+             round(sum(l_extendedprice::DECIMAL(38,6)), 2)::DOUBLE
+               AS order_value,
              count(*) AS n_lines
            FROM lineitem GROUP BY l_orderkey)
          SELECT o_orderkey, o_orderstatus, order_value, n_lines

@@ -234,13 +234,15 @@ object LlmQueries {
 
     // Reproducible global training order: total sort by a portable
     // multiplicative hash (tie-broken by id), enumerated WITHOUT a
-    // single-partition window (range partition + local row_number +
-    // partition offsets — Enumerate.withPosition).
+    // single-partition window (deterministic monotone bucketing +
+    // local row_number + bucket offsets — Enumerate.withPosition).
     "t15_global_shuffle" -> ((s, dir) => {
       val key = pmod(col("doc_id") * 2654435761L, lit(1000000007L))
       graft.ops.Enumerate.withPosition(
         docs(s, dir).select(col("doc_id"), key.as("shuffle_key")),
-        "position", numPartitions = 32,
+        "position",
+        graft.ops.Enumerate.rangeBucket(col("shuffle_key"),
+          1000000007L, 32),
         col("shuffle_key"), col("doc_id"))
         .orderBy("position")
     }),

@@ -11,7 +11,8 @@ class EnumerateSpec extends SparkSpec {
   test("positions are the contiguous global order, no global window") {
     val df = (1L to 1000L).toDF("id")
       .withColumn("key", pmod(col("id") * 7919L, lit(104729L)))
-    val out = Enumerate.withPosition(df, "pos", numPartitions = 8,
+    val out = Enumerate.withPosition(df, "pos",
+      Enumerate.rangeBucket(col("key"), 104729L, 8),
       col("key"), col("id"))
     val rows = out.select("key", "id", "pos")
       .as[(Long, Long, Long)].collect().sortBy(_._3)
@@ -28,10 +29,31 @@ class EnumerateSpec extends SparkSpec {
       "global (unpartitioned) window found")
   }
 
-  test("more partitions than rows still enumerates correctly") {
+  test("positions are identical across repeated evaluations") {
+    // The 10x fixture caught repartitionByRange boundaries varying
+    // between the counts job and the numbering job (sample seed is
+    // per-job); deterministic bucketing must yield the same positions
+    // every time, matching the naive single-window ground truth.
+    val df = (1L to 5000L).toDF("id")
+      .withColumn("key", pmod(col("id") * 2654435761L,
+        lit(1000000007L)))
+    def positions() = Enumerate.withPosition(df, "pos",
+      Enumerate.rangeBucket(col("key"), 1000000007L, 16),
+      col("key"), col("id"))
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    val first = positions()
+    assert(positions() == first)
+    val naive = df.select(col("id"), col("key"))
+      .as[(Long, Long)].collect()
+      .sortBy { case (id, key) => (key, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(first == naive)
+  }
+
+  test("more buckets than rows still enumerates correctly") {
     val df = (1L to 5L).toDF("id")
-    val out = Enumerate.withPosition(df, "pos", numPartitions = 16,
-      col("id"))
+    val out = Enumerate.withPosition(df, "pos",
+      Enumerate.rangeBucket(col("id"), 6L, 16), col("id"))
     assert(out.select("pos").as[Long].collect().sorted.toSeq ==
       (1L to 5L))
   }

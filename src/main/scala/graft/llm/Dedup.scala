@@ -54,6 +54,37 @@ object Dedup {
     * the band join and two id-keyed signature joins, all
     * hash-partitioned on small fixed-width keys.
     */
+  /** (id, sh, mh): distinct shingle hashes/strings + k-long minhash
+    * signature per document (shared by the batch and incremental
+    * dedup paths). */
+  private def minhashSigs(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, k: Int,
+      portable: Boolean): DataFrame = {
+    val shExpr: org.apache.spark.sql.Column =
+      if (portable)
+        graft.functions.GraftFunctions
+          .polyShingleHashes(col(textCol), shingleN)
+      else shingles(col(textCol), shingleN)
+    graft.core.Partitioning.ensureWidth(docs).select(
+      col(idCol).as("id"), shExpr.as("sh"))
+      .withColumn("mh",
+        if (portable)
+          graft.functions.GraftFunctions.polyMinhashLongs(col("sh"), k)
+        else graft.functions.GraftFunctions.minhashSig(col("sh"), k))
+  }
+
+  /** (id, band_idx, band_hash) exploded band buckets of signatures. */
+  private def bandBuckets(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int, portable: Boolean): DataFrame = {
+    val bandExpr =
+      if (portable) polyBands(col("mh"), bands, rowsPerBand)
+      else lshBands(col("mh"), bands, rowsPerBand)
+    sigs
+      .select(col("id"), posexplode(bandExpr))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+  }
+
   def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleN: Int = 5, bands: Int = 8,
       rowsPerBand: Int = 4, threshold: Double = 0.5,
@@ -74,24 +105,8 @@ object Dedup {
     // the 8-byte hash arrays instead of strings — half the shuffle
     // width, cheaper comparisons, same oracle-exact semantics (the
     // oracle hashes its distinct gram strings identically).
-    val shExpr: org.apache.spark.sql.Column =
-      if (portable)
-        graft.functions.GraftFunctions
-          .polyShingleHashes(col(textCol), shingleN)
-      else shingles(col(textCol), shingleN)
-    val sigs = graft.core.Partitioning.ensureWidth(docs).select(
-      col(idCol).as("id"), shExpr.as("sh"))
-      .withColumn("mh",
-        if (portable)
-          graft.functions.GraftFunctions.polyMinhashLongs(col("sh"), k)
-        else graft.functions.GraftFunctions.minhashSig(col("sh"), k))
-    val bandExpr =
-      if (portable) polyBands(col("mh"), bands, rowsPerBand)
-      else lshBands(col("mh"), bands, rowsPerBand)
-    val buckets = sigs
-      .select(col("id"), posexplode(bandExpr))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_hash")
+    val sigs = minhashSigs(docs, idCol, textCol, shingleN, k, portable)
+    val buckets = bandBuckets(sigs, bands, rowsPerBand, portable)
     // Corpus-sized self-join: force sort-merge (AQE upgrades it back
     // to broadcast at runtime when the fixture is genuinely small).
     // Catalyst's static size estimate for the exploded band rows is
@@ -139,6 +154,64 @@ object Dedup {
       .withColumn("jaccard", verified)
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** INCREMENTAL minhash near-dedup: candidate pairs between an
+    * existing corpus and a NEW batch only — the production shape at
+    * 100 TB, where re-deduping the whole corpus per ingest is
+    * unaffordable. The corpus's signatures/bands are a pure function
+    * of its documents (persist them once alongside the data; this
+    * operator recomputes them when handed raw text), and each batch
+    * pays |batch| x bucket-collision work instead of a corpus
+    * self-join. Same banding, estimate prefilter, and exact-Jaccard
+    * verify as [[minhashPairs]] — the only difference is the pair
+    * source: corpus bands join batch bands (no `id <` constraint; the
+    * two sides are distinct sets, and a shared id never pairs with
+    * itself).
+    *
+    * Returns (id_corpus, id_batch, jaccard).
+    */
+  def minhashPairsIncremental(corpus: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleN: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, portable: Boolean = false): DataFrame = {
+    val k = bands * rowsPerBand
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val cSigs = minhashSigs(corpus, idCol, textCol, shingleN, k,
+      portable)
+    val bSigs = minhashSigs(batch, idCol, textCol, shingleN, k,
+      portable)
+    val cBands = bandBuckets(cSigs, bands, rowsPerBand, portable)
+    val bBands = bandBuckets(bSigs, bands, rowsPerBand, portable)
+    // Corpus-sized join side: same merge discipline as the self-join
+    // (never broadcast the corpus on a bad array-column estimate; AQE
+    // still upgrades a genuinely small batch side at runtime).
+    val pairs = cBands.as("a").join(bBands.as("b").hint("merge"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_corpus"), col("b.id").as("id_batch"))
+      .distinct()
+    val est =
+      size(filter(zip_with(col("mh_a"), col("mh_b"),
+        (x, y) => x === y), e => e)).cast("double") / k
+    val verified =
+      if (portable)
+        graft.functions.GraftFunctions.minhashJaccardVerify(
+          col("mh_a"), col("mh_b"), col("sh_a"), col("sh_b"),
+          k, threshold)
+      else
+        when(est >= threshold * 0.5, jaccard(col("sh_a"), col("sh_b")))
+          .otherwise(lit(-1d))
+    pairs.hint("shuffle_hash")
+      .join(cSigs.select(col("id").as("id_corpus"),
+        col("mh").as("mh_a"), col("sh").as("sh_a")), "id_corpus")
+      .hint("shuffle_hash")
+      .join(bSigs.select(col("id").as("id_batch"),
+        col("mh").as("mh_b"), col("sh").as("sh_b")), "id_batch")
+      .withColumn("jaccard", verified)
+      .where(col("jaccard") >= threshold)
+      .select("id_corpus", "id_batch", "jaccard")
   }
 
   /** SimHash near-dedup: 64-bit signature; near-dups collide on at

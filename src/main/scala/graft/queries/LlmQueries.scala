@@ -40,6 +40,18 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Incremental near-dedup: every 5th doc arrives as the "new
+    // batch" and is deduped against the rest as the existing corpus —
+    // corpus bands join batch bands, no corpus self-join.
+    "d08_incremental_dedup" -> ((s, dir) => {
+      val corpus = docs(s, dir).where(col("doc_id") % 5 =!= 0)
+      val batch = docs(s, dir).where(col("doc_id") % 5 === 0)
+      Dedup.minhashPairsIncremental(corpus, batch, shingleN = 8,
+        bands = 16, rowsPerBand = 4, threshold = 0.3, portable = true)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_corpus", "id_batch")
+    }),
+
     // SimHash near-dup pairs, portable 30-bit signature (full oracle).
     "d03_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashPairs(docs(s, dir), maxHamming = 8, portable = true)
@@ -577,6 +589,50 @@ object LlmQueries {
                ELSE inter / (tot - inter) END AS jaccard FROM ver)
            WHERE jaccard >= 0.3
            ORDER BY id_a, id_b""",
+      // Incremental dedup: identical CTE chain to d02 up to the
+      // signatures; the pair source crosses the corpus (doc_id%5!=0)
+      // bands with the batch (doc_id%5=0) bands instead of
+      // self-joining.
+      "d08_incremental_dedup" ->
+        s"""WITH g AS (SELECT doc_id AS id,
+             list_distinct(CASE WHEN len(t) < 8 THEN [t]
+               ELSE [substr(t, i, 8)
+                 FOR i IN range(1, len(t) - 6)] END) AS grams
+             FROM (SELECT doc_id, $norm AS t FROM documents)),
+           hs AS (SELECT id,
+             ${polyHashListSql("grams")} AS hs FROM g),
+           sig AS (SELECT id, hs,
+             [list_min([((((i*1103515245 + 12345) % 1000000006) + 1) * h
+                + (i*69069 + 7) % 1000000007) % 1000000007
+               FOR h IN hs]) FOR i IN range(0, 64)] AS mh
+             FROM hs),
+           bands AS (SELECT id, b AS band_idx,
+             list_reduce(list_prepend(0::BIGINT, mh[b*4+1 : b*4+4]),
+               (a, v) -> (a*31 + v) % 1000000007) AS band_hash
+             FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bt),
+           pairs AS (SELECT DISTINCT a.id AS id_corpus,
+               b.id AS id_batch
+             FROM bands a JOIN bands b
+             ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.id % 5 <> 0 AND b.id % 5 = 0),
+           est AS (SELECT id_corpus, id_batch FROM pairs
+             JOIN sig sa ON sa.id = id_corpus
+             JOIN sig sb ON sb.id = id_batch
+             WHERE len([i FOR i IN range(1, 65)
+               IF sa.mh[i] = sb.mh[i]])::DOUBLE / 64 >= 0.15),
+           ver AS (SELECT id_corpus, id_batch,
+             len(list_intersect(sa.hs, sb.hs))::DOUBLE AS inter,
+             (len(sa.hs) + len(sb.hs))::DOUBLE AS tot
+             FROM est
+             JOIN sig sa ON sa.id = id_corpus
+             JOIN sig sb ON sb.id = id_batch)
+           SELECT id_corpus, id_batch, round(jaccard, 6) AS jaccard
+           FROM (
+             SELECT id_corpus, id_batch,
+               CASE WHEN tot - inter = 0 THEN 1.0
+               ELSE inter / (tot - inter) END AS jaccard FROM ver)
+           WHERE jaccard >= 0.3
+           ORDER BY id_corpus, id_batch""",
       // Portable 30-bit simhash: mixed polynomial token hashes vote on
       // 30 bits; five 6-bit sub-signatures block candidates; bit_count
       // of the xor verifies hamming <= 8.

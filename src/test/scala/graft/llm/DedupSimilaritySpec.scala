@@ -36,6 +36,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("incremental dedup pairs a new batch against the corpus only") {
+    val corpus = this.corpus.where(col("doc_id").isin(1L, 3L, 4L, 6L))
+    val batch = this.corpus.where(col("doc_id").isin(2L, 5L))
+    val pairs = Dedup.minhashPairsIncremental(corpus, batch,
+      shingleN = 3, bands = 16, rowsPerBand = 2, threshold = 0.5)
+      .select("id_corpus", "id_batch").as[(Long, Long)].collect().toSet
+    // the ws/case dup (1<-2) and the exact dup (4<-5) must surface;
+    // every pair crosses the sets (corpus id left, batch id right)
+    assert(pairs.contains((1L, 2L)) && pairs.contains((4L, 5L)))
+    assert(pairs.forall { case (c, b) =>
+      Set(1L, 3L, 4L, 6L)(c) && Set(2L, 5L)(b) })
+  }
+
   test("simhash: identical docs distance 0; near-dups small distance") {
     val sigs = corpus.select(col("doc_id"),
       TextFunctions.simHash(TextFunctions.tokens(col("text")))

@@ -55,6 +55,17 @@ object DayPruningRule extends Rule[LogicalPlan] {
     case EqualTo(a: Attribute, l @ Literal(_, StringType))
         if a.semanticEquals(dt) =>
       Some(EqualTo(day, dayLit(l.value)))
+    // dt IN (L1..Ln)  =>  day IN (prefix(L1)..prefix(Ln)) — each
+    // branch implies its own day, so the disjunction implies the
+    // prefix set.
+    case In(a: Attribute, list)
+        if a.semanticEquals(dt) && list.nonEmpty &&
+          list.forall {
+            case Literal(v, StringType) => v != null
+            case _ => false
+          } =>
+      Some(In(day, list.map(l =>
+        dayLit(l.asInstanceOf[Literal].value)).distinct))
     // literal-on-the-left mirror images
     case GreaterThanOrEqual(l @ Literal(_, StringType), a: Attribute)
         if a.semanticEquals(dt) =>

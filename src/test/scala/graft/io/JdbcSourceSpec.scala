@@ -115,6 +115,19 @@ class JdbcSourceSpec extends SparkSpec {
       == "`api_data_timeseries`")
   }
 
+  test("empty table: maxDate is None, count is 0") {
+    seeded
+    val conn = DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      """CREATE TABLE empty_ts (id BIGINT NOT NULL,
+         date_time VARCHAR(19) NOT NULL, value DOUBLE,
+         ts VARCHAR(19) NOT NULL)""")
+    finally conn.close()
+    val src = new JdbcSource(spark, url, "empty_ts")
+    assert(src.maxDate.isEmpty)
+    assert(src.count == 0L)
+  }
+
   test("extract lifecycle runs end-to-end over real JDBC") {
     seeded
     val lake = java.nio.file.Files

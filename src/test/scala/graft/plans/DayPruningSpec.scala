@@ -72,6 +72,19 @@ class DayPruningSpec extends AnyFunSuite {
     assert(scannedPartitions(df) == Seq("2024-03-07"))
   }
 
+  test("IN-list filter prunes to the days of its literals") {
+    val p = lakePath()
+    val df = Lake.read(spark, p)
+      .where(col("date_time").isin(
+        "2024-03-02 12:00:00", "2024-03-06 12:00:00",
+        "2024-03-06 23:59:59"))
+    assert(df.select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(2L, 6L))
+    val parts = scannedPartitions(df)
+    assert(parts == Seq("2024-03-02", "2024-03-06"),
+      s"scanned $parts — IN pruning failed")
+  }
+
   test("without the rule the same filter scans every partition") {
     val plain = isolatedSession(false)
     try {

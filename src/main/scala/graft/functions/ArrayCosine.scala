@@ -133,6 +133,10 @@ object GraftFunctions {
           exprs(3), exprs(4).eval().asInstanceOf[Int],
           exprs(5).eval().asInstanceOf[Double]), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_text_lang_id",
+        exprs => TextLangId(exprs(0), exprs(1).eval().toString),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_text_repetition_stats",
         exprs => TextRepetitionStats(exprs.head), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -191,6 +195,11 @@ object GraftFunctions {
     call_function("graft_minhash_jaccard_verify", mhA, mhB, shA, shB,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(threshold))
+
+  /** Column form (requires [[register]] on the session first). */
+  def textLangId(text: Column, spec: String): Column =
+    call_function("graft_text_lang_id", text,
+      org.apache.spark.sql.functions.lit(spec))
 
   /** Column form (requires [[register]] on the session first). */
   def textRepetitionStats(text: Column): Column =

@@ -128,6 +128,99 @@ object TextRepetition {
   }
 }
 
+/** One-pass language identification — the fused form of
+  * [[graft.llm.TextAnalysis.languageOf]]: tokenize the normalized
+  * text once, count per-language stopword hits via a single
+  * token→language-set map, and pick the FIRST language (in spec
+  * order) reaching the maximum hit count; "und" when nothing hits.
+  * Replaces one interpreted filter-with-`In` HOF pass per language
+  * (4x the whole-corpus scan cost of the quality kernel). */
+object LangId {
+
+  /** spec: "en:the,and,of|fr:le,la,..." parsed once at plan time. */
+  def parse(spec: String)
+      : (Array[String], java.util.HashMap[String, Array[Int]]) = {
+    val langs = spec.split('|').map(_.takeWhile(_ != ':'))
+    val m = new java.util.HashMap[String, Array[Int]]()
+    spec.split('|').zipWithIndex.foreach { case (part, i) =>
+      part.dropWhile(_ != ':').drop(1).split(',')
+        .filter(_.nonEmpty).foreach { w =>
+          val prev = m.get(w)
+          m.put(w, if (prev == null) Array(i) else prev :+ i)
+        }
+    }
+    (langs, m)
+  }
+
+  def detect(s: UTF8String, langs: Array[String],
+      words: java.util.HashMap[String, Array[Int]]): UTF8String = {
+    val lowered = s.toLowerCase.toString
+    val len = lowered.length
+    val counts = new Array[Int](langs.length)
+    val sb = new java.lang.StringBuilder(16)
+    def endToken(): Unit = if (sb.length > 0) {
+      val hit = words.get(sb.toString)
+      if (hit != null) {
+        var j = 0
+        while (j < hit.length) { counts(hit(j)) += 1; j += 1 }
+      }
+      sb.setLength(0)
+    }
+    var i = 0
+    while (i < len) {
+      val c = lowered.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+          c == '\f' || c == '\r') endToken()
+      else sb.append(c)
+      i += 1
+    }
+    endToken()
+    // first language reaching the max wins (strictly-greater fold)
+    var best = 0
+    var bestCount = counts(0)
+    var j = 1
+    while (j < counts.length) {
+      if (counts(j) > bestCount) { best = j; bestCount = counts(j) }
+      j += 1
+    }
+    UTF8String.fromString(if (bestCount > 0) langs(best) else "und")
+  }
+}
+
+/** Native fused language ID (see [[LangId]]). */
+case class TextLangId(child: Expression, spec: String)
+    extends UnaryExpression {
+
+  @transient private lazy val parsed = LangId.parse(spec)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${t.simpleString(10)}")
+    }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    LangId.detect(input.asInstanceOf[UTF8String], parsed._1, parsed._2)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val langsRef = ctx.addReferenceObj("langs", parsed._1,
+      "java.lang.String[]")
+    val wordsRef = ctx.addReferenceObj("words", parsed._2,
+      "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LangId.detect($c, $langsRef, $wordsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : TextLangId = copy(child = newChild)
+
+  override def prettyName: String = "text_lang_id"
+}
+
 /** Native fused repetition statistics (see [[TextRepetition]]). */
 case class TextRepetitionStats(child: Expression)
     extends UnaryExpression {

@@ -116,6 +116,11 @@ object TextAnalysis {
   val allStopCsv: String =
     stopwords.flatMap(_._2).distinct.mkString(",")
 
+  /** Per-language spec for the fused language-ID kernel
+    * ([[graft.functions.TextLangId]]); order defines the tie-break. */
+  val langSpec: String = stopwords
+    .map { case (l, ws) => s"$l:${ws.mkString(",")}" }.mkString("|")
+
   /** [[qualityScore]] recomputed from a one-pass
     * [[graft.functions.TextQualityStats]] struct (`st`) plus the char
     * length — identical formula, but token/stopword/punct counting is

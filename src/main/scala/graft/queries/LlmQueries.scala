@@ -259,11 +259,15 @@ object LlmQueries {
         .orderBy("position")
     }),
 
-    // Language ID heuristic (full oracle).
+    // Language ID heuristic (full oracle). Fused one-pass kernel —
+    // the per-language filter-In HOF tree cost 4x the quality scan;
+    // equivalence with TextAnalysis.languageOf is property-pinned.
     "t01_langid" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       docs(s, dir)
         .withColumn("lang_detected",
-          TextAnalysis.languageOf(col("text")))
+          graft.functions.GraftFunctions.textLangId(col("text"),
+            TextAnalysis.langSpec))
         .groupBy("lang_detected")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang_detected")

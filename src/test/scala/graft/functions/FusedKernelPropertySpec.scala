@@ -51,6 +51,30 @@ class FusedKernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("random texts: fused language ID == languageOf") {
+    graft.functions.GraftFunctions.register(spark)
+    // bias the generator toward stopwords so every language can win
+    val stop = TextAnalysis.stopwords.flatMap(_._2)
+    def biased(): String = {
+      val n = rnd.nextInt(30)
+      (0 until n).map { _ =>
+        if (rnd.nextBoolean()) stop(rnd.nextInt(stop.length))
+        else randText().take(6)
+      }.mkString(" ")
+    }
+    val df = (0 until 300).map(i => (i.toLong, biased()))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.languageOf(col("text")).as("hof"),
+      GraftFunctions.textLangId(col("text"),
+        TextAnalysis.langSpec).as("fused"))
+      .collect()
+    for (r <- out)
+      assert(r.getString(1) == r.getString(2),
+        s"doc ${r.getLong(0)}: HOF ${r.getString(1)} != " +
+          s"fused ${r.getString(2)}")
+  }
+
   test("random arrays: fused minhash verify == HOF form") {
     graft.functions.GraftFunctions.register(spark)
     val k = 16

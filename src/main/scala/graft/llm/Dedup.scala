@@ -219,7 +219,15 @@ object Dedup {
     * <= 3 (pigeonhole), verified exactly by bit_count. The portable
     * variant uses the 30-bit [[graft.functions.PolyHash]] signature in
     * five 6-bit sub-signatures (same blocking dataflow, external-oracle
-    * reproducible). */
+    * reproducible).
+    *
+    * Scale note: PRODUCTION corpora should use the 64-bit variant —
+    * 16-bit sub-signatures give 65k blocking buckets, vs 64 for the
+    * portable form, whose candidate volume on a near-duplicate-heavy
+    * corpus approaches quadratic (measured on the adversarial 10x
+    * fixture: the result itself is ~273M pairs because hamming <= 8
+    * genuinely holds across clone clusters — throughput stays
+    * ~1.4M verified pairs/s/32 cores, the answer is just big). */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3,
       portable: Boolean = false): DataFrame = {

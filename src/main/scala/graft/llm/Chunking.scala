@@ -31,19 +31,24 @@ object Chunking {
     // window starts: 0, stride, 2*stride, ... while start < n
     val starts = when(n <= 0, array().cast("array<int>"))
       .otherwise(sequence(lit(0), n - 1, lit(stride)))
+    // Build the per-doc chunk structs BEFORE the explode: exploding
+    // (id, tk, start) first duplicates the full token array into
+    // every chunk row's unsafe buffer (~chunks x tokens bytes of
+    // copy); this form materializes the token array once per doc,
+    // renders each chunk's text, and the explode fans out only the
+    // finished (len, text) structs.
     docs
       .select(col(idCol).as("id"), tk.as("tk"), starts.as("starts"))
-      .select(col("id"), col("tk"),
-        posexplode(col("starts")))
-      .withColumnRenamed("pos", "chunk_idx")
-      .withColumnRenamed("col", "start")
+      .select(col("id"), posexplode(transform(col("starts"),
+        s => struct(
+          least(size(col("tk")) - s, lit(chunkTokens)).as("len"),
+          array_join(slice(col("tk"), s + 1, lit(chunkTokens)), " ")
+            .as("text")))))
       .select(
         col("id"),
-        col("chunk_idx"),
-        least(size(col("tk")) - col("start"), lit(chunkTokens))
-          .as("chunk_tokens"),
-        array_join(slice(col("tk"), col("start") + 1,
-          lit(chunkTokens)), " ").as("chunk_text"))
+        col("pos").as("chunk_idx"),
+        col("col.len").as("chunk_tokens"),
+        col("col.text").as("chunk_text"))
   }
 
   /** Sequence packing: assign chunks to fixed token-budget bins by

@@ -55,10 +55,12 @@ object TextAnalysis {
 
   /** BPE-ish subword proxy count: alphabetic runs, digit runs, and
     * single punctuation marks each count as one token (the common
-    * pre-tokenizer split). */
+    * pre-tokenizer split). regexp_count, not
+    * size(regexp_extract_all): the count needs no match-array
+    * materialization. */
   def bpeishTokenCount(text: Column): Column =
-    size(call_function("regexp_extract_all", text,
-      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    call_function("regexp_count", text,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
   /** Quality features: length, punctuation ratio, stopword ratio,
     * mean token length, all-caps-ness. Appended as columns. */

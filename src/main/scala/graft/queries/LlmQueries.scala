@@ -275,9 +275,14 @@ object LlmQueries {
 
     // Token counting: whitespace + BPE-ish subword proxy (full oracle).
     "t02_token_counts" -> ((s, dir) => {
+      // whitespace count from the fused stats kernel; bpeish via a
+      // single regexp_count pass
+      graft.functions.GraftFunctions.register(s)
       docs(s, dir).select(
         col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        graft.functions.GraftFunctions
+          .textQualityStats(col("text"), TextAnalysis.allStopCsv)
+          .getField("n_tokens").as("n_tokens"),
         TextAnalysis.bpeishTokenCount(col("text")).as("n_subtokens"))
         .orderBy("doc_id")
     }),

@@ -498,6 +498,17 @@ object CdcQueries {
         .orderBy("user_id")
     }),
 
+    // Streaming-dedup contract in its deterministic batch/replay
+    // form: first event per (user, type) by event time.
+    "w08_stream_dedup" -> ((s, dir) => {
+      graft.streaming.StreamOps.dedupFirst(
+        events(s, dir), "ts", Seq("user_id", "event_type"),
+        tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          date_format(col("ts"), DT).as("first_ts"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // H2 split-brain guard, gated: a healthy snapshot set (a single
     // master node — user_id % 20 == 0 is one ip) and one with an
     // injected second master (user_id % 10 == 0 -> nodes 0 and 10).
@@ -859,6 +870,14 @@ object CdcQueries {
            SELECT coalesce((SELECT 'node' || node FROM dom), 'none')
              AS winner,
            (SELECT count(*) FROM stats)::BIGINT AS n_contenders""",
+      "w08_stream_dedup" ->
+        """SELECT user_id, event_type, event_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+           FROM (SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+               ORDER BY ts ASC, event_id ASC) AS rn
+             FROM events)
+           WHERE rn = 1 ORDER BY user_id, event_type""",
       // H2: the guard throws exactly when more than one master ip is
       // visible — so guard_threw is definitionally masters > 1.
       "h02_split_brain" ->

@@ -76,4 +76,22 @@ object StreamOps {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Batch/replay form of [[streamingDedup]]: the streaming operator
+    * keeps each key's first ARRIVAL within the watermark — replaying
+    * history, the reproducible statement of the same contract is the
+    * first row by EVENT TIME (with an explicit tie-break so the
+    * winner is total-order determined). One windowed rank per key,
+    * shuffle on the key columns only. */
+  def dedupFirst(events: DataFrame, tsCol: String,
+      keyCols: Seq[String], tieBreak: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(c => col(c).asc): _*)
+    events
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number()
+        .over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
 }

@@ -146,7 +146,11 @@ object LangId {
       part.dropWhile(_ != ':').drop(1).split(',')
         .filter(_.nonEmpty).foreach { w =>
           val prev = m.get(w)
-          m.put(w, if (prev == null) Array(i) else prev :+ i)
+          // A word duplicated within one language's list must count
+          // once per token, matching the HOF `filter` semantics the
+          // kernel is pinned against — hence the contains guard.
+          if (prev == null) m.put(w, Array(i))
+          else if (!prev.contains(i)) m.put(w, prev :+ i)
         }
     }
     (langs, m)

@@ -120,6 +120,18 @@ object Lake {
     * deterministic hash salt, so a 2 GB day compacts to ~16 files of
     * ~128 MB, not one giant file.
     *
+    * Placement is EXACT, not hash-approximate: each row's target output
+    * partition is `offset(day) + (xxhash64(id) mod want(day))`, and that
+    * index is routed to precisely that shuffle partition by inverting
+    * Spark's `HashPartitioning` with a plan-time probe table (for every
+    * partition id we pre-compute an int whose murmur3 lands there — see
+    * [[hashPartitionProbes]]). Salt buckets of one day can therefore
+    * never collide into the same output partition, and two days never
+    * co-locate: a compacted day ends up with exactly `want` files
+    * whenever every salt bucket is non-empty (guaranteed-approached as
+    * rows-per-day >> want; an empty bucket just writes one file fewer,
+    * never more).
+    *
     * The rewrite is idempotent and content-preserving (same rows, same
     * schema — gated end-to-end by `c15_compaction`); a crash mid-write
     * is repaired by rerunning, exactly like the day-overwrite extract.
@@ -149,22 +161,59 @@ object Lake {
     if (plan.isEmpty) return Seq.empty
 
     val wantByDay = plan.map { case (d, _, w, _) => (d, w) }
-    // The target-count lookup is a plan-time literal map: one entry
-    // per compacted day, bounded by the maintenance batch size (pass
-    // a day-ranged path for multi-year sweeps).
+    // The target-count and day-offset lookups are plan-time literal
+    // maps: one entry per compacted day, bounded by the maintenance
+    // batch size (pass a day-ranged path for multi-year sweeps).
     val wantExpr = element_at(
       map(wantByDay.flatMap { case (d, w) =>
         Seq(lit(d), lit(w)) }: _*), col("day"))
+    val offsets = wantByDay.map(_._1)
+      .zip(wantByDay.scanLeft(0L)(_ + _._2))
+    val offsetExpr = element_at(
+      map(offsets.flatMap { case (d, o) =>
+        Seq(lit(d), lit(o)) }: _*), col("day"))
+    val total = plan.map(_._3).sum
+    // Row → global output-partition index, then index → probe value
+    // whose murmur3 hash lands on exactly that shuffle partition.
+    val probes = hashPartitionProbes(total)
+    val probeExpr = element_at(
+      map(probes.zipWithIndex.flatMap { case (v, p) =>
+        Seq(lit(p.toLong), lit(v)) }: _*),
+      offsetExpr + pmod(xxhash64(col("id")), wantExpr.cast("long")))
     val dirty = plan.map(_._1)
     val df = read(spark, path)
       .where(col("day").isin(dirty: _*))
-      .repartition(plan.map(_._3).sum,
-        col("day"), pmod(xxhash64(col("id")), wantExpr))
+      .withColumn("_cp", probeExpr)
+      .repartition(total, col("_cp"))
+      .drop("_cp")
     write(df, path, overwrite = true)
 
     plan.map { case (day, before, _, bytes) =>
       CompactionReport(day, before, filesOf(day).length, bytes)
     }
+  }
+
+  /** Inverse table for Spark's `HashPartitioning`: `probes(p)` is an
+    * int whose shuffle hash (`pmod(murmur3(v), n)` — evaluated with the
+    * exact Catalyst expressions `repartition(n, col)` plans, so seed
+    * and type semantics can never drift) equals `p`. Routing a row
+    * through a probe-valued column makes `repartition` place it on a
+    * chosen partition deterministically. Driver cost is the coupon-
+    * collector expectation O(n ln n) hash evals — microseconds for the
+    * few-thousand-partition maintenance batches this serves. */
+  private[io] def hashPartitionProbes(n: Int): Array[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+    val out = new Array[Int](n)
+    val found = new Array[Boolean](n)
+    var remaining = n
+    var v = 0
+    while (remaining > 0) {
+      val p = Pmod(new Murmur3Hash(Seq(Literal(v))), Literal(n))
+        .eval(null).asInstanceOf[Int]
+      if (!found(p)) { found(p) = true; out(p) = v; remaining -= 1 }
+      v += 1
+    }
+    out
   }
 
   /** M1+M2 applied to a lake path: read only the dirty days (partition

@@ -28,10 +28,21 @@ object Mixing {
   def keep(id: Column, rate: Column): Column =
     pmod(xxhash64(id), lit(M)) < floor(rate * M).cast("long")
 
-  /** Oracle-portable keep-predicate (LCG step; same fraction kept). */
-  def keepPortable(id: Column, rate: Column): Column =
-    pmod(id * 1103515245L + 12345L, lit(2147483648L)) % M <
+  /** Oracle-portable keep-predicate (LCG step; same fraction kept).
+    *
+    * Defined for the FULL int64 id domain: the id is first reduced to
+    * a non-negative residue mod 2^31 (`pmod`, so negative ids land in
+    * `[0, 2^31)` on every engine — plain `%` truncates toward zero and
+    * would diverge between Spark `pmod` and SQL `%` on negatives),
+    * which also bounds the LCG multiply at (2^31-1) * 1103515245
+    * ≈ 2.4e18 < Long.MaxValue — no overflow, ANSI-mode safe. The SQL
+    * restatement is `((id % 2^31) + 2^31) % 2^31` for the reduction;
+    * every later operand is non-negative so plain `%` matches `pmod`. */
+  def keepPortable(id: Column, rate: Column): Column = {
+    val m = lit(2147483648L)
+    pmod(pmod(id, m) * 1103515245L + 12345L, m) % M <
       floor(rate * M).cast("long")
+  }
 
   /** Filtered frame: rows surviving the mix at their row's rate. */
   def sampleByRate(df: DataFrame, id: Column, rate: Column,

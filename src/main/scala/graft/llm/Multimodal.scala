@@ -66,11 +66,19 @@ object Multimodal {
     }
 
     /** Decode any ImageIO-supported payload (PNG/JPEG/BMP/GIF) to
-      * (width, height, row-major band-0 samples). */
+      * (width, height, row-major band-0 samples). The feature contract
+      * downstream is 8-bit samples (the oracle recomputes stats over
+      * byte-range pixels), so deeper rasters — e.g. 16-bit PNGs, which
+      * ImageIO happily decodes — are rejected here rather than
+      * silently mis-scaled. */
     def decode(payload: Array[Byte]): (Int, Int, Array[Int]) = {
       val img = javax.imageio.ImageIO
         .read(new java.io.ByteArrayInputStream(payload))
       require(img != null, "payload is not a decodable image")
+      val bits = img.getRaster.getSampleModel.getSampleSize(0)
+      require(bits <= 8,
+        s"decode: expected <=8-bit samples, got $bits-bit (band 0); " +
+          "re-encode to an 8-bit raster before feature extraction")
       val w = img.getWidth
       val h = img.getHeight
       val samples =
@@ -93,8 +101,11 @@ object Multimodal {
       rows.map { r =>
         val (w, h, px) = ImageCodec.decode(r.payload)
         var sum = 0L
-        var min = 255
-        var max = 0
+        // Seed extrema from the sample domain's identity elements, not
+        // an assumed 8-bit ceiling — decode enforces the 8-bit contract
+        // but the stats stay correct for any sample depth.
+        var min = Int.MaxValue
+        var max = Int.MinValue
         var hash = 0L
         var i = 0
         while (i < px.length) {

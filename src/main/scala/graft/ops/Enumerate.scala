@@ -41,9 +41,20 @@ object Enumerate {
   def withPosition(df: DataFrame, posCol: String, bucket: Column,
       keys: Column*): DataFrame = {
     val bucketed = df.withColumn("_bkt", bucket.cast("long"))
-    // One count per bucket: O(#buckets) driver state.
+    // One count per bucket: O(#buckets) driver state. A null bucket
+    // key has no place in the total order (its rows would either
+    // throw here or silently take null positions) — fail fast with
+    // the contract instead.
     val counts = bucketed.groupBy("_bkt").count()
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"Enumerate.withPosition: bucket expression produced NULL " +
+            s"for ${r.getLong(1)} row(s); the bucket must be a " +
+            "non-null monotone function of the keys (null keys have " +
+            "no position in a total order — filter or coalesce them " +
+            "before enumerating)")
+        (r.getLong(0), r.getLong(1))
+      }
       .sortBy(_._1)
     val offsets = counts.map(_._1)
       .zip(counts.scanLeft(0L)(_ + _._2))

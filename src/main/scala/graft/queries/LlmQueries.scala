@@ -945,7 +945,8 @@ object LlmQueries {
              regexp_extract(source, 'src(\d+)', 1)::INTEGER AS n
            FROM documents),
            k AS (SELECT source, (1 + n % 5) * 20 AS rate_pct,
-             CASE WHEN (doc_id * 1103515245 + 12345) % 2147483648
+             CASE WHEN (((doc_id % 2147483648) + 2147483648)
+                   % 2147483648 * 1103515245 + 12345) % 2147483648
                  % 1000000
                < floor(((1 + n % 5)::DOUBLE / 5.0) * 1000000)::BIGINT
                THEN 1 END AS kept

@@ -75,6 +75,26 @@ class FusedKernelPropertySpec extends SparkSpec {
           s"fused ${r.getString(2)}")
   }
 
+  test("duplicate stopword within one language counts once per token") {
+    // "the" listed twice for en: pre-fix the word→langs map appended
+    // the index per occurrence, double-counting every "the" token.
+    // Here fr genuinely wins 2-to-1; the double count made it a 2-2
+    // tie that the first-language fold handed to en.
+    val (langs, words) = LangId.parse("en:the,and,the|fr:le,la")
+    assert(words.get("the").toSeq == Seq(0))
+    val got = LangId.detect(
+      org.apache.spark.unsafe.types.UTF8String.fromString("le la the"),
+      langs, words)
+    assert(got.toString == "fr")
+
+    graft.functions.GraftFunctions.register(spark)
+    val viaCol = Seq("le la the").toDF("text")
+      .select(GraftFunctions.textLangId(col("text"),
+        "en:the,and,the|fr:le,la"))
+      .head().getString(0)
+    assert(viaCol == "fr")
+  }
+
   test("random arrays: fused minhash verify == HOF form") {
     graft.functions.GraftFunctions.register(spark)
     val k = 16

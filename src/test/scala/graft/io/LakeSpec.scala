@@ -163,6 +163,47 @@ class LakeSpec extends SparkSpec {
     assert(Lake.read(spark, path).count() == 4000)
   }
 
+  test("hash-partition probe table routes rows to chosen partitions") {
+    import org.apache.spark.sql.functions.spark_partition_id
+    val n = 37
+    val probes = Lake.hashPartitionProbes(n)
+    assert(probes.length == n)
+    // Each probe value, repartitioned by the probe column, must land
+    // on exactly the partition it was computed to invert.
+    val placed = probes.toSeq.toDF("v")
+      .repartition(n, $"v")
+      .select($"v", spark_partition_id().as("p"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    probes.zipWithIndex.foreach { case (v, p) =>
+      assert(placed(v) == p, s"probe $v should land on partition $p")
+    }
+  }
+
+  test("compaction hits the per-day target file count exactly") {
+    val path = tmp() + "/lake"
+    val rows = (for (d <- 1 to 3; i <- 1 to 3000) yield {
+      val day = f"2024-08-0$d"
+      ((d * 100000 + i).toLong, f"$day 10:${i % 60}%02d:${i % 60}%02d",
+        Some(i.toDouble), s"$day 12:00:00")
+    }).toDF("id", "date_time", "value", "ts")
+      .withColumn("day", substring($"date_time", 1, 10))
+    Lake.configure(spark)
+    Lake.write(rows.repartition(16), path)
+    val target = 16L * 1024
+    val report = Lake.compact(spark, path, targetBytesPerFile = target)
+    assert(report.size == 3)
+    // Deterministic placement: with rows >> want, every salt bucket is
+    // occupied and each day lands on EXACTLY ceil(bytes/target) files —
+    // no hash-collision undershoot, no day co-location.
+    report.foreach { r =>
+      val want = math.max(1L, (r.bytes + target - 1) / target)
+      assert(want > 1, s"fixture too small to exercise the salt: $r")
+      assert(r.filesAfter.toLong == want,
+        s"day ${r.day}: expected exactly $want files, got ${r.filesAfter}")
+    }
+    assert(Lake.read(spark, path).count() == 9000)
+  }
+
   test("reconciliation report") {
     val path = tmp()
     seed(path)

@@ -54,6 +54,22 @@ class MultimodalSpec extends SparkSpec {
     assert(samples.toSeq == px.toSeq.map(_ & 0xFF))
   }
 
+  test("decode rejects rasters deeper than 8 bits") {
+    // ImageIO decodes 16-bit grayscale PNGs happily; the feature
+    // contract is 8-bit samples (the stats oracle reasons over the
+    // byte range), so decode must reject rather than mis-scale.
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.getRaster.setSample(x, y, 0, 40000 + x * 1000 + y)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.ImageCodec.decode(bos.toByteArray)
+    }
+    assert(e.getMessage.contains("16-bit"), e.getMessage)
+  }
+
   test("JPEG payloads decode through the same path (lossy-tolerant)") {
     // The decode path is format-agnostic (ImageIO sniffs the
     // container); JPEG is lossy, so assert dims exactly and pixel

@@ -50,6 +50,18 @@ class EnumerateSpec extends SparkSpec {
     assert(first == naive)
   }
 
+  test("a null bucket key fails fast with the contract error") {
+    // Pre-fix, a null bucket silently grouped into a null _bkt whose
+    // getLong(0) threw a bare NullPointerException (or rows took null
+    // positions) — the contract must surface instead.
+    val df = Seq(Some(1L), Some(2L), None).toDF("key")
+    val e = intercept[IllegalArgumentException] {
+      Enumerate.withPosition(df, "pos", col("key"), col("key")).count()
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+    assert(e.getMessage.contains("1 row"), e.getMessage)
+  }
+
   test("more buckets than rows still enumerates correctly") {
     val df = (1L to 5L).toDF("id")
     val out = Enumerate.withPosition(df, "pos",

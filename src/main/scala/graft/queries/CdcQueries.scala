@@ -509,6 +509,48 @@ object CdcQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    // Streaming state evolution gated end-to-end: the fixture's event
+    // history replays through the REAL flatMapGroupsWithState operator
+    // (Monitor.anomaliesStream, state = last snapshot per node) in
+    // five event_id-ordered micro-batches, so every batch boundary is
+    // a state handoff — exactly what StreamOpsSpec could only assert
+    // against itself before. The oracle states the batch form (lag()
+    // per node), so stream == batch is what the hash gate certifies.
+    // The driver-side collect here feeds the MemoryStream TEST source
+    // and is bounded by the fixture; production ingest is the
+    // readStream file source (StreamOps.streamEvents).
+    "w09_stream_replay" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = events(s, dir).select(
+          col("user_id").cast("string"),
+          col("event_id"),
+          col("event_type") =!= "error")
+        .as[(String, Long, Boolean)]
+        .collect().sortBy(_._2)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = MemoryStream[(String, Long, Boolean)]
+      val snaps = mem.toDS().map { case (ip, poll, online) =>
+        graft.core.Schemas.NodeStatus(ip, online, isMaster = false,
+          replication = None, pollTs = poll)
+      }
+      val sink = "w09_sink"
+      s.catalog.dropTempView(sink)
+      val q = graft.monitor.Monitor.anomaliesStream(snaps)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try
+        rows.grouped(math.max(1, rows.length / 5 + 1)).foreach { b =>
+          mem.addData(b.toSeq)
+          q.processAllAvailable()
+        }
+      finally q.stop()
+      s.table(sink).select(
+          col("ip"), col("kind"), col("detail"),
+          col("pollTs").as("poll_ts"))
+        .orderBy("ip", "poll_ts", "kind")
+    }),
+
     // H2 split-brain guard, gated: a healthy snapshot set (a single
     // master node — user_id % 20 == 0 is one ip) and one with an
     // injected second master (user_id % 10 == 0 -> nodes 0 and 10).
@@ -878,6 +920,24 @@ object CdcQueries {
                ORDER BY ts ASC, event_id ASC) AS rn
              FROM events)
            WHERE rn = 1 ORDER BY user_id, event_type""",
+      // The streamed anomaly log must equal the batch lag() diff: with
+      // replication state absent and mastership constant, the only
+      // anomaly kind the diff can emit is online_flip, whose detail is
+      // "<prev> -> <cur>" over lowercase booleans.
+      "w09_stream_replay" ->
+        """WITH w AS (SELECT user_id::VARCHAR AS ip, event_id,
+             (event_type <> 'error') AS online,
+             lag(event_type <> 'error') OVER (PARTITION BY user_id
+               ORDER BY event_id) AS prev_online
+           FROM events)
+           SELECT ip, 'online_flip' AS kind,
+             (CASE WHEN prev_online THEN 'true' ELSE 'false' END)
+               || ' -> ' ||
+             (CASE WHEN online THEN 'true' ELSE 'false' END) AS detail,
+             event_id AS poll_ts
+           FROM w WHERE prev_online IS NOT NULL
+             AND online <> prev_online
+           ORDER BY ip, poll_ts""",
       // H2: the guard throws exactly when more than one master ip is
       // visible — so guard_threw is definitionally masters > 1.
       "h02_split_brain" ->

@@ -89,6 +89,37 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Sampled-domain aggregate witnesses for the two queries whose
+    // full oracles are combinatorial at the 10x stress fixture (d03's
+    // candidate join materializes ~273M pairs there; d07's recursive
+    // closure walks ~2.2M edges): a deterministic 10% doc slice
+    // (doc_id % 10 = 3) shrinks candidate volume ~100x so DuckDB can
+    // restate the SAME pipeline at both scales, and the order-free
+    // count+checksum witness pins the exact pair / survivor sets.
+    "d09_simhash_witness" -> ((s, dir) => {
+      val sample = docs(s, dir).where(col("doc_id") % 10 === 3)
+      Dedup.simhashPairs(sample, maxHamming = 8, portable = true)
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum((col("id_a") * 1000003L + col("id_b"))
+            % 1000000007L), lit(0L)).as("pair_checksum"),
+          coalesce(sum(col("hamming").cast("long")), lit(0L))
+            .as("hamming_sum"))
+    }),
+
+    "d10_cc_witness" -> ((s, dir) => {
+      val sample = docs(s, dir).where(col("doc_id") % 10 === 3)
+      val pairs = Dedup.ngramJaccardPairs(sample, shingleN = 8,
+        threshold = 0.3, maxDocFreq = 50)
+      Dedup.survivorsCC(sample, pairs)
+        .agg(
+          count(lit(1)).as("n_survivors"),
+          coalesce(sum(col("doc_id") % 1000000007L), lit(0L))
+            .as("id_checksum"),
+          coalesce(sum(col("n_chars").cast("long")), lit(0L))
+            .as("chars_sum"))
+    }),
+
     // Embedding-cosine near-dup through hyperplane LSH buckets. The
     // plane signs are plan-time constants baked identically into the
     // DuckDB oracle, so the query carries a full oracle.
@@ -670,6 +701,37 @@ object LlmQueries {
              bit_count(xor(sig_a, sig_b))::INTEGER AS hamming
            FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 8
            ORDER BY id_a, id_b""",
+      // d03's pipeline on the 10% slice, collapsed to the witness row.
+      "d09_simhash_witness" ->
+        s"""WITH tk AS (SELECT doc_id AS id,
+             string_split($norm, ' ') AS toks FROM documents
+             WHERE doc_id % 10 = 3),
+           hs AS (SELECT id,
+             [(h * 2654435761) % 1073741824 FOR h IN
+               ${polyHashListSql("toks")}] AS hs
+             FROM tk),
+           sig AS (SELECT id,
+             list_sum([CASE WHEN 2*len([h FOR h IN hs
+                 IF (h // (1::BIGINT << b)) % 2 = 1]) > len(hs)
+               THEN (1::BIGINT << b) ELSE 0 END
+               FOR b IN range(0, 30)])::BIGINT AS sig
+             FROM hs),
+           chunks AS (SELECT id, sig, c AS chunk_idx,
+             (sig // (1::BIGINT << (c*6))) % 64 AS chunk_val
+             FROM sig CROSS JOIN (SELECT unnest(range(5)) AS c) ct),
+           pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.sig AS sig_a, b.sig AS sig_b
+             FROM chunks a JOIN chunks b
+             ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+               AND a.id < b.id),
+           ham AS (SELECT id_a, id_b,
+             bit_count(xor(sig_a, sig_b))::BIGINT AS hamming
+             FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 8)
+           SELECT count(*)::BIGINT AS n_pairs,
+             coalesce(sum((id_a * 1000003 + id_b) % 1000000007),
+               0)::BIGINT AS pair_checksum,
+             coalesce(sum(hamming), 0)::BIGINT AS hamming_sum
+           FROM ham""",
       "d04_ngram_jaccard" ->
         s"""WITH idx AS (
              SELECT id, unnest(${polyHashListSql("grams")}) AS gram
@@ -760,6 +822,47 @@ object LlmQueries {
            SELECT doc_id, lang, n_chars FROM documents
            WHERE doc_id NOT IN (SELECT v FROM cc_losers)
            ORDER BY doc_id""",
+      // d07's closure on the 10% slice, collapsed to the witness row.
+      "d10_cc_witness" ->
+        s"""WITH RECURSIVE idx AS (
+             SELECT id, unnest(${polyHashListSql("grams")}) AS gram
+             FROM (
+               SELECT doc_id AS id,
+                 list_distinct(CASE WHEN len(t) < 8 THEN [t]
+                   ELSE [substr(t, i, 8)
+                     FOR i IN range(1, len(t) - 6)] END) AS grams
+               FROM (SELECT doc_id, $norm AS t FROM documents
+                 WHERE doc_id % 10 = 3))),
+           inf AS (SELECT id, gram FROM (
+             SELECT id, gram, count(*) OVER (PARTITION BY gram) AS df
+             FROM idx) WHERE df BETWEEN 2 AND 50),
+           sizes AS (SELECT id, count(*) AS sz FROM inf GROUP BY id),
+           inter AS (SELECT a.id AS id_a, b.id AS id_b,
+               count(*) AS inter
+             FROM inf a JOIN inf b
+             ON a.gram = b.gram AND a.id < b.id
+             GROUP BY 1, 2),
+           pairs AS (SELECT id_a, id_b FROM inter
+             JOIN sizes sa ON sa.id = id_a
+             JOIN sizes sb ON sb.id = id_b
+             WHERE inter::DOUBLE
+               / (sa.sz + sb.sz - inter)::DOUBLE >= 0.3),
+           edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+             UNION ALL SELECT id_b, id_a FROM pairs),
+           reach AS (
+             SELECT a AS v, b AS r FROM edges
+             UNION
+             SELECT re.v, e.b AS r FROM reach re
+             JOIN edges e ON re.r = e.a),
+           cc_losers AS (SELECT v FROM reach
+             GROUP BY v HAVING min(r) < v)
+           SELECT count(*)::BIGINT AS n_survivors,
+             coalesce(sum(doc_id % 1000000007), 0)::BIGINT
+               AS id_checksum,
+             coalesce(sum(n_chars), 0)::BIGINT AS chars_sum
+           FROM documents
+           WHERE doc_id % 10 = 3
+             AND doc_id NOT IN (SELECT v FROM cc_losers)""",
       "s01_ann_bruteforce" -> s01Sql,
       // Recall@10 of the LSH path vs the brute-force baseline, both
       // restated from their own oracle definitions.

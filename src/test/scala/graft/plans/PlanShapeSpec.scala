@@ -72,11 +72,14 @@ class PlanShapeSpec extends SparkSpec {
     // over the WHOLE suite except queries whose construction runs a
     // full lifecycle against an on-disk lake (slow, covered by the
     // driver gate itself).
-    val sideEffecting = Set("c13_lifecycle", "c15_compaction")
-    // d07's connected-components loop localCheckpoints each round to
-    // truncate lineage — a deliberate RDD materialization (bounded:
+    // w09's construction replays a real streaming query (its "plan" is
+    // the memory sink's local scan — nothing to guard).
+    val sideEffecting =
+      Set("c13_lifecycle", "c15_compaction", "w09_stream_replay")
+    // d07/d10's connected-components loop localCheckpoints each round
+    // to truncate lineage — a deliberate RDD materialization (bounded:
     // ids only, one row per doc), not the anti-pattern this guards.
-    val checkpointed = Set("d07_survivors_cc")
+    val checkpointed = Set("d07_survivors_cc", "d10_cc_witness")
     for (n <- SparkEntry.queries.keys.toSeq.sorted
         if !sideEffecting(n) && !checkpointed(n)) {
       val p = plan(n)

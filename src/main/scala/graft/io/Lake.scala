@@ -174,12 +174,15 @@ object Lake {
         Seq(lit(d), lit(o)) }: _*), col("day"))
     val total = plan.map(_._3).sum
     // Row → global output-partition index, then index → probe value
-    // whose murmur3 hash lands on exactly that shuffle partition.
+    // whose murmur3 hash lands on exactly that shuffle partition. The
+    // probe table is a LITERAL ARRAY indexed by the (1-based) global
+    // index: constant-folded once, O(1) per-row access — a literal
+    // map's GetMapValue would linear-scan all `total` entries per row.
     val probes = hashPartitionProbes(total)
     val probeExpr = element_at(
-      map(probes.zipWithIndex.flatMap { case (v, p) =>
-        Seq(lit(p.toLong), lit(v)) }: _*),
-      offsetExpr + pmod(xxhash64(col("id")), wantExpr.cast("long")))
+      array(probes.toIndexedSeq.map(lit): _*),
+      (offsetExpr + pmod(xxhash64(col("id")), wantExpr.cast("long")))
+        .cast("int") + 1)
     val dirty = plan.map(_._1)
     val df = read(spark, path)
       .where(col("day").isin(dirty: _*))

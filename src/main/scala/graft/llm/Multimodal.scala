@@ -123,7 +123,20 @@ object Multimodal {
 
   /** Deterministic VIDEO decode stub: in production this is the
     * ffmpeg call; here it derives stable pseudo-content from
-    * the payload bytes so tests can assert exact outputs. */
+    * the payload bytes so tests can assert exact outputs.
+    *
+    * Scope note (2026-08-12, round 5): a real in-JVM video decoder
+    * (JCodec or an ffmpeg JNI binding) cannot ship here — the build
+    * resolves no dependencies beyond the frozen `build.sbt` set and
+    * the JDK has no video counterpart to `javax.imageio` — so video
+    * decode stays a declared stub permanently in this environment.
+    * The Spark-side plumbing it exercises (binary column → per-task
+    * codec init in `mapPartitions` → typed frame rows → stride
+    * sampling) is the real, tested production dataflow; swapping
+    * `FakeCodec.{dims,features}` for a JCodec-backed implementation
+    * is a pure leaf substitution. Image decode is NOT
+    * stubbed: `ImageCodec` is real `javax.imageio` (8-bit contract
+    * enforced). */
   object FakeCodec {
     def dims(payload: Array[Byte]): (Int, Int) = {
       val h = java.util.Arrays.hashCode(payload)

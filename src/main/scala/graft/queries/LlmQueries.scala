@@ -290,6 +290,49 @@ object LlmQueries {
         .orderBy("position")
     }),
 
+    // End-to-end corpus curation: the operators composed the way a
+    // real training-data job runs them — exact dedup (min-id keeper
+    // per content hash), near-dup survivors (greedy star over the
+    // inverted-index jaccard pairs on the deduped corpus), fused
+    // quality scoring with a keep threshold, fused language ID,
+    // deterministic domain mixing, and final per-(source, lang) token
+    // accounting. One gated query proves the stages COMPOSE; each
+    // stage reuses the operator its individual gate verifies. Quality
+    // accumulates as DECIMAL so the aggregate is partition-order-free.
+    "t16_curation_pipeline" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = docs(s, dir)
+      // keepIds is corpus-cardinality (one id per distinct content) —
+      // shuffle_hash pins an id-keyed hash join so a bad size estimate
+      // can never broadcast it, per the dedup-family discipline.
+      val keepIds = Dedup.exact(d).select(col("keep_id").as("doc_id"))
+      val exact = d.join(keepIds.hint("shuffle_hash"), "doc_id")
+      val pairs = Dedup.ngramJaccardPairs(exact, shingleN = 8,
+        threshold = 0.3, maxDocFreq = 50)
+      val surv = Dedup.survivors(exact, pairs)
+      val scored = surv
+        .withColumn("st", graft.functions.GraftFunctions
+          .textQualityStats(col("text"), TextAnalysis.allStopCsv))
+        .withColumn("quality", TextAnalysis.qualityFromStats(
+          col("st"), length(col("text"))))
+        .where(col("quality") >= 0.2)
+        .withColumn("lang", graft.functions.GraftFunctions
+          .textLangId(col("text"), TextAnalysis.langSpec))
+      val mixed = scored
+        .withColumn("srcn",
+          regexp_extract(col("source"), "src(\\d+)", 1).cast("int"))
+        .withColumn("rate",
+          (lit(1) + col("srcn") % 5).cast("double") / lit(5d))
+        .where(graft.llm.Mixing.keepPortable(col("doc_id"),
+          col("rate")))
+      mixed.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("st.n_tokens").cast("long")).as("sum_tokens"),
+          round(sum(col("quality").cast("decimal(38,12)"))
+            .cast("double"), 6).as("sum_quality"))
+        .orderBy("source", "lang")
+    }),
+
     // Language ID heuristic (full oracle). Fused one-pass kernel —
     // the per-language filter-In HOF tree cost 4x the quality scan;
     // equivalence with TextAnalysis.languageOf is property-pinned.
@@ -1067,6 +1110,90 @@ object LlmQueries {
                ORDER BY (doc_id * 2654435761) % 1000000007, doc_id)
                AS position
            FROM documents ORDER BY position""",
+      // The full curation chain restated as one CTE pipeline, each
+      // stage the verbatim fragment of the gate that verifies it
+      // standalone (d01 keeper rule, d06 loser set on the deduped
+      // base, t03 quality, t01 greedy argmax, t14 keep predicate).
+      "t16_curation_pipeline" -> {
+        def score(lang: String): String = {
+          val words = TextAnalysis.stopwords.toMap.apply(lang)
+            .map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(tk, x -> x IN ($words)))"
+        }
+        s"""WITH keepx AS (SELECT min(doc_id) AS doc_id
+             FROM documents GROUP BY md5($norm)),
+           base AS (SELECT d.doc_id, d.source, d.text
+             FROM documents d JOIN keepx USING (doc_id)),
+           idx AS (SELECT id, unnest(${polyHashListSql("grams")}) AS gram
+             FROM (
+               SELECT doc_id AS id,
+                 list_distinct(CASE WHEN len(t) < 8 THEN [t]
+                   ELSE [substr(t, i, 8)
+                     FOR i IN range(1, len(t) - 6)] END) AS grams
+               FROM (SELECT doc_id, $norm AS t FROM base))),
+           inf AS (SELECT id, gram FROM (
+             SELECT id, gram, count(*) OVER (PARTITION BY gram) AS df
+             FROM idx) WHERE df BETWEEN 2 AND 50),
+           sizes AS (SELECT id, count(*) AS sz FROM inf GROUP BY id),
+           inter AS (SELECT a.id AS id_a, b.id AS id_b,
+               count(*) AS inter
+             FROM inf a JOIN inf b
+             ON a.gram = b.gram AND a.id < b.id
+             GROUP BY 1, 2),
+           losers AS (SELECT DISTINCT id_b FROM inter
+             JOIN sizes sa ON sa.id = id_a
+             JOIN sizes sb ON sb.id = id_b
+             WHERE inter::DOUBLE
+               / (sa.sz + sb.sz - inter)::DOUBLE >= 0.3),
+           surv AS (SELECT * FROM base
+             WHERE doc_id NOT IN (SELECT id_b FROM losers)),
+           f AS (SELECT doc_id, source, text,
+             string_split($norm, ' ') AS tk,
+             len(text) AS n_chars FROM surv),
+           g AS (SELECT doc_id, source, tk, len(tk) AS n_tokens,
+             least(len(tk)::DOUBLE / 50.0, 1.0) AS len_score,
+             CASE WHEN n_chars > 0 THEN
+               len(regexp_extract_all(text,
+                 '[.,;:!?''"()\\[\\]{}]'))::DOUBLE / n_chars::DOUBLE
+               ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(tk) > 0 THEN
+               len(list_filter(tk, x -> x IN (${TextAnalysis.stopwords
+                 .flatMap(_._2).distinct.map(w => s"'$w'")
+                 .mkString(", ")})))::DOUBLE / len(tk)::DOUBLE
+               ELSE 0.0 END AS stop_ratio
+             FROM f),
+           q AS (SELECT doc_id, source, tk, n_tokens,
+             round(round(len_score *
+               (CASE WHEN punct_ratio <= 0.2 THEN 1.0
+                 ELSE greatest(0.0, 1.0 - (punct_ratio - 0.2) * 5.0) END)
+               * (0.5 + least(stop_ratio * 10.0, 1.0) * 0.5), 6), 6)
+               AS quality
+             FROM g),
+           kept AS (SELECT * FROM q WHERE quality >= 0.2),
+           langed AS (SELECT doc_id, source, n_tokens, quality,
+             CASE
+               WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'und'
+               WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+               WHEN s_fr = greatest(s_fr, s_de, s_es) THEN 'fr'
+               WHEN s_de = greatest(s_de, s_es) THEN 'de'
+               ELSE 'es' END AS lang
+             FROM (SELECT doc_id, source, n_tokens, quality,
+               ${score("en")} AS s_en, ${score("fr")} AS s_fr,
+               ${score("de")} AS s_de, ${score("es")} AS s_es
+               FROM kept) s0),
+           mixed AS (SELECT * FROM langed
+             WHERE (((doc_id % 2147483648) + 2147483648)
+                 % 2147483648 * 1103515245 + 12345) % 2147483648
+                 % 1000000
+               < floor(((1 + regexp_extract(source, 'src(\\d+)', 1)
+                   ::INTEGER % 5)::DOUBLE / 5.0) * 1000000)::BIGINT)
+           SELECT source, lang, count(*) AS n_docs,
+             sum(n_tokens)::BIGINT AS sum_tokens,
+             round(sum(quality::DECIMAL(38,12))::DOUBLE, 6)
+               AS sum_quality
+           FROM mixed GROUP BY source, lang
+           ORDER BY source, lang"""
+      },
       "t01_langid" -> {
         def score(lang: String): String = {
           val words = TextAnalysis.stopwords.toMap.apply(lang)

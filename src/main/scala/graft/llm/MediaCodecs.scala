@@ -1,0 +1,323 @@
+package graft.llm
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** REAL pure-JVM media codecs for the multimodal operators — no
+  * external media libraries, only JDK built-ins.
+  *
+  *  - [[AviCodec]]: a standard RIFF/AVI container codec. Encodes and
+  *    decodes uncompressed 8-bit palettized DIB video (`00db` frame
+  *    chunks, `BI_RGB`, bottom-up rows, 4-byte row stride — the
+  *    classic "uncompressed AVI") and decodes MJPEG (`00dc` chunks,
+  *    `MJPG` fourcc) by handing each frame to `javax.imageio`'s JPEG
+  *    reader. DIB is lossless, so decoded pixel statistics can be
+  *    gated bit-exactly against an oracle that knows the source
+  *    raster (same strategy as the PNG image gate, mm02).
+  *  - [[WavCodec]]: 16-bit PCM mono WAV. Encoding writes the RIFF
+  *    `WAVE` layout directly; decoding goes through
+  *    `javax.sound.sampled.AudioSystem` — the real JDK audio stack —
+  *    so the gate exercises an actual third-party-grade parser, not
+  *    our own inverse. PCM is lossless: sample stats gate exactly.
+  *
+  * Reference behavior being re-expressed: the reference treats media
+  * payloads as opaque blobs and shells out to codecs at the edge
+  * (Parquet Export/README.md:1 describes the export pipeline; no
+  * in-engine decode exists there). Here decode is a first-class
+  * batched operator (see [[Multimodal.decodeVideoFrameFeatures]] /
+  * [[Multimodal.decodeAudioFeatures]]) with the per-task-init
+  * `mapPartitions` shape a 100 TB media crawl needs.
+  */
+object MediaCodecs {
+
+  private def fourcc(s: String): Int = {
+    require(s.length == 4, s"fourcc must be 4 chars: '$s'")
+    (s(0) & 0xFF) | ((s(1) & 0xFF) << 8) | ((s(2) & 0xFF) << 16) |
+      ((s(3) & 0xFF) << 24)
+  }
+
+  /** RIFF/AVI video codec. Public container spec (Microsoft "AVI RIFF
+    * File Reference"); layout written here:
+    * {{{
+    * RIFF('AVI '
+    *   LIST('hdrl' avih(56) LIST('strl' strh(56) strf(40[+palette])))
+    *   LIST('movi' 00db|00dc ...)
+    *   idx1)
+    * }}}
+    */
+  object AviCodec {
+    val FccRiff = fourcc("RIFF")
+    val FccAvi = fourcc("AVI ")
+    val FccList = fourcc("LIST")
+    val FccHdrl = fourcc("hdrl")
+    val FccAvih = fourcc("avih")
+    val FccStrl = fourcc("strl")
+    val FccStrh = fourcc("strh")
+    val FccStrf = fourcc("strf")
+    val FccMovi = fourcc("movi")
+    val FccVids = fourcc("vids")
+    val FccDib = fourcc("DIB ")
+    val FccMjpg = fourcc("MJPG")
+    val FccIdx1 = fourcc("idx1")
+    val Fcc00db = fourcc("00db")
+    val Fcc00dc = fourcc("00dc")
+
+    /** Decoded video: dims + per-frame row-major 8-bit samples. */
+    final case class Video(width: Int, height: Int,
+        microSecPerFrame: Int, frames: Vector[Array[Int]])
+
+    private def dibStride(width: Int): Int = (width + 3) & ~3
+
+    /** Encode 8-bit grayscale frames as an uncompressed palettized
+      * DIB AVI. `frames` are top-down row-major samples (the natural
+      * raster order); rows are flipped to DIB's bottom-up layout and
+      * padded to the 4-byte stride on the way in. Lossless. */
+    def encodeDib(width: Int, height: Int, fps: Int,
+        frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(width > 0 && height > 0 && fps > 0, "bad dims/fps")
+      require(frames.nonEmpty, "need at least one frame")
+      frames.foreach(f => require(f.length == width * height,
+        s"frame must carry ${width * height} samples, got ${f.length}"))
+      val stride = dibStride(width)
+      val frameBytes = stride * height
+
+      def chunk(fcc: Int, body: Array[Byte]): Array[Byte] = {
+        val pad = body.length & 1 // RIFF chunks are word-aligned
+        val bb = ByteBuffer.allocate(8 + body.length + pad)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(fcc).putInt(body.length).put(body)
+        bb.array()
+      }
+      def list(listType: Int, body: Array[Byte]): Array[Byte] = {
+        val bb = ByteBuffer.allocate(12 + body.length)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(FccList).putInt(4 + body.length).putInt(listType)
+          .put(body)
+        bb.array()
+      }
+
+      val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      avih.putInt(1000000 / fps) // dwMicroSecPerFrame
+        .putInt(frameBytes * fps) // dwMaxBytesPerSec
+        .putInt(0) // dwPaddingGranularity
+        .putInt(0x10) // dwFlags: AVIF_HASINDEX
+        .putInt(frames.length) // dwTotalFrames
+        .putInt(0) // dwInitialFrames
+        .putInt(1) // dwStreams
+        .putInt(frameBytes) // dwSuggestedBufferSize
+        .putInt(width).putInt(height)
+      // dwReserved[4] left zero
+
+      val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      strh.putInt(FccVids).putInt(FccDib)
+        .putInt(0) // dwFlags
+        .putInt(0) // wPriority + wLanguage
+        .putInt(0) // dwInitialFrames
+        .putInt(1) // dwScale
+        .putInt(fps) // dwRate
+        .putInt(0) // dwStart
+        .putInt(frames.length) // dwLength
+        .putInt(frameBytes) // dwSuggestedBufferSize
+        .putInt(-1) // dwQuality
+        .putInt(0) // dwSampleSize
+        .putShort(0.toShort).putShort(0.toShort)
+        .putShort(width.toShort).putShort(height.toShort) // rcFrame
+
+      // BITMAPINFOHEADER + 256-entry grayscale palette (8-bit DIB).
+      val strf = ByteBuffer.allocate(40 + 256 * 4)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      strf.putInt(40).putInt(width).putInt(height)
+        .putShort(1).putShort(8) // planes, bitcount
+        .putInt(0) // biCompression = BI_RGB
+        .putInt(frameBytes) // biSizeImage
+        .putInt(0).putInt(0) // pels/meter
+        .putInt(256).putInt(0) // clrUsed, clrImportant
+      var c = 0
+      while (c < 256) { // palette entry i = gray level i (BGRA order)
+        strf.put(c.toByte).put(c.toByte).put(c.toByte).put(0.toByte)
+        c += 1
+      }
+
+      val hdrl = list(FccHdrl,
+        chunk(FccAvih, avih.array()) ++
+          list(FccStrl,
+            chunk(FccStrh, strh.array()) ++
+              chunk(FccStrf, strf.array())))
+
+      val moviBody = new ByteArrayOutputStream()
+      val idxBody = ByteBuffer.allocate(16 * frames.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      var moviOffset = 4 // offsets in idx1 count from 'movi' fourcc
+      frames.foreach { f =>
+        val dib = new Array[Byte](frameBytes)
+        var y = 0
+        while (y < height) { // flip to bottom-up rows
+          System.arraycopy(f, y * width, dib,
+            (height - 1 - y) * stride, width)
+          y += 1
+        }
+        moviBody.write(chunk(Fcc00db, dib))
+        idxBody.putInt(Fcc00db).putInt(0x10) // AVIIF_KEYFRAME
+          .putInt(moviOffset).putInt(frameBytes)
+        moviOffset += 8 + frameBytes + (frameBytes & 1)
+      }
+      val movi = list(FccMovi, moviBody.toByteArray)
+      val idx1 = chunk(FccIdx1, idxBody.array())
+
+      val body = hdrl ++ movi ++ idx1
+      val out = ByteBuffer.allocate(12 + body.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      out.putInt(FccRiff).putInt(4 + body.length).putInt(FccAvi)
+        .put(body)
+      out.array()
+    }
+
+    /** Parse an AVI payload and decode every frame to row-major 8-bit
+      * samples. Handles `00db` DIB frames natively (stride strip +
+      * bottom-up flip) and `00dc` MJPEG frames via `javax.imageio`.
+      * Fails fast with a descriptive error on anything that is not a
+      * video-bearing AVI. */
+    def decode(payload: Array[Byte]): Video = {
+      val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      require(payload.length >= 12 && bb.getInt(0) == FccRiff &&
+        bb.getInt(8) == FccAvi, "payload is not a RIFF AVI")
+      val riffEnd = math.min(payload.length.toLong, 8L + bb.getInt(4))
+
+      var width = -1
+      var height = -1
+      var bitCount = -1
+      var compression = -1
+      var microSecPerFrame = 0
+      val frames = Vector.newBuilder[Array[Int]]
+
+      def decodeDib(pos: Int, len: Int): Array[Int] = {
+        require(bitCount == 8,
+          s"only 8-bit DIB frames supported, got $bitCount-bit")
+        val stride = dibStride(width)
+        require(len >= stride * height,
+          s"DIB frame truncated: $len < ${stride * height}")
+        val px = new Array[Int](width * height)
+        var y = 0
+        while (y < height) { // bottom-up rows -> top-down samples
+          val row = pos + (height - 1 - y) * stride
+          var x = 0
+          while (x < width) {
+            px(y * width + x) = payload(row + x) & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        px
+      }
+
+      def decodeJpeg(pos: Int, len: Int): Array[Int] = {
+        val img = javax.imageio.ImageIO.read(
+          new ByteArrayInputStream(payload, pos, len))
+        require(img != null, "MJPG frame is not a decodable JPEG")
+        require(img.getWidth == width && img.getHeight == height,
+          s"frame dims ${img.getWidth}x${img.getHeight} disagree " +
+            s"with stream header ${width}x$height")
+        img.getRaster.getSamples(0, 0, width, height, 0,
+          null: Array[Int])
+      }
+
+      // Walk a chunk range [pos, end); RIFF chunks are word-aligned.
+      def walk(pos0: Long, end: Long, inMovi: Boolean): Unit = {
+        var pos = pos0
+        while (pos + 8 <= end) {
+          val fcc = bb.getInt(pos.toInt)
+          val size = bb.getInt(pos.toInt + 4).toLong & 0xFFFFFFFFL
+          val dataPos = pos + 8
+          require(dataPos + size <= end,
+            s"chunk overruns container at offset $pos")
+          if (fcc == FccList) {
+            val listType = bb.getInt(dataPos.toInt)
+            walk(dataPos + 4, dataPos + size,
+              inMovi || listType == FccMovi)
+          } else if (fcc == FccAvih) {
+            microSecPerFrame = bb.getInt(dataPos.toInt)
+          } else if (fcc == FccStrf && width < 0) {
+            // BITMAPINFOHEADER of the first (video) stream
+            width = bb.getInt(dataPos.toInt + 4)
+            height = math.abs(bb.getInt(dataPos.toInt + 8))
+            bitCount = bb.getShort(dataPos.toInt + 14).toInt
+            compression = bb.getInt(dataPos.toInt + 16)
+          } else if (inMovi &&
+              (fcc == Fcc00db || fcc == Fcc00dc)) {
+            require(width > 0 && height > 0,
+              "frame chunk before stream format header")
+            frames += (if (compression == FccMjpg || fcc == Fcc00dc)
+              decodeJpeg(dataPos.toInt, size.toInt)
+            else decodeDib(dataPos.toInt, size.toInt))
+          } // else: skip (idx1, strh, strn, junk, ...)
+          pos = dataPos + size + (size & 1)
+        }
+      }
+
+      walk(12, riffEnd, inMovi = false)
+      require(width > 0 && height > 0, "no video stream format found")
+      Video(width, height, microSecPerFrame, frames.result())
+    }
+  }
+
+  /** 16-bit PCM mono WAV codec. Encode writes the RIFF `WAVE` layout
+    * directly; decode runs through `javax.sound.sampled.AudioSystem`
+    * so the parse path is the JDK's own audio stack. */
+  object WavCodec {
+
+    /** Encode signed 16-bit mono samples at `sampleRate` Hz. */
+    def encodePcm16(sampleRate: Int,
+        samples: Array[Short]): Array[Byte] = {
+      require(sampleRate > 0, "bad sample rate")
+      val dataLen = samples.length * 2
+      val bb = ByteBuffer.allocate(44 + dataLen)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(fourcc("RIFF")).putInt(36 + dataLen)
+        .putInt(fourcc("WAVE"))
+        .putInt(fourcc("fmt ")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2) // block align
+        .putShort(16) // bits per sample
+        .putInt(fourcc("data")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** Decode via the JDK audio stack → (sampleRate, samples).
+      * Accepts any container AudioSystem can open, but enforces the
+      * 16-bit signed PCM mono contract the feature gate assumes. */
+    def decodePcm16(payload: Array[Byte]): (Int, Array[Int]) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"expected 16-bit signed PCM mono, got $fmt")
+        val bytes = ais.readAllBytes()
+        require(bytes.length % 2 == 0, "odd PCM byte count")
+        val n = bytes.length / 2
+        val out = new Array[Int](n)
+        var i = 0
+        if (fmt.isBigEndian) {
+          while (i < n) {
+            out(i) = ((bytes(2 * i) << 8) |
+              (bytes(2 * i + 1) & 0xFF)).toShort.toInt
+            i += 1
+          }
+        } else {
+          while (i < n) {
+            out(i) = ((bytes(2 * i + 1) << 8) |
+              (bytes(2 * i) & 0xFF)).toShort.toInt
+            i += 1
+          }
+        }
+        (fmt.getSampleRate.toInt, out)
+      } finally ais.close()
+    }
+  }
+}

@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, plus batched decode /
   * feature-extraction operators.
   *
-  * IMAGE decode is REAL: [[ImageCodec]] round-trips 8-bit grayscale
-  * PNGs through `javax.imageio` (JDK built-in — no external media
-  * libs needed), and [[decodeImageFeatures]] extracts
-  * width/height/pixel statistics from the actual decoded raster.
-  * Video remains STUBBED ([[FakeCodec]], this environment has no
-  * ffmpeg): a deterministic stand-in that "decodes" a payload into a
-  * fixed-length feature vector from its bytes. The Spark-side contract
-  * is identical for both — binary column + metadata struct schema,
+  * IMAGE, VIDEO, and AUDIO decode are all REAL, pure JDK:
+  * [[ImageCodec]] round-trips 8-bit grayscale PNGs through
+  * `javax.imageio`; [[MediaCodecs.AviCodec]] parses RIFF/AVI
+  * containers (uncompressed DIB frames losslessly, MJPEG via the
+  * ImageIO JPEG reader) behind [[decodeVideoFrameFeatures]]; and
+  * [[MediaCodecs.WavCodec]] runs 16-bit PCM WAV through
+  * `javax.sound.sampled` behind [[decodeAudioFeatures]]. Only the
+  * embedding-featurizer step ([[FakeCodec.features]]) remains a
+  * deterministic stand-in (no model in the sandbox). The Spark-side
+  * contract is uniform — binary column + metadata struct schema,
   * batch iteration via mapPartitions (one codec init per task,
   * amortized over the partition like an Arrow/pandas batch UDF),
   * partition sizing by payload bytes.
@@ -46,6 +48,25 @@ object Multimodal {
       px_min: Int,
       px_max: Int,
       px_hash: Long)
+
+  final case class FrameFeatures(
+      media_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      px_sum: Long,
+      px_min: Int,
+      px_max: Int,
+      px_hash: Long)
+
+  final case class AudioFeatures(
+      media_id: Long,
+      sample_rate: Int,
+      n_samples: Int,
+      amp_min: Int,
+      amp_max: Int,
+      amp_sum: Long,
+      amp_hash: Long)
 
   /** Real image codec over `javax.imageio` (JDK built-in): 8-bit
     * grayscale PNG encode/decode. PNG is lossless, so decoded samples
@@ -121,22 +142,84 @@ object Multimodal {
     }
   }
 
-  /** Deterministic VIDEO decode stub: in production this is the
-    * ffmpeg call; here it derives stable pseudo-content from
-    * the payload bytes so tests can assert exact outputs.
-    *
-    * Scope note (2026-08-12, round 5): a real in-JVM video decoder
-    * (JCodec or an ffmpeg JNI binding) cannot ship here — the build
-    * resolves no dependencies beyond the frozen `build.sbt` set and
-    * the JDK has no video counterpart to `javax.imageio` — so video
-    * decode stays a declared stub permanently in this environment.
-    * The Spark-side plumbing it exercises (binary column → per-task
-    * codec init in `mapPartitions` → typed frame rows → stride
-    * sampling) is the real, tested production dataflow; swapping
-    * `FakeCodec.{dims,features}` for a JCodec-backed implementation
-    * is a pure leaf substitution. Image decode is NOT
-    * stubbed: `ImageCodec` is real `javax.imageio` (8-bit contract
-    * enforced). */
+  /** Batched REAL video decode: parse the AVI container
+    * ([[MediaCodecs.AviCodec]] — uncompressed 8-bit DIB and MJPEG,
+    * pure JDK), stride-sample frames, and emit per-sampled-frame
+    * pixel statistics (same sum/min/max/rolling-hash witness as
+    * [[decodeImageFeatures]], recomputable by an oracle that knows
+    * the source raster). flatMap shape: one video row → N frame
+    * rows. `stride` keeps the output volume bounded — a 100 TB crawl
+    * samples every k-th frame, it does not explode every frame. */
+  def decodeVideoFrameFeatures(media: Dataset[MediaRow],
+      stride: Int = 2): Dataset[FrameFeatures] = {
+    require(stride > 0, "stride must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val v = MediaCodecs.AviCodec.decode(r.payload)
+        (0 until v.frames.length by stride).iterator.map { f =>
+          val px = v.frames(f)
+          var sum = 0L
+          var min = Int.MaxValue
+          var max = Int.MinValue
+          var hash = 0L
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            sum += p
+            if (p < min) min = p
+            if (p > max) max = p
+            hash = (hash * 31 + p) % 1000000007L
+            i += 1
+          }
+          FrameFeatures(r.media_id, f, v.width, v.height, sum, min,
+            max, hash)
+        }
+      }
+    }
+  }
+
+  /** Batched REAL audio decode: 16-bit PCM through the JDK audio
+    * stack ([[MediaCodecs.WavCodec]]); emits per-clip amplitude
+    * statistics. The rolling hash shifts samples by +32768 so the
+    * fold stays over non-negative values — truncated `%` then agrees
+    * between JVM and SQL engines regardless of sign conventions. */
+  def decodeAudioFeatures(media: Dataset[MediaRow])
+      : Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, ss) = MediaCodecs.WavCodec.decodePcm16(r.payload)
+        var sum = 0L
+        var min = Int.MaxValue
+        var max = Int.MinValue
+        var hash = 0L
+        var i = 0
+        while (i < ss.length) {
+          val s = ss(i)
+          sum += s
+          if (s < min) min = s
+          if (s > max) max = s
+          hash = (hash * 31 + (s + 32768)) % 1000000007L
+          i += 1
+        }
+        AudioFeatures(r.media_id, rate, ss.length, min, max, sum,
+          hash)
+      }
+    }
+  }
+
+  /** Deterministic VIDEO featurize stub: stands in for an embedding
+    * model (the one step with no JDK-native implementation). Video
+    * DECODE is no longer stubbed — [[decodeVideoFrameFeatures]]
+    * parses real AVI containers (DIB lossless + MJPEG) and
+    * [[decodeAudioFeatures]] runs real PCM WAV through
+    * `javax.sound.sampled`; this object remains only as the
+    * deterministic featurizer behind [[decodeFeatures]] and the
+    * byte-slice frame stub [[sampleFrames]] (kept for payloads in
+    * formats the sandbox cannot parse). */
   object FakeCodec {
     def dims(payload: Array[Byte]): (Int, Int) = {
       val h = java.util.Arrays.hashCode(payload)

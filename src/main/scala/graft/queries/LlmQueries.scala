@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Chunking, Contamination, Dedup, Multimodal, Scrub, Similarity, Sketches, TextAnalysis, TextFunctions}
+import graft.llm.{Chunking, Contamination, Dedup, MediaCodecs, Multimodal, Scrub, Similarity, Sketches, TextAnalysis, TextFunctions}
 
 /** LLM-data-pipeline operator surface (north star,
   * `BASELINE.json`): dedup family, similarity search, text analysis,
@@ -564,6 +564,64 @@ object LlmQueries {
             .as("frame_len"),
           sha2(col("frame_bytes"), 256).as("frame_sha"))
         .orderBy("media_id", "frame_idx")
+    }),
+
+    // REAL video decode: each doc becomes an uncompressed-DIB AVI
+    // (dims, frame count, and pixels all functions of media_id, so
+    // the oracle knows every source raster), encoded into a standard
+    // RIFF container and decoded back by the AviCodec parser inside
+    // mapPartitions tasks. DIB is lossless, so the per-sampled-frame
+    // pixel stats gate the full container round trip exactly.
+    "mm04_video_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 7).toInt
+          val h = (8 + (id / 7) % 5).toInt
+          val n = (2 + id % 4).toInt
+          val frames = Seq.tabulate(n) { f =>
+            Array.tabulate[Byte](w * h)(i =>
+              ((id * 31 + f * 97 + i * 7) % 256).toByte)
+          }
+          val payload =
+            MediaCodecs.AviCodec.encodeDib(w, h, 10, frames)
+          Multimodal.MediaRow(id, payload, Multimodal.MediaMeta(
+            "video", payload.length.toLong, "", w, h))
+        }
+      }
+      Multimodal.decodeVideoFrameFeatures(media, stride = 2)
+        .select(col("media_id"), col("frame_idx"), col("width"),
+          col("height"),
+          round(col("px_sum").cast("double")
+            / (col("width") * col("height")), 6).as("mean_px"),
+          col("px_min"), col("px_max"), col("px_hash"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // REAL audio decode: each doc becomes a 16-bit PCM mono WAV
+    // (sample count and values functions of media_id), decoded back
+    // through javax.sound.sampled. PCM is lossless: amplitude stats
+    // gate the encode->binary-column->decode round trip exactly.
+    "mm05_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val n = (64 + id % 64).toInt
+          val samples = Array.tabulate[Short](n)(k =>
+            ((id * 13 + k * 31) % 4096 - 2048).toShort)
+          val payload = MediaCodecs.WavCodec.encodePcm16(8000,
+            samples)
+          Multimodal.MediaRow(id, payload, Multimodal.MediaMeta(
+            "audio", payload.length.toLong, "", 0, 0))
+        }
+      }
+      Multimodal.decodeAudioFeatures(media)
+        .select(col("media_id"), col("sample_rate"),
+          col("n_samples"), col("amp_min"), col("amp_max"),
+          col("amp_sum"), col("amp_hash"))
+        .orderBy("media_id")
     }))
 
   /** DuckDB restatement of the base-31 mod-1e9+7 polynomial hash of
@@ -1441,6 +1499,51 @@ object LlmQueries {
              least(1024, len - frame_idx*1024)::BIGINT AS frame_len,
              sha256(substr(text, (frame_idx*1024 + 1)::INTEGER, 1024))
                AS frame_sha
-           FROM idx ORDER BY media_id, frame_idx""")
+           FROM idx ORDER BY media_id, frame_idx""",
+      // The oracle restates the SOURCE frame formula (dims, frame
+      // count, and pixels are functions of media_id and frame_idx);
+      // the Spark side must recover exactly these stats from the
+      // decoded AVI container. Stride-2 frame sampling.
+      "mm04_video_decode" ->
+        """WITH v AS (SELECT doc_id AS media_id,
+             (8 + (doc_id % 7))::BIGINT AS w,
+             (8 + ((doc_id // 7) % 5))::BIGINT AS h,
+             (2 + (doc_id % 4))::BIGINT AS n
+           FROM documents),
+           fr AS (SELECT media_id, w, h,
+             unnest(range(0, n, 2)) AS frame_idx FROM v),
+           px AS (SELECT media_id, w, h, frame_idx,
+             [(media_id*31 + frame_idx*97 + i*7) % 256
+              FOR i IN range(0, w*h)] AS ps
+           FROM fr)
+           SELECT media_id, frame_idx::INTEGER AS frame_idx,
+             w::INTEGER AS width, h::INTEGER AS height,
+             round(list_sum(ps)::DOUBLE / (w*h), 6) AS mean_px,
+             list_min(ps)::INTEGER AS px_min,
+             list_max(ps)::INTEGER AS px_max,
+             list_reduce(list_prepend(0::BIGINT, ps),
+               (acc, c) -> (acc*31 + c) % 1000000007)::BIGINT
+               AS px_hash
+           FROM px ORDER BY media_id, frame_idx""",
+      // Source sample formula for the PCM WAV round trip; the +32768
+      // shift keeps the rolling-hash fold over non-negative values so
+      // truncated % agrees across engines.
+      "mm05_audio_decode" ->
+        """WITH a AS (SELECT doc_id AS media_id,
+             (64 + (doc_id % 64))::BIGINT AS n FROM documents),
+           smp AS (SELECT media_id, n,
+             [(media_id*13 + k*31) % 4096 - 2048
+              FOR k IN range(0, n)] AS ss
+           FROM a)
+           SELECT media_id, 8000 AS sample_rate,
+             n::INTEGER AS n_samples,
+             list_min(ss)::INTEGER AS amp_min,
+             list_max(ss)::INTEGER AS amp_max,
+             list_sum(ss)::BIGINT AS amp_sum,
+             list_reduce(list_prepend(0::BIGINT,
+               [s + 32768 FOR s IN ss]),
+               (acc, c) -> (acc*31 + c) % 1000000007)::BIGINT
+               AS amp_hash
+           FROM smp ORDER BY media_id""")
   }
 }

@@ -120,6 +120,10 @@ object GraftFunctions {
         exprs => PolyShingleHashes(exprs(0),
           exprs(1).eval().asInstanceOf[Int]), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_poly_shingle_hashes_all",
+        exprs => PolyShingleHashesAll(exprs(0),
+          exprs(1).eval().asInstanceOf[Int]), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_poly_minhash_longs",
         exprs => PolyMinHashLongs(exprs(0),
           exprs(1).eval().asInstanceOf[Int]), "built-in")
@@ -177,6 +181,11 @@ object GraftFunctions {
   /** Column form (requires [[register]] on the session first). */
   def polyShingleHashes(text: Column, n: Int): Column =
     call_function("graft_poly_shingle_hashes", text,
+      org.apache.spark.sql.functions.lit(n))
+
+  /** Column form (requires [[register]] on the session first). */
+  def polyShingleHashesAll(text: Column, n: Int): Column =
+    call_function("graft_poly_shingle_hashes_all", text,
       org.apache.spark.sql.functions.lit(n))
 
   /** Column form (requires [[register]] on the session first). */

@@ -150,6 +150,36 @@ object PolyHash {
     java.util.Arrays.copyOf(out, count)
   }
 
+  /** ALL n-gram instance hashes of the normalized text, in position
+    * order — the non-distinct sibling of [[shingleHashes]], for
+    * instance-level (exact-substring) duplication statistics where
+    * how MANY times a gram occurs matters, not just whether it
+    * occurs. Short texts yield the single whole-text hash, matching
+    * the `CASE len < n` arm of the oracle restatement. */
+  def shingleHashesAll(s: UTF8String, n: Int): Array[Long] = {
+    val cps = normalizedCodePoints(s)
+    val len = cps.length
+    if (len < n) {
+      var acc = 0L
+      var i = 0
+      while (i < len) { acc = (acc * 31L + cps(i)) % P; i += 1 }
+      return Array(acc)
+    }
+    var pow1 = 1L
+    var j = 1
+    while (j < n) { pow1 = pow1 * 31L % P; j += 1 }
+    val out = new Array[Long](len - n + 1)
+    var h1 = 0L
+    var i = 0
+    while (i < len) {
+      if (i >= n) h1 = (h1 - cps(i - n) * pow1 % P + P) % P
+      h1 = (h1 * 31L + cps(i)) % P
+      if (i >= n - 1) out(i - n + 1) = h1
+      i += 1
+    }
+    out
+  }
+
   /** Fused minhash-estimate prefilter + exact Jaccard verify over a
     * candidate pair (see [[MinhashJaccardVerify]]): count matching
     * signature positions; if the estimate `matches/k` clears half the
@@ -252,6 +282,37 @@ case class PolyShingleHashes(child: Expression, n: Int)
       : PolyShingleHashes = copy(child = newChild)
 
   override def prettyName: String = "poly_shingle_hashes"
+}
+
+/** Non-distinct sibling of [[PolyShingleHashes]]: every n-gram
+  * instance hash in position order (see
+  * [[PolyHash.shingleHashesAll]]). */
+case class PolyShingleHashesAll(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${t.simpleString(10)}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, false)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(PolyHash.shingleHashesAll(
+      input.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.PolyHash.shingleHashesAll($c, $n))")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PolyShingleHashesAll = copy(child = newChild)
+
+  override def prettyName: String = "poly_shingle_hashes_all"
 }
 
 /** Native scalar form of the base-31 polynomial hash — semantically

@@ -435,4 +435,45 @@ object Dedup {
       docs.join(losers, Seq(idCol), "left_anti")
     } finally edges.unpersist()
   }
+
+  /** Exact-substring duplication statistics (the instance-level
+    * complement of doc-level near-dup): for every document, how many
+    * of its character n-gram INSTANCES also occur elsewhere in the
+    * corpus (or again in the same document). This is the
+    * span-duplication signal of Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better" (ACL 2022) — there computed
+    * with a suffix array on one machine; here as two hash
+    * aggregations over a fused rolling-hash kernel, which is the
+    * shape that scales out: the exploded gram stream shuffles once on
+    * the gram key (corpus-wide instance counts) and once on the doc
+    * key (per-doc rollup), no all-pairs anything, and only (id, gram
+    * hash) longs ever travel. Docs shorter than `n` chars hash as one
+    * whole-text gram, so every document appears in the output.
+    *
+    * Output: doc_id, n_grams, dup_grams, dup_fraction — the fraction
+    * feeding the usual "drop docs with > X% duplicated spans" curation
+    * rule (RefinedWeb-style). */
+  def duplicatedNgramStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", gramChars: Int = 20,
+      minCount: Long = 2L): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val grams = graft.core.Partitioning.ensureWidth(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.GraftFunctions
+          .polyShingleHashesAll(col(textCol), gramChars)).as("g"))
+    // Corpus-wide instance counts; the gram-keyed exchange is shared
+    // with the semi-join below by ReuseExchange (same shape d04 uses).
+    val dupGrams = grams.groupBy("g")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .select("g")
+    val dupPerDoc = grams
+      .join(dupGrams.hint("shuffle_hash"), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_grams"))
+    grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup_grams"))
+      .withColumn("dup_fraction", round(col("dup_grams")
+        .cast("double") / col("n_grams").cast("double"), 6))
+  }
 }

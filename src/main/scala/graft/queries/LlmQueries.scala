@@ -120,6 +120,15 @@ object LlmQueries {
             .as("chars_sum"))
     }),
 
+    // Exact-substring duplication stats (Lee et al. 2022 span-dedup
+    // signal): per-doc count + fraction of character-20-gram
+    // INSTANCES that repeat anywhere in the corpus. Full oracle: the
+    // rolling-hash kernel is restated gram-by-gram in DuckDB.
+    "d11_substring_dup" -> ((s, dir) => {
+      Dedup.duplicatedNgramStats(docs(s, dir), gramChars = 20)
+        .orderBy("doc_id")
+    }),
+
     // Embedding-cosine near-dup through hyperplane LSH buckets. The
     // plane signs are plan-time constants baked identically into the
     // DuckDB oracle, so the query carries a full oracle.
@@ -964,6 +973,29 @@ object LlmQueries {
            FROM documents
            WHERE doc_id % 10 = 3
              AND doc_id NOT IN (SELECT v FROM cc_losers)""",
+      // Instance-level duplicated-gram stats: the rolling-hash kernel
+      // restated without list_distinct (instances, not the set), then
+      // corpus-wide counts and a per-doc rollup — mirrors
+      // Dedup.duplicatedNgramStats exactly, whole-text-hash arm
+      // included.
+      "d11_substring_dup" ->
+        s"""WITH g AS (
+             SELECT id, unnest(${polyHashListSql("grams")}) AS gram
+             FROM (
+               SELECT doc_id AS id,
+                 CASE WHEN len(t) < 20 THEN [t]
+                   ELSE [substr(t, i, 20)
+                     FOR i IN range(1, len(t) - 18)] END AS grams
+               FROM (SELECT doc_id, $norm AS t FROM documents))),
+           cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+           per AS (SELECT id, count(*)::BIGINT AS n_grams,
+               sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::BIGINT
+                 AS dup_grams
+             FROM g JOIN cnt USING (gram) GROUP BY id)
+           SELECT id AS doc_id, n_grams, dup_grams,
+             round(dup_grams::DOUBLE / n_grams::DOUBLE, 6)
+               AS dup_fraction
+           FROM per ORDER BY doc_id""",
       "s01_ann_bruteforce" -> s01Sql,
       // Recall@10 of the LSH path vs the brute-force baseline, both
       // restated from their own oracle definitions.

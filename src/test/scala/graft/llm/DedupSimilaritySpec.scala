@@ -228,4 +228,53 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(none == Set(1L, 2L, 3L, 4L, 5L, 6L))
   }
+
+  test("shingleHashesAll equals the HOF substring+polyhash form " +
+      "on randomized strings (instances, position order)") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab c"
+    val strs = (0 until 60).map { i =>
+      val len = rnd.nextInt(12) // 0..11: below, at, above n=4
+      (i.toLong, (0 until len).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = strs.toDF("id", "s")
+    val norm = trim(regexp_replace(lower(col("s")), "\\s+", " "))
+    val hof = when(length(norm) < 4,
+      array(aggregate(split(norm, ""), lit(0L),
+        (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)))
+      .otherwise(transform(
+        sequence(lit(1), length(norm) - 3),
+        i => aggregate(split(norm.substr(i, lit(4)), ""),
+          lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)))
+    val got = df.select(col("id"),
+      graft.functions.GraftFunctions.polyShingleHashesAll(col("s"), 4)
+        .as("k"), hof.as("h"))
+      .collect()
+    got.foreach { r =>
+      val k = r.getAs[scala.collection.Seq[Long]]("k")
+      val h = r.getAs[scala.collection.Seq[Long]]("h")
+      assert(k == h, s"id=${r.getLong(0)}: kernel $k vs HOF $h")
+    }
+  }
+
+  test("duplicatedNgramStats matches a hand-computed model " +
+      "(shared spans count per instance, short docs whole-text)") {
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc"), // shares "aaaa" gram region with doc 2
+      (2L, "aaaa bbbb dddd"),
+      (3L, "zz"), // shorter than n -> whole-text gram, unique
+      (4L, "zz")) // exact short dup of 3
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedNgramStats(docs, gramChars = 6)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("dup_grams")))
+      .toMap
+    // "aaaa bbbb cccc" has 9 6-grams; the first 5 ("aaaa b".." bbbb ")
+    // also occur in doc 2; from "bbbb c" vs "bbbb d" onward the
+    // cccc/dddd tail is in reach and the grams differ.
+    assert(out(1L) == (9L, 5L) && out(2L) == (9L, 5L))
+    assert(out(3L) == (1L, 1L) && out(4L) == (1L, 1L))
+  }
 }

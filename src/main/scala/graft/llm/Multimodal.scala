@@ -211,6 +211,89 @@ object Multimodal {
     }
   }
 
+  /** Batched REAL image resize: decode ([[ImageCodec]]), nearest-
+    * neighbor downsample to `dstW` x `dstH` (dst(x,y) = src at
+    * (floor(y*srcH/dstH), floor(x*srcW/dstW)) — integer index math,
+    * so an oracle can recompute every resized pixel from the source
+    * raster without an image library), and emit the same pixel-stat
+    * witness as [[decodeImageFeatures]] over the RESIZED raster.
+    * Nearest-neighbor is the deterministic baseline of the usual
+    * thumbnail/embedding-prep step; a box-filter variant changes only
+    * the per-pixel kernel, not the dataflow. */
+  def resizeImageFeatures(media: Dataset[MediaRow], dstW: Int,
+      dstH: Int): Dataset[ImageFeatures] = {
+    require(dstW > 0 && dstH > 0, "bad target dims")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = ImageCodec.decode(r.payload)
+        var sum = 0L
+        var min = Int.MaxValue
+        var max = Int.MinValue
+        var hash = 0L
+        var y = 0
+        while (y < dstH) {
+          val sy = y.toLong * h / dstH
+          var x = 0
+          while (x < dstW) {
+            val sx = x.toLong * w / dstW
+            val p = px((sy * w + sx).toInt)
+            sum += p
+            if (p < min) min = p
+            if (p > max) max = p
+            hash = (hash * 31 + p) % 1000000007L
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeatures(r.media_id, dstW, dstH, sum, min, max, hash)
+      }
+    }
+  }
+
+  final case class AudioWindow(
+      media_id: Long,
+      win_idx: Int,
+      energy: Long,
+      peak: Int,
+      win_hash: Long)
+
+  /** Batched REAL audio feature extraction: decode
+    * ([[MediaCodecs.WavCodec]]) and emit per-window features over
+    * non-overlapping `window`-sample frames — energy (sum of squared
+    * amplitudes), peak (max |amplitude|), and the +32768-shifted
+    * rolling hash as the exact-content witness. The trailing partial
+    * window is dropped (fixed-shape frames, as a spectrogram/feature
+    * model consumes them). flatMap shape: one clip → N window rows. */
+  def audioWindowFeatures(media: Dataset[MediaRow],
+      window: Int = 256): Dataset[AudioWindow] = {
+    require(window > 0, "window must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (_, ss) = MediaCodecs.WavCodec.decodePcm16(r.payload)
+        (0 until ss.length / window).iterator.map { wi =>
+          var energy = 0L
+          var peak = 0
+          var hash = 0L
+          var i = wi * window
+          val end = i + window
+          while (i < end) {
+            val s = ss(i)
+            energy += s.toLong * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            hash = (hash * 31 + (s + 32768)) % 1000000007L
+            i += 1
+          }
+          AudioWindow(r.media_id, wi, energy, peak, hash)
+        }
+      }
+    }
+  }
+
   /** Deterministic VIDEO featurize stub: stands in for an embedding
     * model (the one step with no JDK-native implementation). Video
     * DECODE is no longer stubbed — [[decodeVideoFrameFeatures]]

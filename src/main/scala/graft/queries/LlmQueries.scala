@@ -631,6 +631,55 @@ object LlmQueries {
           col("n_samples"), col("amp_min"), col("amp_max"),
           col("amp_sum"), col("amp_hash"))
         .orderBy("media_id")
+    }),
+
+    // REAL image resize: same PNG generation as mm02, decoded and
+    // nearest-neighbor downsampled to 8x8; the oracle recomputes
+    // every resized pixel from the source formula via the integer
+    // index mapping — gating decode + resize together.
+    "mm06_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + (id / 9) % 9).toInt
+          val px = Array.tabulate(w * h)(i =>
+            ((id * 31 + i * 7) % 256).toByte)
+          val payload = Multimodal.ImageCodec.encodePng(w, h, px)
+          Multimodal.MediaRow(id, payload, Multimodal.MediaMeta(
+            "image", payload.length.toLong, "", w, h))
+        }
+      }
+      Multimodal.resizeImageFeatures(media, dstW = 8, dstH = 8)
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("px_sum").cast("double")
+            / (col("width") * col("height")), 6).as("mean_px"),
+          col("px_min"), col("px_max"), col("px_hash"))
+        .orderBy("media_id")
+    }),
+
+    // REAL audio feature extraction: same WAV generation as mm05;
+    // per non-overlapping 32-sample window, energy / peak / content
+    // hash. flatMap 1->N; trailing partial window dropped.
+    "mm07_audio_windows" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val n = (64 + id % 64).toInt
+          val samples = Array.tabulate[Short](n)(k =>
+            ((id * 13 + k * 31) % 4096 - 2048).toShort)
+          val payload = MediaCodecs.WavCodec.encodePcm16(8000,
+            samples)
+          Multimodal.MediaRow(id, payload, Multimodal.MediaMeta(
+            "audio", payload.length.toLong, "", 0, 0))
+        }
+      }
+      Multimodal.audioWindowFeatures(media, window = 32)
+        .select(col("media_id"), col("win_idx"), col("energy"),
+          col("peak"), col("win_hash"))
+        .orderBy("media_id", "win_idx")
     }))
 
   /** DuckDB restatement of the base-31 mod-1e9+7 polynomial hash of
@@ -1576,6 +1625,47 @@ object LlmQueries {
                [s + 32768 FOR s IN ss]),
                (acc, c) -> (acc*31 + c) % 1000000007)::BIGINT
                AS amp_hash
-           FROM smp ORDER BY media_id""")
+           FROM smp ORDER BY media_id""",
+      // Resized pixel (x,y) maps to source index
+      // ((y*h)//8)*w + (x*w)//8; with y = k//8, x = k%8 the oracle
+      // computes each resized pixel straight from the source formula
+      // — no image machinery needed on the oracle side.
+      "mm06_image_resize" ->
+        """WITH im AS (SELECT doc_id AS media_id,
+             (8 + (doc_id % 9))::BIGINT AS w,
+             (8 + ((doc_id // 9) % 9))::BIGINT AS h
+           FROM documents),
+           px AS (SELECT media_id,
+             [(media_id*31 +
+               ((k // 8) * h // 8 * w + (k % 8) * w // 8) * 7) % 256
+              FOR k IN range(0, 64)] AS ps
+           FROM im)
+           SELECT media_id, 8 AS width, 8 AS height,
+             round(list_sum(ps)::DOUBLE / 64, 6) AS mean_px,
+             list_min(ps)::INTEGER AS px_min,
+             list_max(ps)::INTEGER AS px_max,
+             list_reduce(list_prepend(0::BIGINT, ps),
+               (acc, c) -> (acc*31 + c) % 1000000007)::BIGINT
+               AS px_hash
+           FROM px ORDER BY media_id""",
+      // Windowed audio features over the mm05 sample formula;
+      // trailing partial window dropped (n // 32 full windows).
+      "mm07_audio_windows" ->
+        """WITH a AS (SELECT doc_id AS media_id,
+             (64 + (doc_id % 64))::BIGINT AS n FROM documents),
+           w AS (SELECT media_id, n,
+             unnest(range(0, n // 32)) AS win_idx FROM a),
+           smp AS (SELECT media_id, win_idx,
+             [(media_id*13 + k*31) % 4096 - 2048
+              FOR k IN range(win_idx*32, win_idx*32 + 32)] AS ss
+           FROM w)
+           SELECT media_id, win_idx::INTEGER AS win_idx,
+             list_sum([s*s FOR s IN ss])::BIGINT AS energy,
+             list_max([abs(s) FOR s IN ss])::INTEGER AS peak,
+             list_reduce(list_prepend(0::BIGINT,
+               [s + 32768 FOR s IN ss]),
+               (acc, c) -> (acc*31 + c) % 1000000007)::BIGINT
+               AS win_hash
+           FROM smp ORDER BY media_id, win_idx""")
   }
 }

@@ -117,4 +117,47 @@ class MultimodalSpec extends SparkSpec {
     assert(big.forall(_ % 2 == 0))
     assert(frames.filter(_._1 == 1L).map(_._2).toSeq == Seq(0))
   }
+
+  test("nearest-neighbor resize picks the exact mapped source " +
+      "pixels (identity when dims match)") {
+    val media = spark.createDataset(Seq(1L)).mapPartitions { it =>
+      it.map { id =>
+        // 4x2 raster 0..7 row-major
+        val px = Array.tabulate(8)(_.toByte)
+        Multimodal.MediaRow(id,
+          Multimodal.ImageCodec.encodePng(4, 2, px),
+          Multimodal.MediaMeta("image", 0L, "", 4, 2))
+      }
+    }
+    // Downsample to 2x2: dst(x,y) -> src(y*2/2*?): sy = y*2/2 = y,
+    // sx = x*4/2 = 2x -> pixels (0,0)=0, (0,2)=2, (1,0)=4, (1,2)=6.
+    val down = Multimodal.resizeImageFeatures(media, 2, 2)
+      .collect().head
+    assert(down.width == 2 && down.height == 2)
+    assert(down.px_sum == 0L + 2 + 4 + 6)
+    assert(down.px_min == 0 && down.px_max == 6)
+    // Identity resize reproduces the full-raster stats.
+    val same = Multimodal.resizeImageFeatures(media, 4, 2)
+      .collect().head
+    assert(same.px_sum == (0 to 7).sum.toLong)
+    assert(same.px_min == 0 && same.px_max == 7)
+  }
+
+  test("audio window features: energy/peak per full window, " +
+      "partial tail dropped") {
+    val media = spark.createDataset(Seq(1L)).mapPartitions { it =>
+      it.map { id =>
+        // 10 samples, window 4 -> windows [0..3], [4..7]; 8,9 dropped
+        val ss = Array[Short](1, -2, 3, -4, 10, -10, 0, 5, 99, 99)
+        Multimodal.MediaRow(id,
+          MediaCodecs.WavCodec.encodePcm16(8000, ss),
+          Multimodal.MediaMeta("audio", 0L, "", 0, 0))
+      }
+    }
+    val wins = Multimodal.audioWindowFeatures(media, window = 4)
+      .collect().sortBy(_.win_idx)
+    assert(wins.length == 2)
+    assert(wins(0).energy == 1L + 4 + 9 + 16 && wins(0).peak == 4)
+    assert(wins(1).energy == 100L + 100 + 0 + 25 && wins(1).peak == 10)
+  }
 }

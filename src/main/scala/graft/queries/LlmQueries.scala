@@ -534,7 +534,13 @@ object LlmQueries {
     // encode→binary-column→decode round trip exactly.
     "mm02_media_features" -> ((s, dir) => {
       import s.implicits._
+      // The codec stage is CPU-bound per row, and the fixture file is
+      // a single parquet split — spread the id stream across cores
+      // before mapPartitions (the production analogue is
+      // Multimodal.repartitionByBytes on real media rows; here only
+      // longs shuffle).
       val ids = docs(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
       val media = ids.mapPartitions { it =>
         it.map { id =>
           val w = (8 + id % 9).toInt
@@ -583,7 +589,13 @@ object LlmQueries {
     // pixel stats gate the full container round trip exactly.
     "mm04_video_decode" -> ((s, dir) => {
       import s.implicits._
+      // The codec stage is CPU-bound per row, and the fixture file is
+      // a single parquet split — spread the id stream across cores
+      // before mapPartitions (the production analogue is
+      // Multimodal.repartitionByBytes on real media rows; here only
+      // longs shuffle).
       val ids = docs(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
       val media = ids.mapPartitions { it =>
         it.map { id =>
           val w = (8 + id % 7).toInt
@@ -614,7 +626,13 @@ object LlmQueries {
     // gate the encode->binary-column->decode round trip exactly.
     "mm05_audio_decode" -> ((s, dir) => {
       import s.implicits._
+      // The codec stage is CPU-bound per row, and the fixture file is
+      // a single parquet split — spread the id stream across cores
+      // before mapPartitions (the production analogue is
+      // Multimodal.repartitionByBytes on real media rows; here only
+      // longs shuffle).
       val ids = docs(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
       val media = ids.mapPartitions { it =>
         it.map { id =>
           val n = (64 + id % 64).toInt
@@ -639,7 +657,13 @@ object LlmQueries {
     // index mapping — gating decode + resize together.
     "mm06_image_resize" -> ((s, dir) => {
       import s.implicits._
+      // The codec stage is CPU-bound per row, and the fixture file is
+      // a single parquet split — spread the id stream across cores
+      // before mapPartitions (the production analogue is
+      // Multimodal.repartitionByBytes on real media rows; here only
+      // longs shuffle).
       val ids = docs(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
       val media = ids.mapPartitions { it =>
         it.map { id =>
           val w = (8 + id % 9).toInt
@@ -664,7 +688,13 @@ object LlmQueries {
     // hash. flatMap 1->N; trailing partial window dropped.
     "mm07_audio_windows" -> ((s, dir) => {
       import s.implicits._
+      // The codec stage is CPU-bound per row, and the fixture file is
+      // a single parquet split — spread the id stream across cores
+      // before mapPartitions (the production analogue is
+      // Multimodal.repartitionByBytes on real media rows; here only
+      // longs shuffle).
       val ids = docs(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
       val media = ids.mapPartitions { it =>
         it.map { id =>
           val n = (64 + id % 64).toInt

@@ -130,8 +130,8 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(e2.getMessage != null)
   }
 
-  test("PCM16 WAV round trip through javax.sound.sampled is " +
-      "bit-exact, including negative samples and extremes") {
+  test("PCM16 WAV round trip is bit-exact, and the buffer parser " +
+      "agrees with javax.sound.sampled on the same payload") {
     val samples = Array[Short](0, 1, -1, 127, -128, 32767, -32768,
       12345, -23456) ++ Array.tabulate[Short](500)(k =>
       ((k * 31) % 4096 - 2048).toShort)
@@ -139,6 +139,11 @@ class MediaCodecsSpec extends AnyFunSuite {
     val (rate, decoded) = WavCodec.decodePcm16(wav)
     assert(rate == 8000)
     assert(decoded.toSeq == samples.map(_.toInt).toSeq)
+    // Cross-validation anchor: the JDK audio stack must read the
+    // exact same samples from the same bytes.
+    val (rate2, viaJdk) = WavCodec.decodePcm16ViaAudioSystem(wav)
+    assert(rate2 == 8000)
+    assert(viaJdk.toSeq == decoded.toSeq)
   }
 
   test("WAV decode rejects non-audio payloads") {

@@ -461,18 +461,17 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         explode(graft.functions.GraftFunctions
           .polyShingleHashesAll(col(textCol), gramChars)).as("g"))
-    // Corpus-wide instance counts; the gram-keyed exchange is shared
-    // with the semi-join below by ReuseExchange (same shape d04 uses).
-    val dupGrams = grams.groupBy("g")
-      .agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= minCount)
-      .select("g")
-    val dupPerDoc = grams
-      .join(dupGrams.hint("shuffle_hash"), Seq("g"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("dup_grams"))
-    grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      .join(dupPerDoc, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("dup_grams"))
+    // Corpus-wide instance counts, inner-joined back onto the
+    // instance stream (every instance matches its own count, so one
+    // final doc-keyed rollup yields BOTH totals and dup counts — no
+    // separate total-branch explode, no outer join). Pair volume ==
+    // instance volume, never more.
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+    grams.join(counts.hint("shuffle_hash"), Seq("g"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("cnt") >= minCount, 1L).otherwise(0L))
+          .as("dup_grams"))
       .withColumn("dup_fraction", round(col("dup_grams")
         .cast("double") / col("n_grams").cast("double"), 6))
   }

@@ -252,6 +252,47 @@ object Multimodal {
     }
   }
 
+  final case class ImageHash(
+      media_id: Long,
+      dhash: Long)
+
+  /** Perceptual image hash (dHash, the public difference-hash
+    * algorithm): decode, nearest-neighbor resize to `size` x `size`
+    * (same integer index mapping as [[resizeImageFeatures]]), then
+    * one bit per horizontally-adjacent pixel pair — bit (y*(size-1)+x)
+    * set iff px(x,y) > px(x+1,y). `size`=8 gives 56 bits, safely
+    * inside a signed 64-bit value for any SQL engine an oracle runs
+    * on. Identical-content images collide exactly; re-encoded or
+    * slightly-resized copies collide with high probability — the
+    * standard cheap multimodal dedup key, here as the composition
+    * decode -> resize -> hash in one batched pass. */
+  def imageDHash(media: Dataset[MediaRow], size: Int = 8)
+      : Dataset[ImageHash] = {
+    require(size >= 2 && (size - 1).toLong * size <= 63,
+      "size must give at most 63 hash bits")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, px) = ImageCodec.decode(r.payload)
+        var hash = 0L
+        var y = 0
+        while (y < size) {
+          val sy = y.toLong * h / size
+          var x = 0
+          while (x < size - 1) {
+            val a = px((sy * w + x.toLong * w / size).toInt)
+            val b = px((sy * w + (x + 1).toLong * w / size).toInt)
+            if (a > b) hash |= 1L << (y * (size - 1) + x)
+            x += 1
+          }
+          y += 1
+        }
+        ImageHash(r.media_id, hash)
+      }
+    }
+  }
+
   final case class AudioWindow(
       media_id: Long,
       win_idx: Int,

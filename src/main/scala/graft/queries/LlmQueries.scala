@@ -710,6 +710,38 @@ object LlmQueries {
         .select(col("media_id"), col("win_idx"), col("energy"),
           col("peak"), col("win_hash"))
         .orderBy("media_id", "win_idx")
+    }),
+
+    // Perceptual (dHash) image dedup: content seeded by doc_id % 97
+    // so exact duplicate groups exist; decode -> resize -> 56-bit
+    // difference hash -> exact-dup grouping (keep_id = min media_id).
+    // The oracle recomputes every hash bit from the source formula
+    // through the same resize index mapping.
+    "mm08_image_dhash" -> ((s, dir) => {
+      import s.implicits._
+      // The codec stage is CPU-bound per row (see mm02 note).
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val seed = id % 97
+          val w = (8 + seed % 9).toInt
+          val h = (8 + (seed / 9) % 9).toInt
+          val px = Array.tabulate(w * h)(i =>
+            ((seed * 31 + i * 7) % 256).toByte)
+          val payload = Multimodal.ImageCodec.encodePng(w, h, px)
+          Multimodal.MediaRow(id, payload, Multimodal.MediaMeta(
+            "image", payload.length.toLong, "", w, h))
+        }
+      }
+      val hashes = Multimodal.imageDHash(media, size = 8)
+      val groups = hashes.groupBy("dhash").agg(
+        min(col("media_id")).as("keep_id"),
+        count(lit(1)).as("grp_size"))
+      hashes.join(groups.hint("shuffle_hash"), "dhash")
+        .select(col("media_id"), col("dhash"), col("keep_id"),
+          col("grp_size"))
+        .orderBy("media_id")
     }))
 
   /** DuckDB restatement of the base-31 mod-1e9+7 polynomial hash of
@@ -1696,6 +1728,34 @@ object LlmQueries {
                [s + 32768 FOR s IN ss]),
                (acc, c) -> (acc*31 + c) % 1000000007)::BIGINT
                AS win_hash
-           FROM smp ORDER BY media_id, win_idx""")
+           FROM smp ORDER BY media_id, win_idx""",
+      // dHash bits from the source formula through the same 8x8
+      // nearest-neighbor mapping as mm06: resized pixel k (y=k//8,
+      // x=k%8) = (seed*31 + ((k//8)*h//8*w + (k%8)*w//8)*7) % 256;
+      // bit j (y=j//7, x=j%7) set iff pixel(x,y) > pixel(x+1,y).
+      "mm08_image_dhash" ->
+        """WITH im AS (SELECT doc_id AS media_id,
+             doc_id % 97 AS seed,
+             (8 + (doc_id % 97) % 9)::BIGINT AS w,
+             (8 + ((doc_id % 97) // 9) % 9)::BIGINT AS h
+           FROM documents),
+           px AS (SELECT media_id,
+             [(seed*31 +
+               ((k // 8) * h // 8 * w + (k % 8) * w // 8) * 7) % 256
+              FOR k IN range(0, 64)] AS ps
+           FROM im),
+           hs AS (SELECT media_id,
+             list_sum([CASE WHEN
+                 ps[(j // 7) * 8 + (j % 7) + 1] >
+                 ps[(j // 7) * 8 + (j % 7) + 2]
+               THEN (1::BIGINT << j) ELSE 0 END
+              FOR j IN range(0, 56)])::BIGINT AS dhash
+           FROM px),
+           grp AS (SELECT dhash, min(media_id) AS keep_id,
+               count(*)::BIGINT AS grp_size
+             FROM hs GROUP BY dhash)
+           SELECT media_id, hs.dhash, keep_id, grp_size
+           FROM hs JOIN grp ON hs.dhash = grp.dhash
+           ORDER BY media_id""")
   }
 }

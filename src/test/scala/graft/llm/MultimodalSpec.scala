@@ -143,6 +143,45 @@ class MultimodalSpec extends SparkSpec {
     assert(same.px_min == 0 && same.px_max == 7)
   }
 
+  test("dHash: identical content collides, gradient flip flips " +
+      "exactly the expected bits") {
+    def png(seed: Int) = {
+      // 8x8 so the resize mapping is the identity: hash bits are
+      // directly the adjacent-pixel comparisons of this raster.
+      val px = Array.tabulate(64)(i => ((seed + i) % 256).toByte)
+      Multimodal.ImageCodec.encodePng(8, 8, px)
+    }
+    val media = spark.createDataset(Seq(1L, 2L, 3L)).mapPartitions {
+      it => it.map { id =>
+        val payload = if (id == 3L) png(50) else png(10)
+        Multimodal.MediaRow(id, payload,
+          Multimodal.MediaMeta("image", 0L, "", 8, 8))
+      }
+    }
+    val out = Multimodal.imageDHash(media).collect()
+      .map(h => h.media_id -> h.dhash).toMap
+    assert(out(1L) == out(2L), "identical content must collide")
+    // Monotonic-within-rows rasters (no 255->0 wrap inside a row of
+    // px(i)=(seed+i)%256 for these seeds): every adjacent pair is
+    // increasing, so no bit is set... unless a wrap lands mid-row.
+    // seed 10: values 10..73, no wrap -> dhash 0. seed 50: 50..113,
+    // no wrap -> dhash 0 too; distinguish via a wrapped raster.
+    assert(out(1L) == 0L)
+    val wrapped = spark.createDataset(Seq(9L)).mapPartitions { it =>
+      it.map { _ =>
+        val px = Array.tabulate(64)(i => ((200 + i * 3) % 256).toByte)
+        Multimodal.MediaRow(9L,
+          Multimodal.ImageCodec.encodePng(8, 8, px),
+          Multimodal.MediaMeta("image", 0L, "", 8, 8))
+      }
+    }
+    val wh = Multimodal.imageDHash(wrapped).collect().head.dhash
+    // px wraps 255->2 between i=18 and i=19 (200+18*3=254,
+    // 200+19*3=257%256=1): that adjacent pair is decreasing ->
+    // exactly one set bit. i=18 is row y=2, x=2 -> bit 2*7+2=16.
+    assert(wh == (1L << 16), s"expected bit 16 only, got $wh")
+  }
+
   test("audio window features: energy/peak per full window, " +
       "partial tail dropped") {
     val media = spark.createDataset(Seq(1L)).mapPartitions { it =>

@@ -72,6 +72,24 @@ object MediaCodecs {
     final case class Video(width: Int, height: Int,
         microSecPerFrame: Int, frames: Vector[Array[Int]])
 
+    /** Parsed container with frames still encoded: dims + the
+      * (offset, length, isCompressed) of every frame chunk. Lets a
+      * stride-sampling consumer decode ONLY the frames it keeps —
+      * at stride k, decoding everything first would do k times the
+      * work for the same output. */
+    final case class Parsed(payload: Array[Byte], width: Int,
+        height: Int, bitCount: Int, compression: Int,
+        microSecPerFrame: Int, frameChunks: Vector[(Int, Int, Boolean)]) {
+      def frameCount: Int = frameChunks.length
+      /** Decode frame `i` to row-major 8-bit samples. */
+      def frame(i: Int): Array[Int] = {
+        val (pos, len, compressed) = frameChunks(i)
+        if (compressed || compression == FccMjpg)
+          decodeJpegFrame(payload, pos, len, width, height)
+        else decodeDibFrame(payload, pos, len, width, height, bitCount)
+      }
+    }
+
     private def dibStride(width: Int): Int = (width + 3) & ~3
 
     /** Encode 8-bit grayscale frames as an uncompressed palettized
@@ -178,12 +196,46 @@ object MediaCodecs {
       out.array()
     }
 
-    /** Parse an AVI payload and decode every frame to row-major 8-bit
-      * samples. Handles `00db` DIB frames natively (stride strip +
-      * bottom-up flip) and `00dc` MJPEG frames via `javax.imageio`.
-      * Fails fast with a descriptive error on anything that is not a
+    private def decodeDibFrame(payload: Array[Byte], pos: Int,
+        len: Int, width: Int, height: Int, bitCount: Int)
+        : Array[Int] = {
+      require(bitCount == 8,
+        s"only 8-bit DIB frames supported, got $bitCount-bit")
+      val stride = dibStride(width)
+      require(len >= stride * height,
+        s"DIB frame truncated: $len < ${stride * height}")
+      val px = new Array[Int](width * height)
+      var y = 0
+      while (y < height) { // bottom-up rows -> top-down samples
+        val row = pos + (height - 1 - y) * stride
+        var x = 0
+        while (x < width) {
+          px(y * width + x) = payload(row + x) & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      px
+    }
+
+    private def decodeJpegFrame(payload: Array[Byte], pos: Int,
+        len: Int, width: Int, height: Int): Array[Int] = {
+      val img = javax.imageio.ImageIO.read(
+        new ByteArrayInputStream(payload, pos, len))
+      require(img != null, "MJPG frame is not a decodable JPEG")
+      require(img.getWidth == width && img.getHeight == height,
+        s"frame dims ${img.getWidth}x${img.getHeight} disagree " +
+          s"with stream header ${width}x$height")
+      img.getRaster.getSamples(0, 0, width, height, 0,
+        null: Array[Int])
+    }
+
+    /** Parse the container WITHOUT decoding frames: header fields +
+      * frame chunk locations. Unknown chunks (idx1, strn, JUNK,
+      * vendor chunks) are skipped, per the RIFF contract. Fails fast
+      * with a descriptive error on anything that is not a
       * video-bearing AVI. */
-    def decode(payload: Array[Byte]): Video = {
+    def parse(payload: Array[Byte]): Parsed = {
       val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
       require(payload.length >= 12 && bb.getInt(0) == FccRiff &&
         bb.getInt(8) == FccAvi, "payload is not a RIFF AVI")
@@ -194,38 +246,7 @@ object MediaCodecs {
       var bitCount = -1
       var compression = -1
       var microSecPerFrame = 0
-      val frames = Vector.newBuilder[Array[Int]]
-
-      def decodeDib(pos: Int, len: Int): Array[Int] = {
-        require(bitCount == 8,
-          s"only 8-bit DIB frames supported, got $bitCount-bit")
-        val stride = dibStride(width)
-        require(len >= stride * height,
-          s"DIB frame truncated: $len < ${stride * height}")
-        val px = new Array[Int](width * height)
-        var y = 0
-        while (y < height) { // bottom-up rows -> top-down samples
-          val row = pos + (height - 1 - y) * stride
-          var x = 0
-          while (x < width) {
-            px(y * width + x) = payload(row + x) & 0xFF
-            x += 1
-          }
-          y += 1
-        }
-        px
-      }
-
-      def decodeJpeg(pos: Int, len: Int): Array[Int] = {
-        val img = javax.imageio.ImageIO.read(
-          new ByteArrayInputStream(payload, pos, len))
-        require(img != null, "MJPG frame is not a decodable JPEG")
-        require(img.getWidth == width && img.getHeight == height,
-          s"frame dims ${img.getWidth}x${img.getHeight} disagree " +
-            s"with stream header ${width}x$height")
-        img.getRaster.getSamples(0, 0, width, height, 0,
-          null: Array[Int])
-      }
+      val chunks = Vector.newBuilder[(Int, Int, Boolean)]
 
       // Walk a chunk range [pos, end); RIFF chunks are word-aligned.
       def walk(pos0: Long, end: Long, inMovi: Boolean): Unit = {
@@ -252,17 +273,26 @@ object MediaCodecs {
               (fcc == Fcc00db || fcc == Fcc00dc)) {
             require(width > 0 && height > 0,
               "frame chunk before stream format header")
-            frames += (if (compression == FccMjpg || fcc == Fcc00dc)
-              decodeJpeg(dataPos.toInt, size.toInt)
-            else decodeDib(dataPos.toInt, size.toInt))
-          } // else: skip (idx1, strh, strn, junk, ...)
+            chunks += ((dataPos.toInt, size.toInt, fcc == Fcc00dc))
+          } // else: skip (idx1, strh, strn, JUNK, ...)
           pos = dataPos + size + (size & 1)
         }
       }
 
       walk(12, riffEnd, inMovi = false)
       require(width > 0 && height > 0, "no video stream format found")
-      Video(width, height, microSecPerFrame, frames.result())
+      Parsed(payload, width, height, bitCount, compression,
+        microSecPerFrame, chunks.result())
+    }
+
+    /** Parse an AVI payload and decode EVERY frame to row-major
+      * 8-bit samples. Stride-sampling consumers should use
+      * [[parse]] + [[Parsed.frame]] instead and decode only the
+      * frames they keep. */
+    def decode(payload: Array[Byte]): Video = {
+      val p = parse(payload)
+      Video(p.width, p.height, p.microSecPerFrame,
+        Vector.tabulate(p.frameCount)(p.frame))
     }
   }
 

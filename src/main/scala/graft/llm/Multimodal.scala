@@ -157,9 +157,11 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        val v = MediaCodecs.AviCodec.decode(r.payload)
-        (0 until v.frames.length by stride).iterator.map { f =>
-          val px = v.frames(f)
+        // Parse once, decode ONLY the sampled frames — at stride k,
+        // decode-everything-then-sample does k times the codec work.
+        val v = MediaCodecs.AviCodec.parse(r.payload)
+        (0 until v.frameCount by stride).iterator.map { f =>
+          val px = v.frame(f)
           var sum = 0L
           var min = Int.MaxValue
           var max = Int.MinValue

@@ -118,6 +118,58 @@ class MediaCodecsSpec extends AnyFunSuite {
     out.array()
   }
 
+  test("parse + per-frame decode samples without decoding the rest") {
+    val (w, h) = (6, 4)
+    val frames = Seq.tabulate(6)(f => gray(w, h, 9 * (f + 1)))
+    val p = AviCodec.parse(AviCodec.encodeDib(w, h, 10, frames))
+    assert(p.frameCount == 6)
+    // decode only frames 0, 3 — values must match the full decode
+    assert(p.frame(3).toSeq == frames(3).map(_ & 0xFF).toSeq)
+    assert(p.frame(0).toSeq == frames(0).map(_ & 0xFF).toSeq)
+  }
+
+  test("real-world container quirks: JUNK chunk in AVI, LIST INFO " +
+      "chunk in WAV are skipped per the RIFF contract") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def fcc(s: String): Int = (s(0) & 0xFF) | ((s(1) & 0xFF) << 8) |
+      ((s(2) & 0xFF) << 16) | ((s(3) & 0xFF) << 24)
+    // Splice a JUNK chunk right after the hdrl list of a good AVI.
+    val (w, h) = (5, 4)
+    val src = gray(w, h, 3)
+    val avi = AviCodec.encodeDib(w, h, 10, Seq(src))
+    val bbIn = ByteBuffer.wrap(avi).order(ByteOrder.LITTLE_ENDIAN)
+    // hdrl list spans [12, 12+8+listSize); insert after it
+    val hdrlSize = bbIn.getInt(16)
+    val insertAt = 12 + 8 + hdrlSize
+    val junk = ByteBuffer.allocate(8 + 16)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    junk.putInt(fcc("JUNK")).putInt(16).put(Array.fill[Byte](16)(7))
+    val spliced = avi.take(insertAt) ++ junk.array() ++
+      avi.drop(insertAt)
+    // patch the RIFF size field
+    val out = ByteBuffer.wrap(spliced).order(ByteOrder.LITTLE_ENDIAN)
+    out.putInt(4, spliced.length - 8)
+    val v = AviCodec.decode(spliced)
+    assert(v.width == w && v.height == h && v.frames.length == 1)
+    assert(v.frames.head.toSeq == src.map(_ & 0xFF).toSeq)
+
+    // WAV with a LIST INFO chunk between fmt and data (very common).
+    val samples = Array.tabulate[Short](40)(k => (k * 5 - 100).toShort)
+    val wav = WavCodec.encodePcm16(16000, samples)
+    // encodePcm16 layout: [0,12) RIFF/WAVE, [12,36) fmt, [36,...) data
+    val info = ByteBuffer.allocate(8 + 12)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    info.putInt(fcc("LIST")).putInt(12).putInt(fcc("INFO"))
+      .putInt(fcc("ISFT")).putInt(0)
+    val wavSpliced = wav.take(36) ++ info.array() ++ wav.drop(36)
+    val wout = ByteBuffer.wrap(wavSpliced)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    wout.putInt(4, wavSpliced.length - 8)
+    val (rate, decoded) = WavCodec.decodePcm16(wavSpliced)
+    assert(rate == 16000)
+    assert(decoded.toSeq == samples.map(_.toInt).toSeq)
+  }
+
   test("non-AVI and truncated payloads fail fast with a message") {
     val e1 = intercept[IllegalArgumentException] {
       AviCodec.decode("not a video at all".getBytes)

@@ -337,6 +337,50 @@ object Multimodal {
     }
   }
 
+  final case class AudioFingerprint(
+      media_id: Long,
+      fp: Long,
+      n_windows: Int)
+
+  /** Perceptual audio fingerprint (the energy-delta-sign scheme of
+    * Haitsma & Kalker's classic audio fingerprinting, reduced to one
+    * band): decode, window the samples ([[audioWindowFeatures]]
+    * geometry), then one bit per consecutive window pair — bit i-1
+    * set iff energy(window i) > energy(window i-1). Capped at 63
+    * bits so the key stays in signed-64 range for SQL oracles.
+    * Identical clips collide exactly; volume-scaled or re-encoded
+    * copies collide with high probability — the audio analogue of
+    * [[imageDHash]], feeding the same hash-keyed exact-dup grouping. */
+  def audioFingerprint(media: Dataset[MediaRow], window: Int = 16)
+      : Dataset[AudioFingerprint] = {
+    require(window > 0, "window must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (_, ss) = MediaCodecs.WavCodec.decodePcm16(r.payload)
+        val n = ss.length / window
+        var fp = 0L
+        var prev = -1L
+        var wi = 0
+        while (wi < n) {
+          var energy = 0L
+          var i = wi * window
+          val end = i + window
+          while (i < end) {
+            energy += ss(i).toLong * ss(i)
+            i += 1
+          }
+          if (wi > 0 && wi <= 63 && energy > prev)
+            fp |= 1L << (wi - 1)
+          prev = energy
+          wi += 1
+        }
+        AudioFingerprint(r.media_id, fp, n)
+      }
+    }
+  }
+
   /** Deterministic VIDEO featurize stub: stands in for an embedding
     * model (the one step with no JDK-native implementation). Video
     * DECODE is no longer stubbed — [[decodeVideoFrameFeatures]]

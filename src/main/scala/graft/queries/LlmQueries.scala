@@ -742,6 +742,37 @@ object LlmQueries {
         .select(col("media_id"), col("dhash"), col("keep_id"),
           col("grp_size"))
         .orderBy("media_id")
+    }),
+
+    // Perceptual audio-fingerprint dedup: content seeded by
+    // doc_id % 89 so duplicate groups exist; decode -> windowed
+    // energies -> delta-sign bits -> exact-dup grouping. The oracle
+    // recomputes each window energy from the sample formula.
+    "mm09_audio_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      // The codec stage is CPU-bound per row (see mm02 note).
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val seed = id % 89
+          val n = (64 + seed % 64).toInt
+          val samples = Array.tabulate[Short](n)(k =>
+            ((seed * 13 + k * 31) % 4096 - 2048).toShort)
+          val payload = MediaCodecs.WavCodec.encodePcm16(8000,
+            samples)
+          Multimodal.MediaRow(id, payload, Multimodal.MediaMeta(
+            "audio", payload.length.toLong, "", 0, 0))
+        }
+      }
+      val fps = Multimodal.audioFingerprint(media, window = 16)
+      val groups = fps.groupBy("fp", "n_windows").agg(
+        min(col("media_id")).as("keep_id"),
+        count(lit(1)).as("grp_size"))
+      fps.join(groups.hint("shuffle_hash"), Seq("fp", "n_windows"))
+        .select(col("media_id"), col("fp"), col("n_windows"),
+          col("keep_id"), col("grp_size"))
+        .orderBy("media_id")
     }))
 
   /** DuckDB restatement of the base-31 mod-1e9+7 polynomial hash of
@@ -1756,6 +1787,30 @@ object LlmQueries {
              FROM hs GROUP BY dhash)
            SELECT media_id, hs.dhash, keep_id, grp_size
            FROM hs JOIN grp ON hs.dhash = grp.dhash
+           ORDER BY media_id""",
+      // Window energies from the sample formula (mm07 geometry at
+      // window=16), then one delta-sign bit per consecutive pair:
+      // bit wi-1 set iff e[wi] > e[wi-1] (es is 1-based in DuckDB).
+      "mm09_audio_fingerprint" ->
+        """WITH a AS (SELECT doc_id AS media_id, doc_id % 89 AS seed,
+             (64 + (doc_id % 89) % 64)::BIGINT AS n FROM documents),
+           en AS (SELECT media_id, (n // 16)::INTEGER AS n_windows,
+             [list_sum([((seed*13 + k*31) % 4096 - 2048)
+                        * ((seed*13 + k*31) % 4096 - 2048)
+                FOR k IN range(wi*16, wi*16 + 16)])
+              FOR wi IN range(0, n // 16)] AS es
+           FROM a),
+           fps AS (SELECT media_id, n_windows,
+             coalesce(list_sum([CASE WHEN es[wi + 1] > es[wi]
+                 THEN (1::BIGINT << (wi - 1)) ELSE 0 END
+               FOR wi IN range(1, n_windows)]), 0)::BIGINT AS fp
+           FROM en),
+           grp AS (SELECT fp, n_windows, min(media_id) AS keep_id,
+               count(*)::BIGINT AS grp_size
+             FROM fps GROUP BY fp, n_windows)
+           SELECT media_id, fps.fp, fps.n_windows, keep_id, grp_size
+           FROM fps JOIN grp ON fps.fp = grp.fp
+             AND fps.n_windows = grp.n_windows
            ORDER BY media_id""")
   }
 }

@@ -182,6 +182,25 @@ class MultimodalSpec extends SparkSpec {
     assert(wh == (1L << 16), s"expected bit 16 only, got $wh")
   }
 
+  test("audio fingerprint: delta-sign bits match hand computation; " +
+      "identical clips collide") {
+    // window=2: energies per pair of samples; craft a known pattern
+    val ss = Array[Short](10, 0, 20, 0, 5, 0, 30, 0) // e = 100,400,25,900
+    val media = spark.createDataset(Seq(1L, 2L)).mapPartitions { it =>
+      it.map { id =>
+        Multimodal.MediaRow(id,
+          MediaCodecs.WavCodec.encodePcm16(8000, ss),
+          Multimodal.MediaMeta("audio", 0L, "", 0, 0))
+      }
+    }
+    val fps = Multimodal.audioFingerprint(media, window = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    // deltas: 400>100 (bit0), 25<400 (no bit1), 900>25 (bit2)
+    assert(fps(1L).n_windows == 4)
+    assert(fps(1L).fp == ((1L << 0) | (1L << 2)))
+    assert(fps(1L).fp == fps(2L).fp, "identical clips must collide")
+  }
+
   test("audio window features: energy/peak per full window, " +
       "partial tail dropped") {
     val media = spark.createDataset(Seq(1L)).mapPartitions { it =>

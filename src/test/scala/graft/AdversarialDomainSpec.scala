@@ -112,6 +112,43 @@ class AdversarialDomainSpec extends SparkSpec {
         s"missing=${expected -- got}")
   }
 
+  test("duplicatedNgramStats == sequential model on the adversarial " +
+      "corpus (instance multiset semantics, whole-text short arm)") {
+    // Instance-level (NOT set) semantics: a gram occurring twice in
+    // ONE doc and nowhere else still counts as duplicated. The edge
+    // corpus hits: empty/whitespace docs (whole-text '' gram — all
+    // collide with each other), 1-char docs, unicode, an
+    // internal-repeat doc, and exact duplicates.
+    val docs: Seq[(Long, String)] = Seq(
+      1L -> "", 2L -> "", 3L -> " \t ",
+      4L -> "a", 5L -> "a", 6L -> "b",
+      7L -> "abcdefgh abcdefgh abcdefgh",  // internal repeats only
+      8L -> "the quick brown fox jumps over the lazy dog",
+      9L -> "the quick brown fox jumps over the lazy cat",
+      10L -> "你好 世界", 11L -> "你好 世界",
+      12L -> "totally unique text that matches nobody else")
+    val n = 8
+    def gramsAll(t: String): Seq[Long] =
+      PolyHash.shingleHashesAll(UTF8String.fromString(t), n).toSeq
+    val byDoc = docs.map { case (id, t) => id -> gramsAll(t) }.toMap
+    val corpusCount = byDoc.values.toSeq.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = byDoc.map { case (id, gs) =>
+      id -> (gs.size.toLong, gs.count(corpusCount(_) >= 2L).toLong)
+    }
+    // Sanity of the fixture itself: doc 7 must be self-duplicated,
+    // empties must collide via the whole-text arm.
+    assert(expected(7L)._2 > 0, "internal repeats not caught by model")
+    assert(expected(1L) == (1L, 1L) && expected(3L) == (1L, 1L))
+    val got = Dedup.duplicatedNgramStats(
+        docs.toDF("doc_id", "text"), gramChars = n)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("dup_grams"))).toMap
+    assert(got == expected,
+      s"dataflow != model:\n got=$got\n expected=$expected")
+  }
+
   test("simhash/minhash: exact duplicates always pair; empty docs " +
       "don't crash the pipeline") {
     val docs = Seq(

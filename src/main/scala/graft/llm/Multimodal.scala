@@ -337,6 +337,61 @@ object Multimodal {
     }
   }
 
+  final case class VideoSignature(
+      media_id: Long,
+      n_frames: Int,
+      n_sampled: Int,
+      sig: Long)
+
+  /** Perceptual video signature: parse the AVI container, decode only
+    * every `stride`-th frame, dHash each ([[imageDHash]] mapping on
+    * the raw frame raster), and fold the per-frame hashes into one
+    * order-sensitive base-31 rolling value (each 56-bit dHash reduced
+    * mod 1e9+7 first so the fold stays portable int64). Identical
+    * videos collide exactly; re-encoded or lightly-edited copies
+    * collide per-frame with high probability — frame order matters,
+    * so a shuffled cut does NOT collide (unlike a bag-of-frames
+    * signature). The video analogue of [[imageDHash]]/
+    * [[audioFingerprint]] for hash-keyed near-dup grouping. */
+  def videoSignature(media: Dataset[MediaRow], stride: Int = 2,
+      size: Int = 8): Dataset[VideoSignature] = {
+    require(stride > 0, "stride must be positive")
+    require(size >= 2 && (size - 1).toLong * size <= 63,
+      "size must give at most 63 hash bits")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val v = MediaCodecs.AviCodec.parse(r.payload)
+        var sig = 0L
+        var sampled = 0
+        var f = 0
+        while (f < v.frameCount) {
+          val px = v.frame(f)
+          var hash = 0L
+          var y = 0
+          while (y < size) {
+            val sy = y.toLong * v.height / size
+            var x = 0
+            while (x < size - 1) {
+              val a = px((sy * v.width + x.toLong * v.width / size)
+                .toInt)
+              val b = px((sy * v.width +
+                (x + 1).toLong * v.width / size).toInt)
+              if (a > b) hash |= 1L << (y * (size - 1) + x)
+              x += 1
+            }
+            y += 1
+          }
+          sig = (sig * 31 + hash % 1000000007L) % 1000000007L
+          sampled += 1
+          f += stride
+        }
+        VideoSignature(r.media_id, v.frameCount, sampled, sig)
+      }
+    }
+  }
+
   final case class AudioFingerprint(
       media_id: Long,
       fp: Long,

@@ -773,6 +773,42 @@ object LlmQueries {
         .select(col("media_id"), col("fp"), col("n_windows"),
           col("keep_id"), col("grp_size"))
         .orderBy("media_id")
+    }),
+
+    // Perceptual video near-dup: content seeded by doc_id % 53 so
+    // duplicate groups exist; parse -> stride-2 frame sampling ->
+    // per-frame dHash -> order-sensitive rolling fold -> grouping.
+    // The oracle recomputes every frame's hash bits from the source
+    // formula through the resize mapping, then the same fold.
+    "mm10_video_signature" -> ((s, dir) => {
+      import s.implicits._
+      // The codec stage is CPU-bound per row (see mm02 note).
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val seed = id % 53
+          val w = (8 + seed % 7).toInt
+          val h = (8 + (seed / 7) % 5).toInt
+          val n = (2 + seed % 4).toInt
+          val frames = Seq.tabulate(n) { f =>
+            Array.tabulate[Byte](w * h)(i =>
+              ((seed * 31 + f * 97 + i * 7) % 256).toByte)
+          }
+          val payload =
+            MediaCodecs.AviCodec.encodeDib(w, h, 10, frames)
+          Multimodal.MediaRow(id, payload, Multimodal.MediaMeta(
+            "video", payload.length.toLong, "", w, h))
+        }
+      }
+      val sigs = Multimodal.videoSignature(media, stride = 2)
+      val groups = sigs.groupBy("sig", "n_frames").agg(
+        min(col("media_id")).as("keep_id"),
+        count(lit(1)).as("grp_size"))
+      sigs.join(groups.hint("shuffle_hash"), Seq("sig", "n_frames"))
+        .select(col("media_id"), col("sig"), col("n_frames"),
+          col("n_sampled"), col("keep_id"), col("grp_size"))
+        .orderBy("media_id")
     }))
 
   /** DuckDB restatement of the base-31 mod-1e9+7 polynomial hash of
@@ -1811,6 +1847,42 @@ object LlmQueries {
            SELECT media_id, fps.fp, fps.n_windows, keep_id, grp_size
            FROM fps JOIN grp ON fps.fp = grp.fp
              AND fps.n_windows = grp.n_windows
+           ORDER BY media_id""",
+      // Per sampled frame f: dHash bit j compares the resized pixels
+      // at x=j%7 and x=j%7+1 of row y=j//7, both recomputed from the
+      // frame formula through the resize index mapping; the frame
+      // hashes (reduced mod 1e9+7) then fold in sample order.
+      "mm10_video_signature" ->
+        """WITH v AS (SELECT doc_id AS media_id, doc_id % 53 AS seed,
+             (8 + (doc_id % 53) % 7)::BIGINT AS w,
+             (8 + ((doc_id % 53) // 7) % 5)::BIGINT AS h,
+             (2 + (doc_id % 53) % 4)::BIGINT AS n
+           FROM documents),
+           hs AS (SELECT media_id, n::INTEGER AS n_frames,
+             ((n + 1) // 2)::INTEGER AS n_sampled,
+             [list_sum([CASE WHEN
+                 (seed*31 + f*97 +
+                  ((j // 7) * h // 8 * w + (j % 7) * w // 8) * 7)
+                   % 256 >
+                 (seed*31 + f*97 +
+                  ((j // 7) * h // 8 * w + ((j % 7) + 1) * w // 8)
+                   * 7) % 256
+               THEN (1::BIGINT << j) ELSE 0 END
+              FOR j IN range(0, 56)])
+              FOR f IN range(0, n, 2)] AS dhs
+           FROM v),
+           sigs AS (SELECT media_id, n_frames, n_sampled,
+             list_reduce(list_prepend(0::BIGINT,
+               [dh % 1000000007 FOR dh IN dhs]),
+               (acc, c) -> (acc*31 + c) % 1000000007)::BIGINT AS sig
+           FROM hs),
+           grp AS (SELECT sig, n_frames, min(media_id) AS keep_id,
+               count(*)::BIGINT AS grp_size
+             FROM sigs GROUP BY sig, n_frames)
+           SELECT media_id, sigs.sig, sigs.n_frames, n_sampled,
+             keep_id, grp_size
+           FROM sigs JOIN grp ON sigs.sig = grp.sig
+             AND sigs.n_frames = grp.n_frames
            ORDER BY media_id""")
   }
 }

@@ -182,6 +182,32 @@ class MultimodalSpec extends SparkSpec {
     assert(wh == (1L << 16), s"expected bit 16 only, got $wh")
   }
 
+  test("video signature: identical videos collide, frame order " +
+      "matters, stride decodes only sampled frames") {
+    def avi(frames: Seq[Array[Byte]]) =
+      MediaCodecs.AviCodec.encodeDib(8, 8, 10, frames)
+    // wrapped rasters give nonzero per-frame dhashes (cf. dHash spec)
+    def frame(seed: Int) =
+      Array.tabulate[Byte](64)(i => ((seed + i * 3) % 256).toByte)
+    val f0 = frame(200)
+    val f1 = frame(90)
+    val f2 = frame(140)
+    val media = spark.createDataset(Seq(
+      (1L, avi(Seq(f0, f1, f2))),
+      (2L, avi(Seq(f0, f1, f2))),   // identical
+      (3L, avi(Seq(f2, f1, f0))))) // same frames, reversed
+      .map { case (id, p) =>
+        Multimodal.MediaRow(id, p,
+          Multimodal.MediaMeta("video", 0L, "", 8, 8))
+      }
+    val sigs = Multimodal.videoSignature(media, stride = 2)
+      .collect().map(s => s.media_id -> s).toMap
+    assert(sigs(1L).n_frames == 3 && sigs(1L).n_sampled == 2)
+    assert(sigs(1L).sig == sigs(2L).sig, "identical must collide")
+    // stride 2 samples frames 0 and 2: reversed order swaps them
+    assert(sigs(1L).sig != sigs(3L).sig, "order must matter")
+  }
+
   test("audio fingerprint: delta-sign bits match hand computation; " +
       "identical clips collide") {
     // window=2: energies per pair of samples; craft a known pattern

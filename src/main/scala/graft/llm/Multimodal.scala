@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // Same guard as MediaCodecs: ImageIO's default FILE-backed stream
+  // cache costs a temp file per encode/decode. Set here too so a JVM
+  // that only touches ImageCodec (never the AVI/WAV codecs) still
+  // runs cache-free.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata carried alongside every payload. */
   final case class MediaMeta(
       mediaType: String, // "image" | "audio" | "video"
@@ -258,16 +264,36 @@ object Multimodal {
       media_id: Long,
       dhash: Long)
 
+  /** dHash of a raw raster: nearest-neighbor resize to `size` x
+    * `size` (same integer index mapping as [[resizeImageFeatures]]),
+    * then one bit per horizontally-adjacent pixel pair — bit
+    * (y*(size-1)+x) set iff px(x,y) > px(x+1,y). Shared by
+    * [[imageDHash]] and [[videoSignature]]. */
+  private def dhashOf(px: Array[Int], w: Int, h: Int,
+      size: Int): Long = {
+    var hash = 0L
+    var y = 0
+    while (y < size) {
+      val sy = y.toLong * h / size
+      var x = 0
+      while (x < size - 1) {
+        val a = px((sy * w + x.toLong * w / size).toInt)
+        val b = px((sy * w + (x + 1).toLong * w / size).toInt)
+        if (a > b) hash |= 1L << (y * (size - 1) + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
   /** Perceptual image hash (dHash, the public difference-hash
-    * algorithm): decode, nearest-neighbor resize to `size` x `size`
-    * (same integer index mapping as [[resizeImageFeatures]]), then
-    * one bit per horizontally-adjacent pixel pair — bit (y*(size-1)+x)
-    * set iff px(x,y) > px(x+1,y). `size`=8 gives 56 bits, safely
-    * inside a signed 64-bit value for any SQL engine an oracle runs
-    * on. Identical-content images collide exactly; re-encoded or
-    * slightly-resized copies collide with high probability — the
-    * standard cheap multimodal dedup key, here as the composition
-    * decode -> resize -> hash in one batched pass. */
+    * algorithm): decode then [[dhashOf]]. `size`=8 gives 56 bits,
+    * safely inside a signed 64-bit value for any SQL engine an
+    * oracle runs on. Identical-content images collide exactly;
+    * re-encoded or slightly-resized copies collide with high
+    * probability — the standard cheap multimodal dedup key, here as
+    * the composition decode -> resize -> hash in one batched pass. */
   def imageDHash(media: Dataset[MediaRow], size: Int = 8)
       : Dataset[ImageHash] = {
     require(size >= 2 && (size - 1).toLong * size <= 63,
@@ -277,20 +303,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val (w, h, px) = ImageCodec.decode(r.payload)
-        var hash = 0L
-        var y = 0
-        while (y < size) {
-          val sy = y.toLong * h / size
-          var x = 0
-          while (x < size - 1) {
-            val a = px((sy * w + x.toLong * w / size).toInt)
-            val b = px((sy * w + (x + 1).toLong * w / size).toInt)
-            if (a > b) hash |= 1L << (y * (size - 1) + x)
-            x += 1
-          }
-          y += 1
-        }
-        ImageHash(r.media_id, hash)
+        ImageHash(r.media_id, dhashOf(px, w, h, size))
       }
     }
   }
@@ -367,22 +380,7 @@ object Multimodal {
         var sampled = 0
         var f = 0
         while (f < v.frameCount) {
-          val px = v.frame(f)
-          var hash = 0L
-          var y = 0
-          while (y < size) {
-            val sy = y.toLong * v.height / size
-            var x = 0
-            while (x < size - 1) {
-              val a = px((sy * v.width + x.toLong * v.width / size)
-                .toInt)
-              val b = px((sy * v.width +
-                (x + 1).toLong * v.width / size).toInt)
-              if (a > b) hash |= 1L << (y * (size - 1) + x)
-              x += 1
-            }
-            y += 1
-          }
+          val hash = dhashOf(v.frame(f), v.width, v.height, size)
           sig = (sig * 31 + hash % 1000000007L) % 1000000007L
           sampled += 1
           f += stride

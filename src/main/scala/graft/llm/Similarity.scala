@@ -281,4 +281,108 @@ object Similarity {
       .where(col("rank") <= k)
       .select("qid", "id", "cosine", "rank")
   }
+
+  /** IVF + PQ composed — the IVFADC scheme of Jegou et al. (TPAMI
+    * 2011) and the production billion-vector shape (FAISS `IVFPQ`):
+    * the inverted-file layer prunes the corpus to the query's
+    * `nProbe` cells, the ADC layer scans only those candidates using
+    * `segments` code bytes per vector, and a `shortlist` is reranked
+    * with exact cosine. Scale shape: the ADC scan's pair volume is
+    * (probed-cell corpus fraction) x nq instead of the full corpus —
+    * at 1B vectors, nProbe/nCentroids is the pruning ratio — and each
+    * corpus vector crosses the wire as its cell id + code bytes only.
+    * Same LCG-ordered deterministic samples for both the centroids
+    * and the codebooks as the individually-gated [[ivfTopK]] /
+    * [[pqTopK]] stages. */
+  def ivfpqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      segments: Int = 4, codebookSize: Int = 16, shortlist: Int = 50,
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    require(dim % segments == 0, "dim must divide into segments")
+    val segLen = dim / segments
+    val lcg = ((col("id") * 1103515245L + 12345L) % 2147483648L).asc
+
+    // IVF layer (as ivfTopK): 1 cell per corpus vector, nProbe per
+    // query; candidate pairs come from the cell join alone.
+    val centroids = corpus.orderBy(lcg, col("id").asc)
+      .limit(nCentroids)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    def assign(df: DataFrame, idCol: String, vecCol: String,
+        keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("_csim").desc, col("cid").asc)
+      df.crossJoin(broadcast(centroids))
+        .withColumn("_csim",
+          GraftFunctions.arrayCosine(col(vecCol), col("cvec")))
+        .withColumn("_crank", row_number().over(w))
+        .where(col("_crank") <= keep)
+        .select(col(idCol), col("cid"))
+    }
+    val lists = assign(corpus, "id", "vec", 1)
+    val probes = assign(queries, "qid", "qvec", nProbe)
+    val candidates = lists.join(probes, "cid")
+      .where(if (excludeSelf) col("qid") =!= col("id") else lit(true))
+      .select("qid", "id")
+
+    // PQ layer (as pqTopK): codes for the whole corpus (built once,
+    // reusable across queries), per-query lookup tables, ADC sum over
+    // the CELL-PRUNED candidates only.
+    val sampled = corpus.orderBy(lcg, col("id").asc)
+      .limit(codebookSize)
+      .select(col("vec")).collect().map(_.getSeq[Double](0))
+    import spark.implicits._
+    val codebook = (for {
+      (v, code) <- sampled.zipWithIndex
+      seg <- 0 until segments
+    } yield (seg, code, v.slice(seg * segLen, (seg + 1) * segLen)))
+      .toSeq.toDF("seg", "code", "cseg")
+    def segmented(df: DataFrame, idCol: String, vecCol: String)
+        : DataFrame =
+      df.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(segments - 1)),
+          s => slice(col(vecCol), s * segLen + 1, lit(segLen)))))
+        .withColumnRenamed("pos", "seg")
+        .withColumnRenamed("col", "vseg")
+    val l2 = aggregate(zip_with(col("vseg"), col("cseg"),
+      (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
+    val aw = Window.partitionBy(col("id"), col("seg"))
+      .orderBy(col("_d").asc, col("code").asc)
+    val codes = segmented(corpus, "id", "vec")
+      .join(broadcast(codebook), "seg")
+      .withColumn("_d", l2)
+      .withColumn("_r", row_number().over(aw))
+      .where(col("_r") === 1)
+      .select(col("id"), col("seg"), col("code"))
+    val qlut = segmented(queries, "qid", "qvec")
+      .join(broadcast(codebook), "seg")
+      .withColumn("d", l2)
+      .select(col("qid"), col("seg"), col("code"), col("d"))
+
+    val approx = candidates
+      .join(codes.hint("shuffle_hash"), "id")
+      .join(broadcast(qlut), Seq("qid", "seg", "code"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("d").cast("decimal(38,18)")).cast("double")
+        .as("adist"))
+    val sw = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("id").asc)
+    val short = approx
+      .withColumn("_sr", row_number().over(sw))
+      .where(col("_sr") <= shortlist)
+      .select("qid", "id")
+
+    val joined = short
+      .join(corpus, "id")
+      .join(queries.select(col("qid"), col("qvec")), "qid")
+      .withColumn("cosine",
+        GraftFunctions.arrayCosine(col("qvec"), col("vec")))
+    val rw = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("id").asc)
+    joined
+      .withColumn("rank", row_number().over(rw))
+      .where(col("rank") <= k)
+      .select("qid", "id", "cosine", "rank")
+  }
 }

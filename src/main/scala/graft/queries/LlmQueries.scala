@@ -240,6 +240,22 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // IVF + PQ composed (IVFADC / FAISS-IVFPQ shape): cell pruning
+    // from s03's layer, ADC scan + exact rerank from s06's, both
+    // with the same deterministic LCG samples — so the oracle is the
+    // two gated oracles' CTEs composed.
+    "s07_ann_ivfpq" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val queries = emb(s, dir).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qvec"))
+      Similarity.ivfpqTopK(corpus, queries, k = 10, dim = 64)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("qid", "rank")
+    }),
+
     // Gopher-style repetition filters: vocabulary concentration and
     // top-bigram fraction from the fused one-pass kernel; the
     // repetitive flag uses the UNROUNDED fraction on both sides.
@@ -1340,6 +1356,75 @@ object LlmQueries {
                ON c.seg = l.seg AND c.code = l.code
              WHERE l.qid <> c.id
              GROUP BY l.qid, c.id),
+           short AS (SELECT qid, id FROM (
+             SELECT qid, id, row_number() OVER (PARTITION BY qid
+               ORDER BY adist ASC, id ASC) AS sr FROM approx)
+             WHERE sr <= 50),
+           cand AS (SELECT s.qid, s.id,
+               list_cosine_similarity(q.qv, e.v) AS cos
+             FROM short s JOIN e ON s.id = e.id
+             JOIN q ON s.qid = q.qid),
+           ranked AS (SELECT qid, id, cos,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC, id ASC) AS rank FROM cand)
+           SELECT qid, id, round(cos, 6) AS cosine, rank
+           FROM ranked WHERE rank <= 10
+           ORDER BY qid, rank""",
+      // s03's IVF CTEs (cent/lists/probes) composed with s06's PQ
+      // CTEs (samp/cb/codes/qlut); the ADC sum runs over the
+      // cell-pruned candidate pairs only.
+      "s07_ann_ivfpq" ->
+        s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             FROM embeddings),
+           q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+             FROM embeddings WHERE vec_id < 5),
+           cent AS (SELECT id AS cid, v AS cv FROM e
+             ORDER BY (id * 1103515245 + 12345) % 2147483648 ASC,
+               id ASC LIMIT 16),
+           lists AS (SELECT id, cid FROM (
+             SELECT e.id, c.cid,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                   c.cid ASC) AS cr
+             FROM e CROSS JOIN cent c) WHERE cr <= 1),
+           probes AS (SELECT qid, cid FROM (
+             SELECT q.qid, c.cid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                   c.cid ASC) AS cr
+             FROM q CROSS JOIN cent c) WHERE cr <= 4),
+           cpair AS (SELECT p.qid, l.id
+             FROM lists l JOIN probes p USING (cid)
+             WHERE l.id <> p.qid),
+           samp AS (SELECT v, row_number() OVER (
+               ORDER BY (id * 1103515245 + 12345) % 2147483648 ASC,
+                 id ASC) - 1 AS code
+             FROM e QUALIFY code < 16),
+           cb AS (SELECT seg, code,
+               v[seg*16+1 : seg*16+16] AS cseg
+             FROM samp CROSS JOIN range(4) t(seg)),
+           codes AS (SELECT id, seg, code FROM (
+             SELECT e.id, c.seg, c.code, row_number() OVER (
+                 PARTITION BY e.id, c.seg ORDER BY
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   [(e.v[c.seg*16 + i] - c.cseg[i])
+                    * (e.v[c.seg*16 + i] - c.cseg[i])
+                    FOR i IN range(1, 17)]), (a, b) -> a + b) ASC,
+                 c.code ASC) AS r
+             FROM e CROSS JOIN cb c) WHERE r = 1),
+           qlut AS (SELECT q.qid, c.seg, c.code,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                 [(q.qv[c.seg*16 + i] - c.cseg[i])
+                  * (q.qv[c.seg*16 + i] - c.cseg[i])
+                  FOR i IN range(1, 17)]), (a, b) -> a + b) AS d
+             FROM q CROSS JOIN cb c),
+           approx AS (SELECT cp.qid, cp.id,
+               sum(l.d::DECIMAL(38,18))::DOUBLE AS adist
+             FROM cpair cp
+             JOIN codes c ON c.id = cp.id
+             JOIN qlut l ON l.qid = cp.qid AND l.seg = c.seg
+               AND l.code = c.code
+             GROUP BY cp.qid, cp.id),
            short AS (SELECT qid, id FROM (
              SELECT qid, id, row_number() OVER (PARTITION BY qid
                ORDER BY adist ASC, id ASC) AS sr FROM approx)

@@ -125,6 +125,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"PQ recall $recall")
   }
 
+  test("IVFPQ ANN recall >= 60% of brute-force top-5 on clusters") {
+    val qs = vecs.limit(3)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val exact = Similarity.bruteForceTopK(vecs, qs, k = 5)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfpqTopK(vecs, qs, k = 5, dim = 8,
+      nCentroids = 6, nProbe = 3, segments = 2, codebookSize = 4,
+      shortlist = 10)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVFPQ recall $recall")
+  }
+
   test("fused minhash verify equals the HOF estimate+jaccard form") {
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions

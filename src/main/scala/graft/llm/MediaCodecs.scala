@@ -76,17 +76,21 @@ object MediaCodecs {
       * (offset, length, isCompressed) of every frame chunk. Lets a
       * stride-sampling consumer decode ONLY the frames it keeps —
       * at stride k, decoding everything first would do k times the
-      * work for the same output. */
+      * work for the same output. `topDown` records a negative
+      * BITMAPINFOHEADER height (legal per the DIB spec): rows are
+      * already in natural order and must NOT be flipped. */
     final case class Parsed(payload: Array[Byte], width: Int,
         height: Int, bitCount: Int, compression: Int,
-        microSecPerFrame: Int, frameChunks: Vector[(Int, Int, Boolean)]) {
+        microSecPerFrame: Int, frameChunks: Vector[(Int, Int, Boolean)],
+        topDown: Boolean = false) {
       def frameCount: Int = frameChunks.length
       /** Decode frame `i` to row-major 8-bit samples. */
       def frame(i: Int): Array[Int] = {
         val (pos, len, compressed) = frameChunks(i)
         if (compressed || compression == FccMjpg)
           decodeJpegFrame(payload, pos, len, width, height)
-        else decodeDibFrame(payload, pos, len, width, height, bitCount)
+        else decodeDibFrame(payload, pos, len, width, height, bitCount,
+          topDown)
       }
     }
 
@@ -197,8 +201,8 @@ object MediaCodecs {
     }
 
     private def decodeDibFrame(payload: Array[Byte], pos: Int,
-        len: Int, width: Int, height: Int, bitCount: Int)
-        : Array[Int] = {
+        len: Int, width: Int, height: Int, bitCount: Int,
+        topDown: Boolean): Array[Int] = {
       require(bitCount == 8,
         s"only 8-bit DIB frames supported, got $bitCount-bit")
       val stride = dibStride(width)
@@ -206,8 +210,11 @@ object MediaCodecs {
         s"DIB frame truncated: $len < ${stride * height}")
       val px = new Array[Int](width * height)
       var y = 0
-      while (y < height) { // bottom-up rows -> top-down samples
-        val row = pos + (height - 1 - y) * stride
+      while (y < height) {
+        // Bottom-up rows (positive biHeight, the common case) flip to
+        // top-down sample order; top-down DIBs (negative biHeight,
+        // legal per the spec) are already in natural order.
+        val row = pos + (if (topDown) y else height - 1 - y) * stride
         var x = 0
         while (x < width) {
           px(y * width + x) = payload(row + x) & 0xFF
@@ -220,12 +227,26 @@ object MediaCodecs {
 
     private def decodeJpegFrame(payload: Array[Byte], pos: Int,
         len: Int, width: Int, height: Int): Array[Int] = {
-      val img = javax.imageio.ImageIO.read(
+      val decoded = javax.imageio.ImageIO.read(
         new ByteArrayInputStream(payload, pos, len))
-      require(img != null, "MJPG frame is not a decodable JPEG")
-      require(img.getWidth == width && img.getHeight == height,
-        s"frame dims ${img.getWidth}x${img.getHeight} disagree " +
+      require(decoded != null, "MJPG frame is not a decodable JPEG")
+      require(decoded.getWidth == width && decoded.getHeight == height,
+        s"frame dims ${decoded.getWidth}x${decoded.getHeight} disagree " +
           s"with stream header ${width}x$height")
+      // Color MJPEG decodes to a 3-band RGB raster whose band 0 is the
+      // RED channel, not luma — convert to grayscale first so pixel
+      // stats and dHashes are over luma for color and grayscale frames
+      // alike (drawImage routes through ColorConvertOp's colorimetric
+      // RGB->gray, deterministic on one JVM).
+      val img =
+        if (decoded.getRaster.getNumBands == 1) decoded
+        else {
+          val g = new java.awt.image.BufferedImage(width, height,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val gg = g.createGraphics()
+          try gg.drawImage(decoded, 0, 0, null) finally gg.dispose()
+          g
+        }
       img.getRaster.getSamples(0, 0, width, height, 0,
         null: Array[Int])
     }
@@ -246,6 +267,13 @@ object MediaCodecs {
       var bitCount = -1
       var compression = -1
       var microSecPerFrame = 0
+      var topDown = false
+      // fccType of the most recent strh: an AVI interleaves multiple
+      // strl lists (video + audio); each strl's strf must be
+      // interpreted against ITS strh — taking the first strf blindly
+      // would misparse an audio-first AVI's WAVEFORMATEX as a
+      // BITMAPINFOHEADER (width = sample rate).
+      var curStreamType = 0
       val chunks = Vector.newBuilder[(Int, Int, Boolean)]
 
       // Walk a chunk range [pos, end); RIFF chunks are word-aligned.
@@ -258,31 +286,43 @@ object MediaCodecs {
           require(dataPos + size <= end,
             s"chunk overruns container at offset $pos")
           if (fcc == FccList) {
+            require(size >= 4,
+              s"LIST chunk too small for a list type at offset $pos")
             val listType = bb.getInt(dataPos.toInt)
             walk(dataPos + 4, dataPos + size,
               inMovi || listType == FccMovi)
           } else if (fcc == FccAvih) {
+            require(size >= 4, s"avih chunk truncated at offset $pos")
             microSecPerFrame = bb.getInt(dataPos.toInt)
-          } else if (fcc == FccStrf && width < 0) {
-            // BITMAPINFOHEADER of the first (video) stream
+          } else if (fcc == FccStrh) {
+            require(size >= 4, s"strh chunk truncated at offset $pos")
+            curStreamType = bb.getInt(dataPos.toInt)
+          } else if (fcc == FccStrf && curStreamType == FccVids &&
+              width < 0) {
+            // BITMAPINFOHEADER of the video stream (only — an audio
+            // strl's strf is a WAVEFORMATEX and is skipped).
+            require(size >= 18, s"strf chunk truncated at offset $pos")
             width = bb.getInt(dataPos.toInt + 4)
-            height = math.abs(bb.getInt(dataPos.toInt + 8))
+            val rawHeight = bb.getInt(dataPos.toInt + 8)
+            topDown = rawHeight < 0 // negative = top-down DIB rows
+            height = math.abs(rawHeight)
             bitCount = bb.getShort(dataPos.toInt + 14).toInt
             compression = bb.getInt(dataPos.toInt + 16)
           } else if (inMovi &&
               (fcc == Fcc00db || fcc == Fcc00dc)) {
             require(width > 0 && height > 0,
-              "frame chunk before stream format header")
+              "frame chunk before any vids stream format header")
             chunks += ((dataPos.toInt, size.toInt, fcc == Fcc00dc))
-          } // else: skip (idx1, strh, strn, JUNK, ...)
+          } // else: skip (idx1, audio strf, strn, JUNK, ...)
           pos = dataPos + size + (size & 1)
         }
       }
 
       walk(12, riffEnd, inMovi = false)
-      require(width > 0 && height > 0, "no video stream format found")
+      require(width > 0 && height > 0,
+        "no vids stream format found (payload has no video stream)")
       Parsed(payload, width, height, bitCount, compression,
-        microSecPerFrame, chunks.result())
+        microSecPerFrame, chunks.result(), topDown)
     }
 
     /** Parse an AVI payload and decode EVERY frame to row-major

@@ -204,6 +204,163 @@ class MediaCodecsSpec extends AnyFunSuite {
     }
   }
 
+  // --- parser robustness: stream-type tracking, top-down DIBs,
+  // --- malformed headers, color MJPEG ---
+
+  /** Splice an audio strl (strh fccType 'auds' + 18-byte
+    * WAVEFORMATEX strf) into a good AVI's hdrl BEFORE the video strl
+    * — the legal audio-first layout whose strf must NOT be read as a
+    * BITMAPINFOHEADER. */
+  private def withLeadingAudioStream(avi: Array[Byte]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def fcc(s: String): Int = (s(0) & 0xFF) | ((s(1) & 0xFF) << 8) |
+      ((s(2) & 0xFF) << 16) | ((s(3) & 0xFF) << 24)
+    val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    strh.putInt(fcc("auds")).putInt(0).putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(8000).putInt(0).putInt(100).putInt(0)
+      .putInt(-1).putInt(2)
+    // WAVEFORMATEX: PCM, mono, 8000 Hz — if misparsed as a
+    // BITMAPINFOHEADER, "width" would read 8000.
+    val strf = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+    strf.putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16).putShort(0)
+    def chunk(f: Int, body: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(f).putInt(body.length).put(body); bb.array()
+    }
+    val strlBody = chunk(fcc("strh"), strh.array()) ++
+      chunk(fcc("strf"), strf.array())
+    val strl = ByteBuffer.allocate(12 + strlBody.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    strl.putInt(fcc("LIST")).putInt(4 + strlBody.length)
+      .putInt(fcc("strl")).put(strlBody)
+    // hdrl layout from encodeDib: avih chunk at 24 (len 56), video
+    // strl at 88 — insert the audio strl there.
+    val insertAt = 88
+    val spliced = avi.take(insertAt) ++ strl.array() ++
+      avi.drop(insertAt)
+    val out = ByteBuffer.wrap(spliced).order(ByteOrder.LITTLE_ENDIAN)
+    out.putInt(4, spliced.length - 8) // RIFF size
+    out.putInt(16, out.getInt(16) + strl.array().length) // hdrl size
+    spliced
+  }
+
+  test("audio-first AVI: the audio strl's strf is not misparsed as " +
+      "video; frames still decode bit-exactly") {
+    val (w, h) = (7, 5)
+    val frames = Seq.tabulate(3)(f => gray(w, h, 11 * (f + 1)))
+    val avi = withLeadingAudioStream(
+      AviCodec.encodeDib(w, h, 10, frames))
+    val v = AviCodec.decode(avi)
+    assert(v.width == w && v.height == h && v.frames.length == 3)
+    frames.zip(v.frames).foreach { case (src, dec) =>
+      assert(dec.toSeq == src.map(_ & 0xFF).toSeq)
+    }
+  }
+
+  test("audio-only AVI (no vids stream) fails fast with a " +
+      "descriptive error instead of silently emitting zero frames") {
+    // Take a good AVI, splice the audio strl in, then cut the video
+    // strl out of hdrl: only the auds stream remains.
+    import java.nio.{ByteBuffer, ByteOrder}
+    val (w, h) = (6, 4)
+    val avi = AviCodec.encodeDib(w, h, 10, Seq(gray(w, h, 5)))
+    val bbIn = ByteBuffer.wrap(avi).order(ByteOrder.LITTLE_ENDIAN)
+    // video strl spans [88, 88+8+strlSize)
+    val vidStrlSize = bbIn.getInt(92)
+    val vidStrlLen = 8 + vidStrlSize
+    val noVid = avi.take(88) ++ avi.drop(88 + vidStrlLen)
+    val out = ByteBuffer.wrap(noVid).order(ByteOrder.LITTLE_ENDIAN)
+    out.putInt(4, noVid.length - 8)
+    out.putInt(16, out.getInt(16) - vidStrlLen)
+    val e = intercept[IllegalArgumentException] {
+      AviCodec.parse(withLeadingAudioStream(noVid))
+    }
+    assert(e.getMessage.contains("vids"))
+  }
+
+  test("top-down DIB (negative biHeight) decodes in natural row " +
+      "order — no bottom-up flip") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val (w, h) = (8, 4)
+    val src = gray(w, h, 21)
+    val avi = AviCodec.encodeDib(w, h, 10, Seq(src))
+    // encodeDib stores rows bottom-up; patching biHeight negative
+    // declares the stored order top-down, so the decode must return
+    // the vertical mirror of src. strf body starts at 96 + 8 = 104;
+    // biHeight at +8.
+    val bb = ByteBuffer.wrap(avi).order(ByteOrder.LITTLE_ENDIAN)
+    val strfData = 88 + 12 + 8 + 56 + 8 // hdrl->strl->strh->strf body
+    assert(bb.getInt(strfData) == 40, "strf offset math drifted")
+    bb.putInt(strfData + 8, -h)
+    val p = AviCodec.parse(avi)
+    assert(p.topDown)
+    val mirrored = (0 until h).flatMap(y =>
+      (0 until w).map(x => src((h - 1 - y) * w + x) & 0xFF))
+    assert(p.frame(0).toSeq == mirrored)
+  }
+
+  test("malformed containers with tiny LIST/strf/avih sizes fail " +
+      "fast instead of reading neighboring bytes") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def fcc(s: String): Int = (s(0) & 0xFF) | ((s(1) & 0xFF) << 8) |
+      ((s(2) & 0xFF) << 16) | ((s(3) & 0xFF) << 24)
+    // RIFF('AVI ' LIST(size=2)) — declared size cannot hold a type.
+    val bb = ByteBuffer.allocate(22).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(fcc("RIFF")).putInt(14).putInt(fcc("AVI "))
+      .putInt(fcc("LIST")).putInt(2).putShort(0)
+    val e = intercept[IllegalArgumentException] {
+      AviCodec.parse(bb.array())
+    }
+    assert(e.getMessage.contains("LIST chunk too small"))
+
+    // Truncated strf inside a vids strl.
+    val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    strh.putInt(fcc("vids")).putInt(fcc("DIB "))
+    def chunk(f: Int, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(f).putInt(body.length).put(body); b.array()
+    }
+    def list(t: Int, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(12 + body.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(fcc("LIST")).putInt(4 + body.length).putInt(t)
+        .put(body); b.array()
+    }
+    val body = list(fcc("hdrl"), list(fcc("strl"),
+      chunk(fcc("strh"), strh.array()) ++
+        chunk(fcc("strf"), Array.fill[Byte](10)(0)))) // 10 < 18
+    val out = ByteBuffer.allocate(12 + body.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.putInt(fcc("RIFF")).putInt(4 + body.length)
+      .putInt(fcc("AVI ")).put(body)
+    val e2 = intercept[IllegalArgumentException] {
+      AviCodec.parse(out.array())
+    }
+    assert(e2.getMessage.contains("strf chunk truncated"))
+  }
+
+  test("color MJPEG frames decode as luma, not the red channel") {
+    val (w, h) = (16, 16)
+    // Uniform strong-red frame: red-channel-only decode would read
+    // ~200; colorimetric luma is ~0.3*200 + 0.59*50 + 0.11*50 ~ 95.
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(200, 50, 50))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val avi = encodeMjpg(w, h, Seq(bos.toByteArray))
+    val v = AviCodec.decode(avi)
+    val mean = v.frames.head.sum.toDouble / (w * h)
+    assert(mean > 60 && mean < 160,
+      s"expected luma-ish mean (~95), got $mean — red-channel decode?")
+  }
+
   test("video frame feature stats match a scalar recomputation " +
       "(the exact witness the mm04 oracle recomputes)") {
     val (w, h) = (9, 5)

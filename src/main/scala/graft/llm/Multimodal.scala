@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * containers (uncompressed DIB frames losslessly, MJPEG via the
   * ImageIO JPEG reader) behind [[decodeVideoFrameFeatures]]; and
   * [[MediaCodecs.WavCodec]] runs 16-bit PCM WAV through
-  * `javax.sound.sampled` behind [[decodeAudioFeatures]]. Only the
-  * embedding-featurizer step ([[FakeCodec.features]]) remains a
-  * deterministic stand-in (no model in the sandbox). The Spark-side
+  * `javax.sound.sampled` behind [[decodeAudioFeatures]]. The
+  * embedding featurizer ([[Featurizer]]) is a seeded ±1
+  * random-projection over the DECODED content — no learned model can
+  * run in the sandbox, but sign projections are the classic
+  * model-free embedding (Achlioptas 2001) and, unlike a stub, their
+  * output is a real vector the ANN stack can index. The Spark-side
   * contract is uniform — binary column + metadata struct schema,
   * batch iteration via mapPartitions (one codec init per task,
   * amortized over the partition like an Arrow/pandas batch UDF),
@@ -34,8 +37,8 @@ object Multimodal {
       mediaType: String, // "image" | "audio" | "video"
       nBytes: Long,
       sha: String,
-      width: Int,   // fake-decoded dimensions (stub)
-      height: Int)
+      width: Int,   // declared dims (real callers pass decoded dims;
+      height: Int)  // withMediaColumns derives hash placeholders)
 
   final case class MediaRow(
       media_id: Long,
@@ -434,28 +437,40 @@ object Multimodal {
     }
   }
 
-  /** Deterministic VIDEO featurize stub: stands in for an embedding
-    * model (the one step with no JDK-native implementation). Video
-    * DECODE is no longer stubbed — [[decodeVideoFrameFeatures]]
-    * parses real AVI containers (DIB lossless + MJPEG) and
-    * [[decodeAudioFeatures]] runs real PCM WAV through
-    * `javax.sound.sampled`; this object remains only as the
-    * deterministic featurizer behind [[decodeFeatures]] and the
-    * byte-slice frame stub [[sampleFrames]] (kept for payloads in
-    * formats the sandbox cannot parse). */
-  object FakeCodec {
-    def dims(payload: Array[Byte]): (Int, Int) = {
-      val h = java.util.Arrays.hashCode(payload)
-      (64 + math.abs(h % 1920), 64 + math.abs((h / 7) % 1080))
-    }
+  /** Seeded random-projection featurizer: a fixed ±1 sign-projection
+    * matrix (Achlioptas, "Database-friendly random projections", PODS
+    * 2001 — sign projections preserve inner products in expectation)
+    * applied to DECODED media content — pixels for images and video
+    * frames, PCM samples for audio — never raw container bytes. The
+    * matrix entries derive deterministically from `byteswap64`, the
+    * same plan-time derivation as the LSH hyperplane signs
+    * ([[Dedup.planeSign]]): no RNG state, identical on every run and
+    * restatable literal-for-literal in an external SQL oracle. Each
+    * output dimension is an integer dot product (exactly
+    * representable as Float at media magnitudes), so the vectors feed
+    * the ANN stack with no float-portability caveats. */
+  object Featurizer {
+    /** Component (j, i) of the fixed projection matrix: ±1 from a
+      * byteswap64 hash of the (dimension, index) pair. */
+    def weight(j: Int, i: Int): Int =
+      if (scala.util.hashing.byteswap64(
+        j.toLong * 7368787L + i) % 2 == 0) 1 else -1
 
-    /** "Feature extraction": 8-bucket normalized byte histogram —
-      * stands in for an embedding/feature model. */
-    def features(payload: Array[Byte]): Array[Float] = {
-      val buckets = new Array[Float](8)
-      payload.foreach(b => buckets((b & 0xFF) >> 5) += 1f)
-      val n = math.max(payload.length, 1).toFloat
-      buckets.map(_ / n)
+    /** Project integer-valued content onto `d` signed sums. */
+    def project(values: Array[Int], d: Int): Array[Long] = {
+      val out = new Array[Long](d)
+      var j = 0
+      while (j < d) {
+        var acc = 0L
+        var i = 0
+        while (i < values.length) {
+          acc += values(i) * weight(j, i)
+          i += 1
+        }
+        out(j) = acc
+        j += 1
+      }
+      out
     }
   }
 
@@ -476,36 +491,79 @@ object Multimodal {
         (pmod(xxhash64(lit(7), col("payload")), lit(1080L)) + 64)
           .cast("int").as("height")))
 
-  /** Batched decode+featurize: mapPartitions so codec initialization
-    * happens once per task and payloads stream through in partition-
-    * sized batches — the Scala analogue of mapInPandas batch shape.
+  /** Batched decode+featurize: decode the payload by its declared
+    * media type (PNG pixels, PCM samples, AVI frame pixels — the same
+    * REAL codecs as the per-type feature operators) and project the
+    * decoded content through the fixed ±1 matrix ([[Featurizer]]) to
+    * a `d`-dim vector. mapPartitions so codec initialization happens
+    * once per task and payloads stream through in partition-sized
+    * batches — the Scala analogue of the mapInPandas batch shape.
     * Repartition upstream by expected payload bytes (see
-    * [[repartitionByBytes]]) so a batch fits executor memory. */
-  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    * [[repartitionByBytes]]) so a batch fits executor memory.
+    *
+    * Unknown media types project the raw payload bytes — the
+    * documented fallback for container formats with no sandbox
+    * decoder; everything the engine can decode is featurized over
+    * CONTENT, which is what makes the output vectors meaningful keys
+    * for the ANN stack ([[Similarity]]). */
+  def decodeFeatures(media: Dataset[MediaRow], d: Int = 8)
+      : Dataset[MediaFeatures] = {
+    require(d > 0, "feature dimension must be positive")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // (real impl: initialize decoder context here, once per task)
-      rows.map(r => MediaFeatures(r.media_id,
-        FakeCodec.features(r.payload)))
+      rows.map { r =>
+        val content: Array[Int] = r.meta.mediaType match {
+          case "image" => ImageCodec.decode(r.payload)._3
+          case "audio" => MediaCodecs.WavCodec.decodePcm16(r.payload)._2
+          case "video" =>
+            val v = MediaCodecs.AviCodec.parse(r.payload)
+            Array.range(0, v.frameCount).flatMap(v.frame)
+          case _ => r.payload.map(_ & 0xFF)
+        }
+        MediaFeatures(r.media_id,
+          Featurizer.project(content, d).map(_.toFloat))
+      }
     }
   }
 
-  /** Frame-sample stub for video payloads: emits every `stride`-th
-    * 1 KiB slice of the payload as a "frame" (flatMap shape — one input
-    * row to N frame rows — is the real contract). */
+  /** Frame sampling over video payloads: parse the AVI container
+    * ([[MediaCodecs.AviCodec.parse]] — header walk only, no pixel
+    * decode) and emit every `stride`-th frame's RAW chunk bytes at
+    * the parse-exposed offsets. flatMap shape — one input row to N
+    * frame rows. The sampler's contract is frame EXTRACTION (feeding
+    * downstream per-frame decode/featurize stages); decode stays with
+    * [[decodeVideoFrameFeatures]].
+    *
+    * Payloads that are not parseable AVI containers fall back to a
+    * documented byte-slice path — every `stride`-th 1 KiB slice
+    * becomes a "frame" — preserving the 1→N contract for formats the
+    * sandbox cannot parse rather than failing the whole batch. */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 4)
       : DataFrame = {
+    require(stride > 0, "stride must be positive")
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { r =>
-      val frameSize = 1024
-      val nFrames = math.max(1, r.payload.length / frameSize)
-      (0 until nFrames by stride).map { i =>
-        val from = i * frameSize
-        val until = math.min(from + frameSize, r.payload.length)
-        (r.media_id, i, java.util.Arrays.copyOfRange(r.payload, from,
-          until))
+      val parsed =
+        try Some(MediaCodecs.AviCodec.parse(r.payload))
+        catch { case _: IllegalArgumentException => None }
+      parsed match {
+        case Some(v) =>
+          (0 until v.frameCount by stride).map { f =>
+            val (pos, len, _) = v.frameChunks(f)
+            (r.media_id, f,
+              java.util.Arrays.copyOfRange(r.payload, pos, pos + len))
+          }
+        case None => // byte-slice fallback for unparseable payloads
+          val frameSize = 1024
+          val nFrames = math.max(1, r.payload.length / frameSize)
+          (0 until nFrames by stride).map { i =>
+            val from = i * frameSize
+            val until = math.min(from + frameSize, r.payload.length)
+            (r.media_id, i,
+              java.util.Arrays.copyOfRange(r.payload, from, until))
+          }
       }
     }.toDF("media_id", "frame_idx", "frame_bytes")
   }

@@ -31,14 +31,45 @@ class MultimodalSpec extends SparkSpec {
     assert(again.toSeq == rows.map(_.getInt(3)).toSeq)
   }
 
-  test("batched decode produces normalized 8-bucket histograms") {
-    val rows = media.select(col("media_id"), col("bytes").as("payload"),
-      col("meta")).as[Multimodal.MediaRow]
-    val feats = Multimodal.decodeFeatures(rows).collect()
+  test("featurize projects DECODED pixels through the fixed ±1 " +
+      "matrix — matches a hand computation over the source raster") {
+    val w = 5
+    val h = 4
+    val px = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val media = spark.createDataset(Seq(7L)).mapPartitions { it =>
+      it.map { id =>
+        Multimodal.MediaRow(id,
+          Multimodal.ImageCodec.encodePng(w, h, px),
+          Multimodal.MediaMeta("image", 0L, "", w, h))
+      }
+    }
+    val feats = Multimodal.decodeFeatures(media, d = 6).collect().head
+    assert(feats.features.length == 6)
+    val expected =
+      Multimodal.Featurizer.project(px.map(_ & 0xFF), 6)
+    assert(feats.features.toSeq == expected.map(_.toFloat).toSeq)
+    // The matrix is genuinely mixed sign per dimension (not all +1).
+    assert((0 until 6).exists(j =>
+      (0 until w * h).exists(i => Multimodal.Featurizer.weight(j, i)
+        != Multimodal.Featurizer.weight(j, (i + 1) % (w * h)))))
+  }
+
+  test("featurize decodes per media type: audio projects PCM " +
+      "samples; unknown types fall back to raw bytes") {
+    val ss = Array[Short](100, -200, 300, -400, 50, 0, 7, -7)
+    val wav = MediaCodecs.WavCodec.encodePcm16(8000, ss)
+    val media = spark.createDataset(Seq(
+      ("audio", 1L, wav),
+      ("blob", 2L, Array[Byte](1, 2, 3, 250.toByte))))
+      .map { case (t, id, p) =>
+        Multimodal.MediaRow(id, p, Multimodal.MediaMeta(t, 0L, "", 0, 0))
+      }
+    val feats = Multimodal.decodeFeatures(media, d = 4).collect()
       .map(f => f.media_id -> f.features).toMap
-    assert(feats(1L).length == 8)
-    assert(math.abs(feats(1L).sum - 1.0f) < 1e-5)
-    assert(feats(2L).sum > 0.99f)
+    assert(feats(1L).toSeq == Multimodal.Featurizer
+      .project(ss.map(_.toInt), 4).map(_.toFloat).toSeq)
+    assert(feats(2L).toSeq == Multimodal.Featurizer
+      .project(Array(1, 2, 3, 250), 4).map(_.toFloat).toSeq)
   }
 
   test("real PNG codec round-trips every pixel exactly") {
@@ -107,7 +138,34 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).px_min == 20 && feats(2L).px_max == 35)
   }
 
-  test("frame sampling emits stride-spaced frames") {
+  test("frame sampling over real AVI payloads emits the raw chunk " +
+      "bytes at the parse-exposed offsets") {
+    val (w, h) = (6, 3) // stride 8: 2 pad bytes per row
+    def frame(seed: Int) =
+      Array.tabulate[Byte](w * h)(i => ((seed * 31 + i * 7) % 256).toByte)
+    val frames = Seq.tabulate(5)(f => frame(f + 1))
+    val avi = MediaCodecs.AviCodec.encodeDib(w, h, 10, frames)
+    val media = spark.createDataset(Seq(1L)).map { id =>
+      Multimodal.MediaRow(id, avi,
+        Multimodal.MediaMeta("video", avi.length.toLong, "", w, h))
+    }
+    val out = Multimodal.sampleFrames(media, stride = 2)
+      .as[(Long, Int, Array[Byte])].collect().sortBy(_._2)
+    assert(out.map(_._2).toSeq == Seq(0, 2, 4))
+    // Each sampled chunk is the DIB body: bottom-up rows padded to
+    // the 4-byte stride — recompute frame 2's bytes by hand.
+    val dibStride = (w + 3) & ~3
+    val expect = (0 until h).flatMap { r =>
+      val y = h - 1 - r
+      (0 until w).map(x => frames(2)(y * w + x)) ++
+        Seq.fill(dibStride - w)(0.toByte)
+    }
+    assert(out(1)._3.toSeq == expect)
+    assert(out.forall(_._3.length == dibStride * h))
+  }
+
+  test("frame sampling falls back to stride-spaced byte slices for " +
+      "unparseable payloads") {
     val rows = media.select(col("media_id"), col("bytes").as("payload"),
       col("meta")).as[Multimodal.MediaRow]
     val frames = Multimodal.sampleFrames(rows, stride = 2)

@@ -576,24 +576,46 @@ object LlmQueries {
         .orderBy("media_id")
     }),
 
-    // Frame-sample stub over video-typed payloads: every 4th 1 KiB
-    // slice becomes a "frame" row (the flatMap 1->N contract). The
-    // oracle slices the same byte ranges via substr (ASCII corpus:
-    // codepoint == byte) and digests them.
+    // REAL frame sampling: each doc becomes an uncompressed-DIB AVI
+    // (mm04's source formula), and sampleFrames extracts every 2nd
+    // frame's RAW chunk bytes at the AviCodec.parse offsets — no
+    // pixel decode. The witness is the chunk length plus a base-31
+    // rolling hash over the chunk BYTES; the oracle reconstructs the
+    // exact DIB layout (bottom-up rows, 4-byte stride padding) from
+    // the source formula. The byte-slice fallback for unparseable
+    // payloads stays spec-covered in MultimodalSpec.
     "mm03_frame_sample" -> ((s, dir) => {
       import s.implicits._
-      val media = docs(s, dir)
-        .withColumn("payload", encode(col("text"), "UTF-8"))
-      val rows = Multimodal
-        .withMediaColumns(media, "payload", "video")
-        .select(col("doc_id").as("media_id"), col("payload"),
-          col("meta").as("meta"))
-        .as[Multimodal.MediaRow]
-      Multimodal.sampleFrames(rows, stride = 4)
-        .select(col("media_id"), col("frame_idx"),
-          octet_length(col("frame_bytes")).cast("long")
-            .as("frame_len"),
-          sha2(col("frame_bytes"), 256).as("frame_sha"))
+      // The codec stage is CPU-bound per row (see mm02 note).
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 7).toInt
+          val h = (8 + (id / 7) % 5).toInt
+          val n = (2 + id % 4).toInt
+          val frames = Seq.tabulate(n) { f =>
+            Array.tabulate[Byte](w * h)(i =>
+              ((id * 31 + f * 97 + i * 7) % 256).toByte)
+          }
+          val payload =
+            MediaCodecs.AviCodec.encodeDib(w, h, 10, frames)
+          Multimodal.MediaRow(id, payload, Multimodal.MediaMeta(
+            "video", payload.length.toLong, "", w, h))
+        }
+      }
+      Multimodal.sampleFrames(media, stride = 2)
+        .as[(Long, Int, Array[Byte])]
+        .map { case (id, fi, b) =>
+          var hsh = 0L
+          var i = 0
+          while (i < b.length) {
+            hsh = (hsh * 31 + (b(i) & 0xFF)) % 1000000007L
+            i += 1
+          }
+          (id, fi, b.length.toLong, hsh)
+        }
+        .toDF("media_id", "frame_idx", "frame_len", "frame_hash")
         .orderBy("media_id", "frame_idx")
     }),
 
@@ -825,6 +847,65 @@ object LlmQueries {
         .select(col("media_id"), col("sig"), col("n_frames"),
           col("n_sampled"), col("keep_id"), col("grp_size"))
         .orderBy("media_id")
+    }),
+
+    // Embedding featurize — REAL content path: decode the PNG (mm02's
+    // source formula) and project the DECODED pixels through the
+    // fixed ±1 matrix. Output dims are integer dot products; the
+    // oracle recomputes every one from the source-pixel formula with
+    // the same sign literals baked into the SQL.
+    "mm11_featurize" -> ((s, dir) => {
+      import s.implicits._
+      // The codec stage is CPU-bound per row (see mm02 note).
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + (id / 9) % 9).toInt
+          val px = Array.tabulate(w * h)(i =>
+            ((id * 31 + i * 7) % 256).toByte)
+          val payload = Multimodal.ImageCodec.encodePng(w, h, px)
+          Multimodal.MediaRow(id, payload, Multimodal.MediaMeta(
+            "image", payload.length.toLong, "", w, h))
+        }
+      }
+      Multimodal.decodeFeatures(media, d = 8)
+        .select(col("media_id") +: (0 until 8).map(j =>
+          element_at(col("features"), j + 1).cast("long")
+            .as(s"f$j")): _*)
+        .orderBy("media_id")
+    }),
+
+    // The featurized vectors drive the ANN stack unchanged: exact
+    // brute-force cosine top-k (s01's operator) over the projected
+    // image vectors. Gates decode -> featurize -> index end-to-end:
+    // the cosine math runs on integer-valued doubles, so the oracle
+    // restates it exactly with list_cosine_similarity.
+    "s08_featurized_ann" -> ((s, dir) => {
+      import s.implicits._
+      // The codec stage is CPU-bound per row (see mm02 note).
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+      val media = ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + (id / 9) % 9).toInt
+          val px = Array.tabulate(w * h)(i =>
+            ((id * 31 + i * 7) % 256).toByte)
+          val payload = Multimodal.ImageCodec.encodePng(w, h, px)
+          Multimodal.MediaRow(id, payload, Multimodal.MediaMeta(
+            "image", payload.length.toLong, "", w, h))
+        }
+      }
+      val feats = Multimodal.decodeFeatures(media, d = 8)
+      val corpus = feats.select(col("media_id").as("id"),
+        col("features").cast("array<double>").as("vec"))
+      val qs = corpus.where(col("id") % 100 === 0)
+        .select(col("id").as("qid"), col("vec").as("qvec"))
+      Similarity.bruteForceTopK(corpus, qs, k = 5)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("qid", "rank")
     }))
 
   /** DuckDB restatement of the base-31 mod-1e9+7 polynomial hash of
@@ -1781,20 +1862,34 @@ object LlmQueries {
              list_reduce(list_prepend(0::BIGINT, ps),
                (a, c) -> (a*31 + c) % 1000000007)::BIGINT AS px_hash
            FROM px ORDER BY media_id""",
-      // Frame sampling: frame i covers bytes [i*1024, i*1024+1024) of
-      // the payload, i stepping by the stride over max(1, len//1024)
-      // frames.
+      // Frame sampling over real AVI containers: the oracle
+      // reconstructs each sampled frame's exact DIB chunk bytes from
+      // the source formula — bottom-up rows (row r holds source row
+      // h-1-r), each padded to the 4-byte stride — and folds the
+      // same base-31 rolling hash the Spark side computes over the
+      // raw chunk bytes at the parse offsets.
       "mm03_frame_sample" ->
-        """WITH f AS (SELECT doc_id AS media_id, text,
-             length(text) AS len FROM documents),
-           idx AS (SELECT media_id, text, len,
-             unnest(range(0, greatest(len // 1024, 1), 4))
-               AS frame_idx FROM f)
+        """WITH v AS (SELECT doc_id AS media_id,
+             (8 + (doc_id % 7))::BIGINT AS w,
+             (8 + ((doc_id // 7) % 5))::BIGINT AS h,
+             (2 + (doc_id % 4))::BIGINT AS n
+           FROM documents),
+           fr AS (SELECT media_id, w, h,
+             ((w + 3) // 4 * 4) AS str,
+             unnest(range(0, n, 2)) AS frame_idx FROM v),
+           bts AS (SELECT media_id, frame_idx, h, str,
+             flatten([
+               [(media_id*31 + frame_idx*97 + ((h-1-r)*w + x)*7) % 256
+                FOR x IN range(0, w)] ||
+               [p*0 FOR p IN range(0, str - w)]
+              FOR r IN range(0, h)]) AS bs
+           FROM fr)
            SELECT media_id, frame_idx::INTEGER AS frame_idx,
-             least(1024, len - frame_idx*1024)::BIGINT AS frame_len,
-             sha256(substr(text, (frame_idx*1024 + 1)::INTEGER, 1024))
-               AS frame_sha
-           FROM idx ORDER BY media_id, frame_idx""",
+             (str * h)::BIGINT AS frame_len,
+             list_reduce(list_prepend(0::BIGINT, bs),
+               (acc, c) -> (acc*31 + c) % 1000000007)::BIGINT
+               AS frame_hash
+           FROM bts ORDER BY media_id, frame_idx""",
       // The oracle restates the SOURCE frame formula (dims, frame
       // count, and pixels are functions of media_id and frame_idx);
       // the Spark side must recover exactly these stats from the
@@ -1968,6 +2063,63 @@ object LlmQueries {
              keep_id, grp_size
            FROM sigs JOIN grp ON sigs.sig = grp.sig
              AND sigs.n_frames = grp.n_frames
-           ORDER BY media_id""")
+           ORDER BY media_id""",
+      // Random-projection featurize: the ±1 matrix entries are
+      // plan-time constants (byteswap64-derived, like the LSH plane
+      // signs) baked below as list literals; f_j is the integer dot
+      // product of the source pixels with sign row j. Max raster is
+      // 16x16 = 256 entries per row.
+      "mm11_featurize" -> {
+        s"""WITH im AS (SELECT doc_id AS media_id,
+             (8 + (doc_id % 9))::BIGINT AS w,
+             (8 + ((doc_id // 9) % 9))::BIGINT AS h
+           FROM documents),
+           px AS (SELECT media_id, w, h,
+             [(media_id*31 + i*7) % 256
+              FOR i IN range(0, w*h)] AS ps
+           FROM im)
+           SELECT media_id,
+             ${(0 until 8).map(j =>
+               s"""list_sum([ps[i+1] * (${featurizerSignsSql(j)})[i+1]
+                  FOR i IN range(0, w*h)])::BIGINT AS f$j""")
+               .mkString(", ")}
+           FROM px ORDER BY media_id""" },
+      // Featurized ANN: recompute the projected vectors from the
+      // source formula (same sign literals as mm11), then the exact
+      // brute-force cosine top-k in s01's restatement shape.
+      "s08_featurized_ann" -> {
+        s"""WITH im AS (SELECT doc_id AS media_id,
+             (8 + (doc_id % 9))::BIGINT AS w,
+             (8 + ((doc_id // 9) % 9))::BIGINT AS h
+           FROM documents),
+           px AS (SELECT media_id, w, h,
+             [(media_id*31 + i*7) % 256
+              FOR i IN range(0, w*h)] AS ps
+           FROM im),
+           vv AS (SELECT media_id AS id,
+             [${(0 until 8).map(j =>
+               s"""list_sum([ps[i+1] * (${featurizerSignsSql(j)})[i+1]
+                  FOR i IN range(0, w*h)])::DOUBLE""").mkString(", ")}
+             ] AS vec
+           FROM px),
+           q AS (SELECT id AS qid, vec AS qvec FROM vv
+             WHERE id % 100 = 0),
+           scored AS (SELECT qid, v.id AS id,
+             list_cosine_similarity(qvec::DOUBLE[], v.vec::DOUBLE[])
+               AS cos
+             FROM q, vv v WHERE v.id <> qid),
+           ranked AS (SELECT qid, id, cos,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC, id ASC) AS rank
+             FROM scored)
+           SELECT qid, id, round(cos, 6) AS cosine, rank
+           FROM ranked WHERE rank <= 5 ORDER BY qid, rank""" })
   }
+
+  /** DuckDB list literal of [[Multimodal.Featurizer.weight]] row `j`
+    * over the maximum raster size (16x16): the same plan-time ±1
+    * constants the Spark featurizer computes. */
+  private def featurizerSignsSql(j: Int): String =
+    (0 until 256).map(i => Multimodal.Featurizer.weight(j, i))
+      .mkString("[", ",", "]")
 }

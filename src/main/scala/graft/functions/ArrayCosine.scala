@@ -148,6 +148,27 @@ object GraftFunctions {
         exprs => PolyBloomAgg(exprs(0),
           exprs(1).eval().asInstanceOf[Int],
           exprs(2).eval().asInstanceOf[Int]), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_pq_codes",
+        exprs => {
+          val cm = exprs(1).eval().asInstanceOf[ArrayData]
+          val segs = Array.tabulate(cm.numElements())(i =>
+            cm.getArray(i).toDoubleArray())
+          PqCodes(exprs(0), segs,
+            exprs(2).eval().asInstanceOf[Int],
+            exprs(3).eval().asInstanceOf[Int])
+        }, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_nearest_centroids",
+        exprs => {
+          val cids = exprs(1).eval().asInstanceOf[ArrayData]
+            .toLongArray()
+          val cm = exprs(2).eval().asInstanceOf[ArrayData]
+          val cents = Array.tabulate(cm.numElements())(i =>
+            cm.getArray(i).toDoubleArray())
+          NearestCentroids(exprs(0), cids, cents,
+            exprs(3).eval().asInstanceOf[Int])
+        }, "built-in")
       registered += key
     }
   }
@@ -219,4 +240,26 @@ object GraftFunctions {
     call_function("graft_poly_bloom", key,
       org.apache.spark.sql.functions.lit(mBits),
       org.apache.spark.sql.functions.lit(k))
+
+  /** Top-`n` nearest centroid ids by cosine for an `array<double>`
+    * vector; the centroid set rides as a plan-time literal (requires
+    * [[register]] first). */
+  def nearestCentroids(vec: Column, cids: Array[Long],
+      cents: Array[Array[Double]], n: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedLit}
+    call_function("graft_nearest_centroids", vec,
+      typedLit(cids.toSeq), typedLit(cents.map(_.toSeq).toSeq),
+      lit(n))
+  }
+
+  /** Per-segment PQ codeword assignment; the codebook rides as a
+    * plan-time literal indexed `code * segments + seg` (requires
+    * [[register]] first). */
+  def pqCodes(vec: Column, codeSegs: Array[Array[Double]],
+      segments: Int, segLen: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedLit}
+    call_function("graft_pq_codes", vec,
+      typedLit(codeSegs.map(_.toSeq).toSeq), lit(segments),
+      lit(segLen))
+  }
 }

@@ -68,13 +68,19 @@ object Similarity {
     GraftFunctions.register(corpus.sparkSession)
     var cents = initial
     for (_ <- 1 to iterations) {
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("_csim").desc, col("cid").asc)
-      val assigned = corpus.crossJoin(broadcast(cents))
-        .withColumn("_csim",
-          GraftFunctions.arrayCosine(col("vec"), col("cvec")))
-        .withColumn("_r", row_number().over(w))
-        .where(col("_r") === 1)
+      // Driver-collect the current (<= nCentroids by construction)
+      // centroid set each round: the corpus-side assignment becomes a
+      // zero-shuffle in-row argmax ([[graft.functions
+      // .NearestCentroids]] — same cosine evaluation order as the
+      // former crossJoin+window shape, bit-identical result), and the
+      // otherwise-growing iterative plan is truncated to bounded
+      // driver state per round.
+      val rows = cents.select(col("cid"), col("cvec")).collect()
+      val cids = rows.map(_.getLong(0))
+      val cvs = rows.map(_.getSeq[Double](1).toArray)
+      val assigned = corpus
+        .withColumn("cid", element_at(GraftFunctions
+          .nearestCentroids(col("vec"), cids, cvs, 1), 1))
         .select(col("cid"), col("vec"))
       val perDim = assigned
         .select(col("cid"), posexplode(col("vec")).as(Seq("i", "v")))
@@ -87,12 +93,9 @@ object Similarity {
           x => x.getField("mv")).as("cvec"))
     }
     // Materialize: the result is <= nCentroids rows by construction,
-    // but as a live plan every consumer (the lists assignment AND the
-    // probes assignment) would re-run the corpus-wide refinement —
-    // ReuseExchange does not fire across the two broadcast branches
-    // (verified in the physical plan). A driver-side copy turns the
-    // refined set into a literal broadcast input, exactly like the
-    // initial plan-time sample.
+    // and a driver-side copy turns the refined set into a literal
+    // input for the downstream assignments, exactly like the initial
+    // plan-time sample.
     val spark = corpus.sparkSession
     spark.createDataFrame(
       java.util.Arrays.asList(cents.collect(): _*), cents.schema)
@@ -126,17 +129,24 @@ object Similarity {
         refineCentroids(corpus, centroids0, lloydIterations)
       else centroids0
 
+    // Driver-collect the (bounded, <= nCentroids) centroid set and
+    // assign in-row: the corpus side crosses NO exchange for its cell
+    // assignment — the former crossJoin(broadcast)+window argmax
+    // shuffled |corpus| x nCentroids rows through a per-group sort
+    // just to take a maximum. Bit-identical results (same cosine
+    // evaluation order, same (cosine desc, cid asc) tie-break).
+    val centRows = centroids.select(col("cid"), col("cvec")).collect()
+    val cids = centRows.map(_.getLong(0))
+    val cvs = centRows.map(_.getSeq[Double](1).toArray)
     def assign(df: DataFrame, idCol: String, vecCol: String,
-        keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("_csim").desc, col("cid").asc)
-      df.crossJoin(broadcast(centroids))
-        .withColumn("_csim",
-          GraftFunctions.arrayCosine(col(vecCol), col("cvec")))
-        .withColumn("_crank", row_number().over(w))
-        .where(col("_crank") <= keep)
-        .drop("cvec", "_csim", "_crank")
-    }
+        keep: Int): DataFrame =
+      if (keep == 1)
+        df.withColumn("cid", element_at(GraftFunctions
+          .nearestCentroids(col(vecCol), cids, cvs, 1), 1))
+      else
+        df.select(df.columns.map(col) :+
+          explode(GraftFunctions.nearestCentroids(col(vecCol), cids,
+            cvs, keep)).as("cid"): _*)
 
     val lists = assign(corpus, "id", "vec", 1) // inverted lists
     val probes = assign(queries, "qid", "qvec", nProbe)
@@ -207,15 +217,21 @@ object Similarity {
     val l2 = aggregate(zip_with(col("vseg"), col("cseg"),
       (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
 
-    // Corpus codes: per (id, segment) the nearest codeword.
-    val aw = Window.partitionBy(col("id"), col("seg"))
-      .orderBy(col("_d").asc, col("code").asc)
-    val codes = segmented(corpus, "id", "vec")
-      .join(broadcast(codebook), "seg")
-      .withColumn("_d", l2)
-      .withColumn("_r", row_number().over(aw))
-      .where(col("_r") === 1)
-      .select(col("id"), col("seg"), col("code"))
+    // Corpus codes: per (id, segment) the nearest codeword — in-row
+    // argmin over the plan-time codebook ([[graft.functions
+    // .PqCodes]]; same L2 fold order as `l2`, bit-identical codes).
+    // The former posexplode+join+window shape shuffled |corpus| x
+    // segments x codebookSize rows through a per-(id, seg) sort.
+    val codeSegs = (for {
+      code <- sampled.indices
+      seg <- 0 until segments
+    } yield sampled(code).slice(seg * segLen,
+      (seg + 1) * segLen).toArray).toArray
+    val codes = corpus
+      .select(col("id"), posexplode(GraftFunctions.pqCodes(col("vec"),
+        codeSegs, segments, segLen)))
+      .withColumnRenamed("pos", "seg")
+      .withColumnRenamed("col", "code")
 
     // Per-query lookup table: distance from each query subvector to
     // every codeword (nq x segments x codebookSize rows — tiny).
@@ -309,17 +325,20 @@ object Similarity {
     val centroids = corpus.orderBy(lcg, col("id").asc)
       .limit(nCentroids)
       .select(col("id").as("cid"), col("vec").as("cvec"))
+    // Same shuffle-free in-row assignment as ivfTopK: the corpus
+    // crosses no exchange to learn its cell.
+    val centRows = centroids.collect()
+    val ccids = centRows.map(_.getLong(0))
+    val ccvs = centRows.map(_.getSeq[Double](1).toArray)
     def assign(df: DataFrame, idCol: String, vecCol: String,
-        keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("_csim").desc, col("cid").asc)
-      df.crossJoin(broadcast(centroids))
-        .withColumn("_csim",
-          GraftFunctions.arrayCosine(col(vecCol), col("cvec")))
-        .withColumn("_crank", row_number().over(w))
-        .where(col("_crank") <= keep)
-        .select(col(idCol), col("cid"))
-    }
+        keep: Int): DataFrame =
+      if (keep == 1)
+        df.select(col(idCol), element_at(GraftFunctions
+          .nearestCentroids(col(vecCol), ccids, ccvs, 1), 1).as("cid"))
+      else
+        df.select(col(idCol),
+          explode(GraftFunctions.nearestCentroids(col(vecCol), ccids,
+            ccvs, keep)).as("cid"))
     val lists = assign(corpus, "id", "vec", 1)
     val probes = assign(queries, "qid", "qvec", nProbe)
     val candidates = lists.join(probes, "cid")
@@ -347,14 +366,18 @@ object Similarity {
         .withColumnRenamed("col", "vseg")
     val l2 = aggregate(zip_with(col("vseg"), col("cseg"),
       (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, v) => acc + v)
-    val aw = Window.partitionBy(col("id"), col("seg"))
-      .orderBy(col("_d").asc, col("code").asc)
-    val codes = segmented(corpus, "id", "vec")
-      .join(broadcast(codebook), "seg")
-      .withColumn("_d", l2)
-      .withColumn("_r", row_number().over(aw))
-      .where(col("_r") === 1)
-      .select(col("id"), col("seg"), col("code"))
+    // In-row per-segment argmin (see pqTopK): the corpus side learns
+    // its codes with no exchange.
+    val codeSegs = (for {
+      code <- sampled.indices
+      seg <- 0 until segments
+    } yield sampled(code).slice(seg * segLen,
+      (seg + 1) * segLen).toArray).toArray
+    val codes = corpus
+      .select(col("id"), posexplode(GraftFunctions.pqCodes(col("vec"),
+        codeSegs, segments, segLen)))
+      .withColumnRenamed("pos", "seg")
+      .withColumnRenamed("col", "code")
     val qlut = segmented(queries, "qid", "qvec")
       .join(broadcast(codebook), "seg")
       .withColumn("d", l2)

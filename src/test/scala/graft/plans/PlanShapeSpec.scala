@@ -66,6 +66,31 @@ class PlanShapeSpec extends SparkSpec {
         s"${scan.selectedPartitions.partitionCount}")
   }
 
+  test("IVF/PQ assignment is shuffle-free: in-row argmax/argmin " +
+      "expressions, only the ranking Windows remain, no centroid " +
+      "or codebook join on the corpus side") {
+    // s03: the single remaining Window is the final per-query rank.
+    // s07: final rank + ADC shortlist rank (both per-query, inherent
+    // to top-k) — but NOT the former assignment windows, which
+    // shuffled |corpus| x nCentroids (and x codebookSize) rows
+    // through per-group sorts just to take an extremum.
+    for ((n, expect) <- Seq("s03_ann_ivf" -> 1, "s06_ann_pq" -> 2,
+        "s07_ann_ivfpq" -> 2)) {
+      val p = plan(n)
+      if (n != "s06_ann_pq")
+        assert(p.contains("nearest_centroids"),
+          s"$n lost the in-row cell assignment expression")
+      if (n != "s03_ann_ivf")
+        assert(p.contains("pq_codes"),
+          s"$n lost the in-row code assignment expression")
+      val windows = "\\bWindow\\b".r.findAllIn(p).length
+      assert(windows == expect,
+        s"$n expected $expect Window nodes, got $windows")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$n still crossJoins centroids for assignment")
+    }
+  }
+
   test("no query materializes the plan to an RDD (ScanRDD leaf)") {
     // ExistingRDD / Scan ExistingRDD leaves mean someone called df.rdd
     // mid-plan — the ensureWidth anti-pattern round 1 flagged. Checked

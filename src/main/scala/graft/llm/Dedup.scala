@@ -450,6 +450,19 @@ object Dedup {
     * hash) longs ever travel. Docs shorter than `n` chars hash as one
     * whole-text gram, so every document appears in the output.
     *
+    * APPROXIMATION: gram instances are compared by their polynomial
+    * hash (base-31 mod P=1e9+7), not by content — two DISTINCT grams
+    * colliding mod P count each other as duplicates, inflating
+    * `dup_grams`. Expected inflation is governed by the birthday
+    * bound: with G distinct grams corpus-wide, ~G^2/(2P) colliding
+    * pairs — ~0.05% of grams at G=1e6, but at lake scale (G~1e12)
+    * collisions dominate and this hash is NOT sufficient. Lee et
+    * al.'s suffix-array computation is exact; the scale path here is
+    * widening the hash (two independent polynomial hashes packed into
+    * one 64-bit key drops the collision rate to ~G^2/2^65). The
+    * DuckDB oracle restates the same mod-P hash, so the gate is
+    * consistent-by-construction with the approximation.
+    *
     * Output: doc_id, n_grams, dup_grams, dup_fraction — the fraction
     * feeding the usual "drop docs with > X% duplicated spans" curation
     * rule (RefinedWeb-style). */

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CdcQueries, LlmQueries, RelationalQueries}
+import graft.queries.{CdcQueries, HardeningQueries, LlmQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,6 +12,8 @@ import graft.queries.{CdcQueries, LlmQueries, RelationalQueries}
   *    ([[CdcQueries]])
   *  - `d*`/`s*`/`t*`/`mm*` LLM-data-pipeline operators
   *    ([[LlmQueries]])
+  *  - `x*` hardening sweeps — ANSI mode, adversarial value domains
+  *    ([[HardeningQueries]])
   *
   * Every query has a DuckDB oracle in [[oracleSql]] — the hash-based
   * operators (minhash/simhash/LSH) run on portable polynomial hashes
@@ -26,10 +28,12 @@ object SparkEntry {
     queries("c08_merge")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ CdcQueries.queries ++ LlmQueries.queries
+    RelationalQueries.queries ++ CdcQueries.queries ++
+      LlmQueries.queries ++ HardeningQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ CdcQueries.oracles ++ LlmQueries.oracles
+    RelationalQueries.oracles ++ CdcQueries.oracles ++
+      LlmQueries.oracles ++ HardeningQueries.oracles
 
   /** Headline subset used by [[Bench]] (the heavier, scale-relevant
     * plans — joins, consolidation/merge, dedup, ANN). */

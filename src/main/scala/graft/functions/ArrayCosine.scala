@@ -124,6 +124,10 @@ object GraftFunctions {
         exprs => PolyShingleHashesAll(exprs(0),
           exprs(1).eval().asInstanceOf[Int]), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_poly_shingle_hashes_wide_all",
+        exprs => PolyShingleHashesWideAll(exprs(0),
+          exprs(1).eval().asInstanceOf[Int]), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_poly_minhash_longs",
         exprs => PolyMinHashLongs(exprs(0),
           exprs(1).eval().asInstanceOf[Int]), "built-in")
@@ -207,6 +211,11 @@ object GraftFunctions {
   /** Column form (requires [[register]] on the session first). */
   def polyShingleHashesAll(text: Column, n: Int): Column =
     call_function("graft_poly_shingle_hashes_all", text,
+      org.apache.spark.sql.functions.lit(n))
+
+  /** Column form (requires [[register]] on the session first). */
+  def polyShingleHashesWideAll(text: Column, n: Int): Column =
+    call_function("graft_poly_shingle_hashes_wide_all", text,
       org.apache.spark.sql.functions.lit(n))
 
   /** Column form (requires [[register]] on the session first). */

@@ -87,7 +87,10 @@ object PolyHash {
     mins
   }
 
-  private val P2: Long = 1000000009L
+  /** Second independent polynomial family (base 131): the shadow
+    * hash for in-kernel distinctness ([[shingleHashes]]) and the low
+    * half of the wide gram key ([[shingleHashesWideAll]]). */
+  val P2: Long = 1000000009L
 
   /** Normalized code points of `s`: lowercased (same whole-string
     * lowercase as Spark's `lower`), `\s+` runs (the Java-regex ASCII
@@ -175,6 +178,53 @@ object PolyHash {
       if (i >= n) h1 = (h1 - cps(i - n) * pow1 % P + P) % P
       h1 = (h1 * 31L + cps(i)) % P
       if (i >= n - 1) out(i - n + 1) = h1
+      i += 1
+    }
+    out
+  }
+
+  /** Wide variant of [[shingleHashesAll]]: TWO independent rolling
+    * hashes per gram — (base 31, mod P) and (base 131, mod P2), the
+    * same pair [[shingleHashes]] uses for in-kernel distinctness —
+    * packed injectively into one long as `h1 * P2 + h2` (max value
+    * ~1e18, inside int64). Collision probability per gram pair drops
+    * from ~1/P (~1e-9) to ~1/(P*P2) (~1e-18): the birthday bound
+    * stays negligible up to trillion-gram corpora, which is what d11
+    * needs at 100 TB (see `Dedup.duplicatedNgramStats`). */
+  def shingleHashesWideAll(s: UTF8String, n: Int): Array[Long] = {
+    val cps = normalizedCodePoints(s)
+    val len = cps.length
+    if (len < n) {
+      var a1 = 0L
+      var a2 = 0L
+      var i = 0
+      while (i < len) {
+        a1 = (a1 * 31L + cps(i)) % P
+        a2 = (a2 * 131L + cps(i)) % P2
+        i += 1
+      }
+      return Array(a1 * P2 + a2)
+    }
+    var pow1 = 1L
+    var pow2 = 1L
+    var j = 1
+    while (j < n) {
+      pow1 = pow1 * 31L % P
+      pow2 = pow2 * 131L % P2
+      j += 1
+    }
+    val out = new Array[Long](len - n + 1)
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < len) {
+      if (i >= n) {
+        h1 = (h1 - cps(i - n) * pow1 % P + P) % P
+        h2 = (h2 - cps(i - n) * pow2 % P2 + P2) % P2
+      }
+      h1 = (h1 * 31L + cps(i)) % P
+      h2 = (h2 * 131L + cps(i)) % P2
+      if (i >= n - 1) out(i - n + 1) = h1 * P2 + h2
       i += 1
     }
     out
@@ -313,6 +363,38 @@ case class PolyShingleHashesAll(child: Expression, n: Int)
       : PolyShingleHashesAll = copy(child = newChild)
 
   override def prettyName: String = "poly_shingle_hashes_all"
+}
+
+/** Wide-key variant of [[PolyShingleHashesAll]] — two independent
+  * polynomial hashes packed into one long per gram instance (see
+  * [[PolyHash.shingleHashesWideAll]]); the trillion-gram-scale key
+  * for substring-duplication stats. */
+case class PolyShingleHashesWideAll(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${t.simpleString(10)}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, false)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(PolyHash.shingleHashesWideAll(
+      input.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.PolyHash.shingleHashesWideAll($c, $n))")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PolyShingleHashesWideAll = copy(child = newChild)
+
+  override def prettyName: String = "poly_shingle_hashes_wide_all"
 }
 
 /** Native scalar form of the base-31 polynomial hash — semantically

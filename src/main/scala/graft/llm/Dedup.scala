@@ -456,24 +456,36 @@ object Dedup {
     * `dup_grams`. Expected inflation is governed by the birthday
     * bound: with G distinct grams corpus-wide, ~G^2/(2P) colliding
     * pairs — ~0.05% of grams at G=1e6, but at lake scale (G~1e12)
-    * collisions dominate and this hash is NOT sufficient. Lee et
-    * al.'s suffix-array computation is exact; the scale path here is
-    * widening the hash (two independent polynomial hashes packed into
-    * one 64-bit key drops the collision rate to ~G^2/2^65). The
-    * DuckDB oracle restates the same mod-P hash, so the gate is
-    * consistent-by-construction with the approximation.
+    * collisions dominate and the single hash is NOT sufficient.
+    * `wideHash=true` switches the key to two independent polynomial
+    * families packed into one long ([[graft.functions.PolyHash
+    * .shingleHashesWideAll]], collision rate ~G^2/(2*P*P2) ~ 1e-18
+    * per pair) — negligible up to trillion-gram corpora; that is the
+    * 100 TB setting. Lee et al.'s suffix arrays are exact but
+    * single-machine. The DuckDB oracle restates the default mod-P
+    * hash, so the gate is consistent-by-construction with the
+    * approximation. The inflation is REAL and measurable already at
+    * toy scale: on the ~1.5e5-gram sf0.001 fixture the narrow key
+    * counts 15 spurious dups that the wide key does not — matching
+    * the ~11-pair birthday estimate; `DedupSimilaritySpec` pins the
+    * dominance (wide <= narrow per doc) and the magnitude.
     *
     * Output: doc_id, n_grams, dup_grams, dup_fraction — the fraction
     * feeding the usual "drop docs with > X% duplicated spans" curation
     * rule (RefinedWeb-style). */
   def duplicatedNgramStats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", gramChars: Int = 20,
-      minCount: Long = 2L): DataFrame = {
+      minCount: Long = 2L, wideHash: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    val gramKey =
+      if (wideHash)
+        graft.functions.GraftFunctions
+          .polyShingleHashesWideAll(col(textCol), gramChars)
+      else
+        graft.functions.GraftFunctions
+          .polyShingleHashesAll(col(textCol), gramChars)
     val grams = graft.core.Partitioning.ensureWidth(docs)
-      .select(col(idCol).as("doc_id"),
-        explode(graft.functions.GraftFunctions
-          .polyShingleHashesAll(col(textCol), gramChars)).as("g"))
+      .select(col(idCol).as("doc_id"), explode(gramKey).as("g"))
     // Corpus-wide instance counts, inner-joined back onto the
     // instance stream (every instance matches its own count, so one
     // final doc-keyed rollup yields BOTH totals and dup counts — no

@@ -290,4 +290,58 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(1L) == (9L, 5L) && out(2L) == (9L, 5L))
     assert(out(3L) == (1L, 1L) && out(4L) == (1L, 1L))
   }
+
+  test("wide-hash duplicatedNgramStats: dominance + birthday-bound " +
+      "divergence vs the narrow form (real collisions, measured)") {
+    // The fixture corpus carries ~1.5e5 gram instances: the birthday
+    // bound predicts ~G^2/(2P) ~ 11 narrow-hash colliding pairs — so
+    // the two forms must NOT be identical here, and the divergence
+    // direction is fixed: collisions only ever INFLATE the narrow
+    // dup count. (Running this spec is what surfaced the collisions:
+    // 15 docs each one dup higher under the narrow key.)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def stats(wide: Boolean) =
+      Dedup.duplicatedNgramStats(docs, wideHash = wide)
+        .orderBy("doc_id")
+        .select("doc_id", "n_grams", "dup_grams")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    val narrow = stats(wide = false)
+    val wide = stats(wide = true)
+    assert(narrow.nonEmpty && narrow.length == wide.length)
+    var inflated = 0L
+    narrow.zip(wide).foreach { case ((nid, ng, nd), (wid, wg, wd)) =>
+      assert(nid == wid)
+      assert(ng == wg, s"doc $nid: gram counts must agree ($ng vs $wg)")
+      assert(wd <= nd,
+        s"doc $nid: wide dup count $wd exceeds narrow $nd — " +
+          "impossible (widening can only REMOVE spurious matches)")
+      inflated += nd - wd
+    }
+    val totalGrams = narrow.map(_._2).sum
+    assert(inflated > 0,
+      "expected measurable narrow-hash collisions at ~1.5e5 grams " +
+        "(birthday bound ~11 pairs); widening changed nothing")
+    assert(inflated < totalGrams / 1000,
+      s"collision inflation $inflated implausibly large for " +
+        s"$totalGrams grams — kernel bug, not birthday noise")
+    // On a corpus far below the birthday regime the forms agree
+    // exactly (the drop-in property).
+    val tiny = Seq((1L, "aaaa bbbb cccc"), (2L, "aaaa bbbb dddd"),
+      (3L, "zz"), (4L, "zz")).toDF("doc_id", "text")
+    def tinyStats(wide: Boolean) =
+      Dedup.duplicatedNgramStats(tiny, gramChars = 6, wideHash = wide)
+        .orderBy("doc_id").collect().toSeq
+    assert(tinyStats(wide = true) == tinyStats(wide = false))
+    // And the wide key's high part is exactly the narrow hash.
+    import org.apache.spark.unsafe.types.UTF8String
+    val t = UTF8String.fromString("abcdefghijklmnopqrstuvwxyz")
+    val nk = graft.functions.PolyHash.shingleHashesAll(t, 20)
+    val wk = graft.functions.PolyHash.shingleHashesWideAll(t, 20)
+    assert(nk.length == wk.length)
+    assert(wk.zip(nk).forall { case (w, n) =>
+      w / graft.functions.PolyHash.P2 == n
+    }, "wide key high part must be the narrow hash")
+  }
 }

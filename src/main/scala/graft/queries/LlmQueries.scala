@@ -2067,8 +2067,11 @@ object LlmQueries {
       // Random-projection featurize: the ±1 matrix entries are
       // plan-time constants (byteswap64-derived, like the LSH plane
       // signs) baked below as list literals; f_j is the integer dot
-      // product of the source pixels with sign row j. Max raster is
-      // 16x16 = 256 entries per row.
+      // product of the source pixels with sign row j (restated as a
+      // vectorized list_dot_product over the DOUBLE-cast lists —
+      // integer-valued, exact — with the sign row sliced to the
+      // raster length; per-element literal indexing is ~100x slower
+      // at the 10x fixture). Max raster is 16x16 = 256 entries/row.
       "mm11_featurize" -> {
         s"""WITH im AS (SELECT doc_id AS media_id,
              (8 + (doc_id % 9))::BIGINT AS w,
@@ -2080,9 +2083,9 @@ object LlmQueries {
            FROM im)
            SELECT media_id,
              ${(0 until 8).map(j =>
-               s"""list_sum([ps[i+1] * (${featurizerSignsSql(j)})[i+1]
-                  FOR i IN range(0, w*h)])::BIGINT AS f$j""")
-               .mkString(", ")}
+               s"""list_dot_product(ps::DOUBLE[],
+                  (${featurizerSignsSql(j)})[1:(w*h)::INT]::DOUBLE[])
+                  ::BIGINT AS f$j""").mkString(", ")}
            FROM px ORDER BY media_id""" },
       // Featurized ANN: recompute the projected vectors from the
       // source formula (same sign literals as mm11), then the exact
@@ -2098,8 +2101,9 @@ object LlmQueries {
            FROM im),
            vv AS (SELECT media_id AS id,
              [${(0 until 8).map(j =>
-               s"""list_sum([ps[i+1] * (${featurizerSignsSql(j)})[i+1]
-                  FOR i IN range(0, w*h)])::DOUBLE""").mkString(", ")}
+               s"""list_dot_product(ps::DOUBLE[],
+                  (${featurizerSignsSql(j)})[1:(w*h)::INT]::DOUBLE[])
+                  """).mkString(", ")}
              ] AS vec
            FROM px),
            q AS (SELECT id AS qid, vec AS qvec FROM vv

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque
@@ -506,9 +506,10 @@ object Multimodal {
     * decoder; everything the engine can decode is featurized over
     * CONTENT, which is what makes the output vectors meaningful keys
     * for the ANN stack ([[Similarity]]). */
-  def decodeFeatures(media: Dataset[MediaRow], d: Int = 8)
-      : Dataset[MediaFeatures] = {
+  def decodeFeatures(media: Dataset[MediaRow], d: Int = 8,
+      videoStride: Int = 2): Dataset[MediaFeatures] = {
     require(d > 0, "feature dimension must be positive")
+    require(videoStride > 0, "videoStride must be positive")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
@@ -517,8 +518,12 @@ object Multimodal {
           case "image" => ImageCodec.decode(r.payload)._3
           case "audio" => MediaCodecs.WavCodec.decodePcm16(r.payload)._2
           case "video" =>
+            // Stride-sampled frames, as everywhere on the video path:
+            // featurize cost stays bounded per payload instead of
+            // scaling with raw frame count.
             val v = MediaCodecs.AviCodec.parse(r.payload)
-            Array.range(0, v.frameCount).flatMap(v.frame)
+            (0 until v.frameCount by videoStride).toArray
+              .flatMap(v.frame)
           case _ => r.payload.map(_ & 0xFF)
         }
         MediaFeatures(r.media_id,

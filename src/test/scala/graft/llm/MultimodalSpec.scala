@@ -54,6 +54,27 @@ class MultimodalSpec extends SparkSpec {
         != Multimodal.Featurizer.weight(j, (i + 1) % (w * h)))))
   }
 
+  test("featurize over video projects stride-sampled decoded " +
+      "frames (bounded decode work per payload)") {
+    val (w, h) = (4, 3)
+    def frame(seed: Int) =
+      Array.tabulate[Byte](w * h)(i => ((seed * 31 + i * 7) % 256).toByte)
+    val frames = Seq.tabulate(5)(f => frame(f + 1))
+    val avi = MediaCodecs.AviCodec.encodeDib(w, h, 10, frames)
+    val media = spark.createDataset(Seq(3L)).map { id =>
+      Multimodal.MediaRow(id, avi,
+        Multimodal.MediaMeta("video", avi.length.toLong, "", w, h))
+    }
+    val feats = Multimodal
+      .decodeFeatures(media, d = 4, videoStride = 2)
+      .collect().head
+    // stride 2 over 5 frames -> frames 0, 2, 4 concatenated
+    val content = Seq(0, 2, 4).toArray
+      .flatMap(f => frames(f).map(_ & 0xFF))
+    assert(feats.features.toSeq == Multimodal.Featurizer
+      .project(content, 4).map(_.toFloat).toSeq)
+  }
+
   test("featurize decodes per media type: audio projects PCM " +
       "samples; unknown types fall back to raw bytes") {
     val ss = Array[Short](100, -200, 300, -400, 50, 0, 7, -7)

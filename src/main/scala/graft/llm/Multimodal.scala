@@ -540,19 +540,27 @@ object Multimodal {
     * downstream per-frame decode/featurize stages); decode stays with
     * [[decodeVideoFrameFeatures]].
     *
-    * Payloads that are not parseable AVI containers fall back to a
-    * documented byte-slice path — every `stride`-th 1 KiB slice
-    * becomes a "frame" — preserving the 1→N contract for formats the
-    * sandbox cannot parse rather than failing the whole batch. */
+    * Payloads that are not AVI containers at all (no RIFF/AVI magic)
+    * fall back to a documented byte-slice path — every `stride`-th
+    * 1 KiB slice becomes a "frame" — preserving the 1→N contract for
+    * formats the sandbox cannot parse. A payload that CLAIMS to be
+    * an AVI but fails mid-parse is corrupt, not foreign: it
+    * propagates the codec's descriptive error instead of silently
+    * degrading to byte slices. */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 4)
       : DataFrame = {
     require(stride > 0, "stride must be positive")
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { r =>
+      val bb = java.nio.ByteBuffer.wrap(r.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val isAvi = r.payload.length >= 12 &&
+        bb.getInt(0) == MediaCodecs.AviCodec.FccRiff &&
+        bb.getInt(8) == MediaCodecs.AviCodec.FccAvi
       val parsed =
-        try Some(MediaCodecs.AviCodec.parse(r.payload))
-        catch { case _: IllegalArgumentException => None }
+        if (isAvi) Some(MediaCodecs.AviCodec.parse(r.payload))
+        else None
       parsed match {
         case Some(v) =>
           (0 until v.frameCount by stride).map { f =>

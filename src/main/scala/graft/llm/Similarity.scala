@@ -136,6 +136,8 @@ object Similarity {
     // just to take a maximum. Bit-identical results (same cosine
     // evaluation order, same (cosine desc, cid asc) tie-break).
     val centRows = centroids.select(col("cid"), col("cvec")).collect()
+    require(centRows.nonEmpty,
+      "ivfTopK: empty centroid set (empty corpus?)")
     val cids = centRows.map(_.getLong(0))
     val cvs = centRows.map(_.getSeq[Double](1).toArray)
     def assign(df: DataFrame, idCol: String, vecCol: String,
@@ -328,6 +330,8 @@ object Similarity {
     // Same shuffle-free in-row assignment as ivfTopK: the corpus
     // crosses no exchange to learn its cell.
     val centRows = centroids.collect()
+    require(centRows.nonEmpty,
+      "ivfpqTopK: empty centroid set (empty corpus?)")
     val ccids = centRows.map(_.getLong(0))
     val ccvs = centRows.map(_.getSeq[Double](1).toArray)
     def assign(df: DataFrame, idCol: String, vecCol: String,

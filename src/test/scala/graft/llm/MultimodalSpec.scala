@@ -185,6 +185,22 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(_._3.length == dibStride * h))
   }
 
+  test("frame sampling propagates corruption: a payload with " +
+      "RIFF/AVI magic that fails mid-parse throws, no silent " +
+      "byte-slice downgrade") {
+    val good = MediaCodecs.AviCodec.encodeDib(4, 4, 10,
+      Seq(Array.tabulate[Byte](16)(_.toByte)))
+    val corrupt = good.take(40).toArray // magic intact, body cut
+    val media = spark.createDataset(Seq(1L)).map { id =>
+      Multimodal.MediaRow(id, corrupt,
+        Multimodal.MediaMeta("video", corrupt.length.toLong, "", 4, 4))
+    }
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleFrames(media, stride = 2).collect()
+    }
+    assert(e.getCause != null || e.getMessage != null)
+  }
+
   test("frame sampling falls back to stride-spaced byte slices for " +
       "unparseable payloads") {
     val rows = media.select(col("media_id"), col("bytes").as("payload"),

@@ -352,6 +352,83 @@ object Dedup {
         col("cosine"))
   }
 
+  /** Semantic dedup (Abbas et al., "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication", arXiv 2023): k-means
+    * cluster the embedding space, then call two vectors semantic
+    * duplicates when their exact cosine within a shared cluster is at
+    * least `threshold`. Of each duplicate pair the member CLOSER to its
+    * cluster centroid is dropped — the paper's keep-rule, retaining the
+    * low-centroid-similarity example so pruning preserves diversity —
+    * with centroid-cosine ties dropping the larger id.
+    *
+    * Clustering reuses the ANN machinery: the LCG-ordered deterministic
+    * centroid sample and [[Similarity.refineCentroids]] Lloyd rounds
+    * (DECIMAL means, so external engines restate them bit-exactly), and
+    * the shuffle-free in-row [[graft.functions.GraftFunctions
+    * .nearestCentroids]] assignment — the corpus crosses no exchange to
+    * learn its cluster.
+    *
+    * Scale posture: candidate generation is the intra-cluster self-join
+    * only — sum over clusters of |cluster|^2 cosines, never all-pairs —
+    * and `nClusters` is the knob that bounds it (the paper runs ~50k
+    * clusters at web scale; keep |corpus|/nClusters at a size whose
+    * square fits a task). Only (id, cid, vec) rows reach the join, and
+    * the verdict list that prunes the corpus carries ids alone.
+    *
+    * @return one row per input vector: (id, cid, cent_cosine, kept)
+    */
+  def semanticDedup(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", nClusters: Int = 16,
+      lloydIterations: Int = 1, threshold: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val corpus = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    // Same portable pseudo-random sample order as Similarity.ivfTopK.
+    val centroids0 = corpus
+      .orderBy(((col("id") * 1103515245L + 12345L) % 2147483648L).asc,
+        col("id").asc)
+      .limit(nClusters)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val centroids =
+      if (lloydIterations > 0)
+        Similarity.refineCentroids(corpus, centroids0, lloydIterations)
+      else centroids0
+    val centRows = centroids.select(col("cid"), col("cvec")).collect()
+    require(centRows.nonEmpty,
+      "semanticDedup: empty centroid set (empty corpus?)")
+    val cids = centRows.map(_.getLong(0))
+    val cvs = centRows.map(_.getSeq[Double](1).toArray)
+    // In-row cluster assignment, then the (tiny, broadcast) centroid
+    // table supplies the vector for the exact centroid-cosine the
+    // keep-rule ranks by.
+    val assigned = corpus
+      .withColumn("cid", element_at(graft.functions.GraftFunctions
+        .nearestCentroids(col("vec"), cids, cvs, 1), 1))
+      .join(broadcast(centroids), "cid")
+      .withColumn("cc", graft.functions.GraftFunctions
+        .arrayCosine(col("vec"), col("cvec")))
+      .select(col("id"), col("vec"), col("cid"), col("cc"))
+    // Intra-cluster duplicate pairs; merge-hinted like every other
+    // corpus-sized self-join here (a bad-estimate broadcast would
+    // replicate a vector-carrying side).
+    val pairs = assigned.as("a")
+      .join(assigned.as("b").hint("merge"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .where(graft.functions.GraftFunctions
+        .arrayCosine(col("a.vec"), col("b.vec")) >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.cc").as("cc_a"), col("b.cc").as("cc_b"))
+    val dropped = pairs.select(
+      when(col("cc_a") > col("cc_b"), col("id_a"))
+        .otherwise(col("id_b")).as("id")).distinct()
+    assigned
+      .join(dropped.withColumn("is_dropped", lit(true)), Seq("id"),
+        "left")
+      .select(col("id"), col("cid"),
+        round(col("cc"), 6).as("cent_cosine"),
+        col("is_dropped").isNull.as("kept"))
+  }
+
   /** Plane p's component d: a fixed pseudo-random +-1 from a byteswap
     * hash of (p, d). Plan-time constant — the same values are baked
     * into the DuckDB oracle SQL, so the signature needs no portable

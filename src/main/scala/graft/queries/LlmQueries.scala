@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Chunking, Contamination, Dedup, MediaCodecs, Multimodal, Scrub, Similarity, Sketches, TextAnalysis, TextFunctions}
+import graft.llm.{Chunking, Contamination, Dedup, MediaCodecs, Multimodal, Retrieval, Scrub, Similarity, Sketches, TextAnalysis, TextFunctions}
 
 /** LLM-data-pipeline operator surface (north star,
   * `BASELINE.json`): dedup family, similarity search, text analysis,
@@ -127,6 +127,16 @@ object LlmQueries {
     "d11_substring_dup" -> ((s, dir) => {
       Dedup.duplicatedNgramStats(docs(s, dir), gramChars = 20)
         .orderBy("doc_id")
+    }),
+
+    // Semantic dedup (SemDeDup): k-means clusters (LCG sample + one
+    // DECIMAL-mean Lloyd round, as s05), intra-cluster cosine pairs,
+    // drop the pair member nearer its centroid. Full oracle: the s05
+    // Lloyd CTE composed with the pair/keep-rule restatement.
+    "d12_semantic_dedup" -> ((s, dir) => {
+      Dedup.semanticDedup(emb(s, dir), nClusters = 16,
+        lloydIterations = 1, threshold = 0.35)
+        .orderBy("id")
     }),
 
     // Embedding-cosine near-dup through hyperplane LSH buckets. The
@@ -429,6 +439,15 @@ object LlmQueries {
     // Heavy hitters: corpus-wide top terms (explode + count + top-k —
     // the wordcount shape whose 100 TB variant swaps the exact count
     // for count_min_sketch; exact here so the oracle can hash-match).
+    // BM25 top-k retrieval for a fixed probe-term bag (decontamination
+    // sweeps / corpus audits as scored lookup). Full oracle: the
+    // expression tree restates term-by-term; exact-integer avgdl and
+    // exactly-representable k1/b constants keep scores bit-identical.
+    "t17_bm25" -> ((s, dir) => {
+      Retrieval.bm25TopK(docs(s, dir),
+        terms = Seq("spark", "vector", "customer", "merge"), k = 20)
+    }),
+
     "t05_top_terms" -> ((s, dir) => {
       docs(s, dir)
         .select(explode(TextFunctions.tokens(col("text"))).as("term"))
@@ -1297,6 +1316,47 @@ object LlmQueries {
              FROM sig a JOIN sig b ON a.sig = b.sig AND a.id < b.id)
            SELECT id_a, id_b, round(cos, 6) AS cosine FROM cand
            WHERE cos >= 0.2 ORDER BY id_a, id_b""",
+      // SemDeDup: the s05 Lloyd/assignment CTEs, intra-cluster pairs
+      // at cosine >= 0.35, drop the member nearer its centroid (ties
+      // drop the larger id, which is id_b since id_a < id_b).
+      "d12_semantic_dedup" ->
+        s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             FROM embeddings),
+           cent AS (SELECT id AS cid, v AS cv FROM e
+             ORDER BY (id * 1103515245 + 12345) % 2147483648 ASC,
+               id ASC LIMIT 16),
+           a1 AS (SELECT id, v, cid FROM (
+             SELECT e.id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                   c.cid ASC) AS cr
+             FROM e CROSS JOIN cent c) WHERE cr <= 1),
+           m AS (SELECT cid, i,
+               (sum(val::DECIMAL(38,18))::DOUBLE / count(*)) AS mv
+             FROM (SELECT cid, unnest(v) AS val,
+               unnest(range(len(v))) AS i FROM a1)
+             GROUP BY cid, i),
+           c1 AS (SELECT cid, list(mv ORDER BY i) AS cv FROM m
+             GROUP BY cid),
+           asg AS (SELECT id, v, cid, cc FROM (
+             SELECT e.id, e.v, c.cid,
+               list_cosine_similarity(e.v, c.cv) AS cc,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                   c.cid ASC) AS cr
+             FROM e CROSS JOIN c1 c) WHERE cr <= 1),
+           p AS (SELECT a.id AS id_a, b.id AS id_b,
+               a.cc AS cc_a, b.cc AS cc_b
+             FROM asg a JOIN asg b
+               ON a.cid = b.cid AND a.id < b.id
+             WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+           dropped AS (SELECT DISTINCT
+               CASE WHEN cc_a > cc_b THEN id_a ELSE id_b END AS id
+             FROM p)
+           SELECT g.id, g.cid, round(g.cc, 6) AS cent_cosine,
+             (d.id IS NULL) AS kept
+           FROM asg g LEFT JOIN dropped d ON g.id = d.id
+           ORDER BY g.id""",
       // LSH-bucketed ANN with hamming-1 multi-probe: the probe set is
       // the query signature and its single-bit flips.
       "s02_ann_lsh" -> s02Sql,
@@ -1708,6 +1768,34 @@ object LlmQueries {
              FROM documents)
            WHERE len(term) > 0
            GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20""",
+      // BM25: Lucene-style idf, k1=1.5 b=0.75 (every constant an exact
+      // double), avgdl as an integer quotient, DECIMAL per-term sum —
+      // the same expression tree as the Spark plan, term for term.
+      "t17_bm25" ->
+        s"""WITH g AS (SELECT doc_id,
+             string_split($norm, ' ') AS tk,
+             len(string_split($norm, ' '))::BIGINT AS dl
+             FROM documents),
+           st AS (SELECT count(*) AS n_docs,
+             sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM g),
+           tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+               SELECT doc_id, dl, unnest(tk) AS term FROM g)
+             WHERE term IN ('spark', 'vector', 'customer', 'merge')
+             GROUP BY doc_id, dl, term),
+           dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           sc AS (SELECT t.doc_id,
+               ln((st.n_docs::DOUBLE - dft.df::DOUBLE + 0.5)
+                   / (dft.df::DOUBLE + 0.5) + 1.0)
+                 * (t.tf::DOUBLE * 2.5)
+                 / (t.tf::DOUBLE + 1.5 * (0.25
+                     + (0.75 * t.dl::DOUBLE) / st.avgdl)) AS part
+             FROM tf t JOIN dft USING (term) CROSS JOIN st),
+           agg AS (SELECT doc_id,
+               sum(part::DECIMAL(38,18))::DOUBLE AS score_raw,
+               count(*) AS terms_hit
+             FROM sc GROUP BY doc_id)
+           SELECT doc_id, round(score_raw, 6) AS score, terms_hit
+           FROM agg ORDER BY score_raw DESC, doc_id ASC LIMIT 20""",
       // HLL registers: bucket = h mod 256, rho = trailing-zero rank
       // of the remaining bits + 1 (23 when they are all zero) — pure
       // integer arithmetic on the portable hash.

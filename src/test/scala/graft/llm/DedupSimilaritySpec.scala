@@ -78,6 +78,34 @@ class DedupSimilaritySpec extends SparkSpec {
     }.toDF("id", "vec")
   }
 
+  test("semantic dedup: keep/drop matches a model recomputation of " +
+      "the SemDeDup rule over the operator's own clusters") {
+    val out = Dedup.semanticDedup(vecs, idCol = "id", vecCol = "vec",
+      nClusters = 3, lloydIterations = 1, threshold = 0.9)
+    val rows = out.collect().map(r => (r.getAs[Long]("id"),
+      r.getAs[Long]("cid"), r.getAs[Double]("cent_cosine"),
+      r.getAs[Boolean]("kept")))
+    assert(rows.length == 60)
+    val vmap = vecs.as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    // model: every intra-cluster pair at cosine >= tau drops its
+    // nearer-to-centroid member (ties drop the larger id)
+    val dropped = (for {
+      a <- rows; b <- rows
+      if a._2 == b._2 && a._1 < b._1
+      if cos(vmap(a._1), vmap(b._1)) >= 0.9
+    } yield if (a._3 > b._3) a._1 else b._1).toSet
+    assert(rows.filterNot(_._4).map(_._1).toSet == dropped)
+    // tight clusters: dedup actually bites, but never empties a cluster
+    assert(dropped.nonEmpty && dropped.size < 60)
+    val keptPerCluster = rows.filter(_._4).groupBy(_._2)
+    assert(rows.map(_._2).distinct.forall(keptPerCluster.contains))
+  }
+
   test("brute-force ANN: self excluded, k respected, ranks ordered") {
     val qs = vecs.limit(3)
       .select(col("id").as("qid"), col("vec").as("qvec"))

@@ -36,6 +36,45 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.bpeishTokenCount(col("text")))) == 8)
   }
 
+  test("BM25 top-k matches a model recomputation; misses excluded") {
+    val docs = Seq(
+      (1L, "spark engine spark core spark"),            // tf(spark)=3
+      (2L, "spark and vector math for the vector lane"),
+      (3L, "customer orders merge daily"),
+      (4L, "nothing relevant here at all whatsoever"),
+      (5L, "merge merge merge spark"),
+      (6L, "a long document about vector processing " +
+        "with many many extra filler tokens inside it")
+    ).toDF("doc_id", "text")
+    val terms = Seq("spark", "vector", "customer", "merge")
+    val out = Retrieval.bm25TopK(docs, terms, k = 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Long]("terms_hit"))).toList
+    // model: plain-Scala BM25 with the same constants
+    val toks = Map(1L -> 5, 2L -> 8, 3L -> 4, 4L -> 6, 5L -> 4, 6L -> 14)
+    val tf = Map( // (doc, term) -> tf, misses absent
+      (1L, "spark") -> 3, (2L, "spark") -> 1, (2L, "vector") -> 2,
+      (3L, "customer") -> 1, (3L, "merge") -> 1, (5L, "merge") -> 3,
+      (5L, "spark") -> 1, (6L, "vector") -> 1)
+    val n = 6.0
+    val avgdl = toks.values.sum / 6.0
+    val df = tf.keys.groupBy(_._2).map { case (t, ks) => t -> ks.size }
+    def score(d: Long): Double = tf.collect {
+      case ((`d`, t), f) =>
+        val idf = math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+        idf * (f * 2.5) / (f + 1.5 * (0.25 + 0.75 * toks(d) / avgdl))
+    }.sum
+    val expect = toks.keys.toList
+      .map(d => (d, score(d), tf.keys.count(_._1 == d).toLong))
+      .filter(_._3 > 0)
+      .sortBy(x => (-x._2, x._1))
+    assert(out.map(_._1) == expect.map(_._1)) // ranking
+    assert(!out.exists(_._1 == 4L))          // no-hit doc excluded
+    out.zip(expect).foreach { case ((_, s, h), (_, es, eh)) =>
+      assert(math.abs(s - es) < 1e-6 && h == eh)
+    }
+  }
+
   test("quality score: sweet-spot text beats garbage") {
     val good = "the quick brown fox jumps over the lazy dog and " * 8
     val punct = "!!! ??? ... ;;; ::: !!! ??? ... ;;; :::"

@@ -283,6 +283,18 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("order_value"), col("n_lines"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Z-order (Morton) key for the two-dimensional lake layout: the
+    // per-row interleave the data-skipping rewrite sorts by
+    // (graft.ops.ZOrder.layout; skipping effectiveness measured in
+    // ZOrderSpec). Pure bit arithmetic, restated literally in SQL.
+    "q15_zorder_key" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+          graft.ops.ZOrder.zValue(col("l_orderkey"), col("l_partkey"),
+            bits = 20).as("z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }))
 
   /** Baked affine coefficients for the bloom oracles (must equal
@@ -382,6 +394,13 @@ object RelationalQueries {
            SELECT min(o2.o_totalprice) FROM orders o2
            WHERE o2.o_custkey = o.o_custkey)
          ORDER BY o_custkey, o_orderkey""",
+    // Morton interleave restated as the identical shift/mask sum.
+    "q15_zorder_key" ->
+      s"""SELECT l_orderkey, l_partkey, l_linenumber,
+         ${graft.ops.ZOrder.zValueSql("l_orderkey", "l_partkey", 20)}
+           ::BIGINT AS z
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber""",
     // quantile_cont computes the same p*(n-1) linear interpolation as
     // Spark's exact percentile; 4dp rounding absorbs ulp differences.
     "q12_quantiles" ->

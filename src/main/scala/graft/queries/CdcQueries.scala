@@ -35,8 +35,12 @@ object CdcQueries {
     val raw = s.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // `div`, not `/`: epoch NANOS (~1.7e18) overflow a double's
+        // 53-bit mantissa, so float division is off by O(100 ns) —
+        // invisible at second granularity, a real mismatch for any
+        // gate surfacing raw micros (w10's gap_us caught it).
         raw.withColumn("ts",
-          timestamp_micros((col("ts") / 1000).cast("long")))
+          timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         // Plain-parquet TIMESTAMP (e.g. the synthesized stress
         // fixture): NTZ won't cast to epoch seconds — reinterpret in
@@ -429,6 +433,26 @@ object CdcQueries {
           col("event_type"), col("n"),
           col("sum_value").cast("double").as("sum_value"))
         .orderBy("window_start", "event_type")
+    }),
+
+    // Stream-stream interval join in its batch form (the watermark is
+    // a no-op in batch; the streaming replay proof is in
+    // StreamOpsSpec): each view paired with the same user's clicks in
+    // the following hour, gap as exact micros.
+    "w10_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      graft.streaming.StreamOps.intervalJoin(views, clicks, "user_id",
+        "view_ts", "click_ts", "60 minutes", "120 minutes")
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+            .as("gap_us"))
+        .orderBy("view_id", "click_id")
     }),
 
     // Two-phase salted aggregation (ops/SkewAgg): hot keys fan out
@@ -876,6 +900,19 @@ object CdcQueries {
            event_type, count(*) AS n,
            sum(value::DECIMAL(38,6))::DOUBLE AS sum_value
            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+      // The interval join restated as the plain theta join it must
+      // equal in batch; gaps as exact microsecond integers.
+      "w10_interval_join" ->
+        """WITH v AS (SELECT user_id, event_id AS view_id,
+             ts AS view_ts FROM events WHERE event_type = 'view'),
+           c AS (SELECT user_id, event_id AS click_id,
+             ts AS click_ts FROM events WHERE event_type = 'click')
+           SELECT v.user_id, view_id, click_id,
+             epoch_us(click_ts) - epoch_us(view_ts) AS gap_us
+           FROM v JOIN c ON v.user_id = c.user_id
+             AND c.click_ts > v.view_ts
+             AND c.click_ts <= v.view_ts + INTERVAL 60 MINUTE
+           ORDER BY view_id, click_id""",
       // The salted aggregation must equal the plain groupBy.
       "c14_salted_agg" ->
         """SELECT event_type, count(*) AS n,

@@ -77,6 +77,32 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Watermarked stream-stream interval join: pair each left row with
+    * the right rows of the same key whose event time falls in
+    * `(leftTs, leftTs + upper]`. In streaming, the time bound in the
+    * join condition plus watermarks on BOTH sides is what lets Spark
+    * evict buffered rows once they can no longer match — without the
+    * bound, stream-stream join state grows forever. In batch the
+    * watermark is a no-op and the same expression is a plain theta
+    * join, so the operator is oracle-checkable (`w10_interval_join`)
+    * and replay-provable against itself (`StreamOpsSpec`).
+    *
+    * The two inputs must use distinct timestamp column names (the
+    * caller projects them, e.g. `view_ts`/`click_ts`); key columns are
+    * matched by `keyCol` on both sides and the left one survives. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, upper: String = "60 minutes",
+      watermark: String = "120 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$rightTs") > col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <=
+          col(s"l.$leftTs") + expr(s"INTERVAL $upper"))
+      .drop(col(s"r.$keyCol"))
+  }
+
   /** Batch/replay form of [[streamingDedup]]: the streaming operator
     * keeps each key's first ARRIVAL within the watermark — replaying
     * history, the reproducible statement of the same contract is the

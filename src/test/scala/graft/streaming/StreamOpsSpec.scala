@@ -62,6 +62,51 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join replays across micro-batches " +
+      "identically to the batch form") {
+    implicit val sc = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val viewRows = Seq(
+      (1L, 10L, t("2024-03-01 10:00:00")),
+      (1L, 11L, t("2024-03-01 11:30:00")),
+      (2L, 12L, t("2024-03-01 10:05:00")),
+      (3L, 13L, t("2024-03-01 10:10:00")))
+    val clickRows = Seq(
+      (1L, 20L, t("2024-03-01 10:20:00")), // joins view 10 (20 min)
+      (1L, 21L, t("2024-03-01 11:10:00")), // > 60 min after 10; < 11
+      (2L, 22L, t("2024-03-01 10:04:00")), // BEFORE view 12: no join
+      (2L, 23L, t("2024-03-01 11:04:00")), // 59 min after view 12
+      (3L, 24L, t("2024-03-01 11:10:01"))) // 60:01 after view 13: out
+    val vmem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cmem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamOps.intervalJoin(
+      vmem.toDS().toDF("user_id", "view_id", "view_ts"),
+      cmem.toDS().toDF("user_id", "click_id", "click_ts"),
+      "user_id", "view_ts", "click_ts", "60 minutes", "120 minutes")
+      .select("view_id", "click_id")
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      // batch 1: early views + one click; batch 2: the rest arrives
+      // later (cross-micro-batch matches must still surface)
+      vmem.addData(viewRows.take(3): _*)
+      cmem.addData(clickRows.take(1): _*)
+      q.processAllAvailable()
+      vmem.addData(viewRows.drop(3): _*)
+      cmem.addData(clickRows.drop(1): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ivj")
+        .as[(Long, Long)].collect().toSet
+      val batch = StreamOps.intervalJoin(
+        viewRows.toDF("user_id", "view_id", "view_ts"),
+        clickRows.toDF("user_id", "click_id", "click_ts"),
+        "user_id", "view_ts", "click_ts", "60 minutes", "120 minutes")
+        .select("view_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(batch == Set((10L, 20L), (12L, 23L)))
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over an event-time stream") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]

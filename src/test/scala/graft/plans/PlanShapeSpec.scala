@@ -91,6 +91,46 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("late-round-6 shapes: d12 in-row assignment, t17 top-k " +
+      "short-circuit, q15 join-free codegen, w10 non-cartesian " +
+      "interval join") {
+    // d12: cluster assignment is the in-row expression (no
+    // crossJoin-with-centroids), candidate generation a sort-merge
+    // self-join — the same posture pinned for the ANN family.
+    val d12 = plan("d12_semantic_dedup")
+    assert(d12.contains("nearest_centroids"),
+      "d12 lost the in-row cluster assignment")
+    assert(d12.contains("SortMergeJoin"),
+      "d12 intra-cluster self-join is not sort-merge")
+    assert(!d12.contains("BroadcastNestedLoopJoin"),
+      "d12 crossJoins for assignment")
+    // t17: the global top-k must short-circuit, the df/stats sides
+    // must broadcast (never shuffle the postings against a 5-row df).
+    val t17 = plan("t17_bm25")
+    assert(t17.contains("TakeOrderedAndProject"),
+      s"t17 top-k fell back to a full sort")
+    assert(t17.contains("BroadcastHashJoin") ||
+      t17.contains("BroadcastNestedLoopJoin"),
+      "t17 df/corpus-stats sides do not broadcast")
+    // q15: pure per-row arithmetic — no join, no window, no
+    // aggregation; the only exchange is the output-order range
+    // partitioning.
+    val q15 = plan("q15_zorder_key")
+    assert(!q15.contains("Join") && !q15.contains("Window") &&
+      !q15.contains("HashAggregate"),
+      s"q15 grew a shuffle-bearing operator:\n$q15")
+    // w10: the interval join keys on user_id (a real equi-join with a
+    // range residual), never a cartesian/nested-loop; the event_type
+    // filters reach the scans.
+    val w10 = plan("w10_interval_join")
+    assert(w10.contains("SortMergeJoin") ||
+      w10.contains("ShuffledHashJoin") ||
+      w10.contains("BroadcastHashJoin"),
+      s"w10 interval join lost its equi-join key:\n$w10")
+    assert(w10.contains("PushedFilters") && w10.contains("event_type"),
+      "w10 event_type filters not pushed to the scan")
+  }
+
   test("no query materializes the plan to an RDD (ScanRDD leaf)") {
     // ExistingRDD / Scan ExistingRDD leaves mean someone called df.rdd
     // mid-plan — the ensureWidth anti-pattern round 1 flagged. Checked

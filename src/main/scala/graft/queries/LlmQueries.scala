@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Chunking, Contamination, Dedup, MediaCodecs, Multimodal, Retrieval, Scrub, Similarity, Sketches, TextAnalysis, TextFunctions}
+import graft.llm.{Chunking, Contamination, Dedup, LanguageModel, MediaCodecs, Multimodal, Retrieval, Scrub, Similarity, Sketches, TextAnalysis, TextFunctions}
 
 /** LLM-data-pipeline operator surface (north star,
   * `BASELINE.json`): dedup family, similarity search, text analysis,
@@ -439,6 +439,15 @@ object LlmQueries {
     // Heavy hitters: corpus-wide top terms (explode + count + top-k —
     // the wordcount shape whose 100 TB variant swaps the exact count
     // for count_min_sketch; exact here so the oracle can hash-match).
+    // Perplexity-proxy filtering: per-doc mean unigram surprisal over
+    // the corpus MLE (the CCNet filter shape with the KenLM model
+    // swapped for the unigram estimate). Full oracle: frequency table,
+    // exact token total, and the DECIMAL surprisal sum restated.
+    "t18_surprisal" -> ((s, dir) => {
+      LanguageModel.unigramSurprisal(docs(s, dir))
+        .orderBy("doc_id")
+    }),
+
     // BM25 top-k retrieval for a fixed probe-term bag (decontamination
     // sweeps / corpus audits as scored lookup). Full oracle: the
     // expression tree restates term-by-term; exact-integer avgdl and
@@ -1768,6 +1777,23 @@ object LlmQueries {
              FROM documents)
            WHERE len(term) > 0
            GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20""",
+      // Unigram surprisal: corpus MLE frequencies, exact token total,
+      // -ln(cnt/total) per token, DECIMAL per-doc sum / count — the
+      // identical expression tree.
+      "t18_surprisal" ->
+        s"""WITH gg AS (SELECT doc_id, term FROM (
+             SELECT doc_id, unnest(string_split($norm, ' ')) AS term
+             FROM documents) WHERE len(term) > 0),
+           f AS (SELECT term, count(*) AS cnt FROM gg GROUP BY term),
+           tot AS (SELECT sum(cnt) AS total FROM f),
+           s AS (SELECT doc_id, count(*) AS n_tokens,
+               sum((-ln(cnt::DOUBLE / total::DOUBLE))
+                 ::DECIMAL(38,18))::DOUBLE / count(*) AS ms
+             FROM gg JOIN f USING (term) CROSS JOIN tot
+             GROUP BY doc_id)
+           SELECT doc_id, n_tokens, round(ms, 6) AS mean_surprisal,
+             ms > 3.45 AS is_outlier
+           FROM s ORDER BY doc_id""",
       // BM25: Lucene-style idf, k1=1.5 b=0.75 (every constant an exact
       // double), avgdl as an integer quotient, DECIMAL per-term sum —
       // the same expression tree as the Spark plan, term for term.

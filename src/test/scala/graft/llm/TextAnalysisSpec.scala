@@ -75,6 +75,35 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("unigram surprisal matches a model recomputation; rare-token " +
+      "docs score higher") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the the the the"),
+      (3L, "zyx qwv plk the")).toDF("doc_id", "text")
+    val out = LanguageModel.unigramSurprisal(docs, outlierAbove = 2.0)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("mean_surprisal"),
+          r.getAs[Boolean]("is_outlier"))).toMap
+    // model
+    val toks = Map(
+      1L -> Seq("the", "cat", "sat", "on", "the", "mat"),
+      2L -> Seq("the", "the", "the", "the"),
+      3L -> Seq("zyx", "qwv", "plk", "the"))
+    val freq = toks.values.flatten.groupBy(identity).map {
+      case (t, xs) => t -> xs.size }
+    val total = freq.values.sum.toDouble
+    for ((d, tk) <- toks) {
+      val ms = tk.map(t => -math.log(freq(t) / total)).sum / tk.size
+      assert(out(d)._1 == tk.size)
+      assert(math.abs(out(d)._2 - ms) < 1e-6, s"doc $d")
+      assert(out(d)._3 == ms > 2.0)
+    }
+    // common-token doc scores lowest, rare-token doc highest
+    assert(out(2L)._2 < out(1L)._2 && out(1L)._2 < out(3L)._2)
+    assert(!out(2L)._3 && out(3L)._3)
+  }
+
   test("quality score: sweet-spot text beats garbage") {
     val good = "the quick brown fox jumps over the lazy dog and " * 8
     val punct = "!!! ??? ... ;;; ::: !!! ??? ... ;;; :::"

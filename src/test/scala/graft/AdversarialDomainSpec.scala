@@ -213,6 +213,30 @@ class AdversarialDomainSpec extends SparkSpec {
       s"zero-norm convention drifted: $got")
   }
 
+  test("bm25/surprisal on the edge-domain corpus: empty docs vanish, " +
+      "unicode tokens score, no NaN/negative surprisal") {
+    import graft.llm.{LanguageModel, Retrieval}
+    val df = edgeTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // surprisal: docs with no non-empty token (ids 0-2: "", " ",
+    // whitespace) produce NO row; every emitted score is finite and
+    // positive (p <= 1 always, p == 1 impossible with > 1 distinct
+    // token in the corpus)
+    val s = LanguageModel.unigramSurprisal(df, outlierAbove = 99.0)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("mean_surprisal")).toMap
+    assert(!s.contains(0L) && !s.contains(1L) && !s.contains(2L))
+    assert(s.contains(12L) && s.contains(14L)) // CJK, emoji docs score
+    assert(s.values.forall(v => !v.isNaN && v > 0))
+    // bm25 over unicode probe terms: hits only the docs carrying them,
+    // scores positive, misses absent
+    val out = Retrieval.bm25TopK(df, terms = Seq("你好", "🙂"), k = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"))).toMap
+    assert(out.keySet == Set(12L, 14L))
+    assert(out.values.forall(_ > 0))
+  }
+
   test("sketches: empty and single-hot-key inputs stay exact") {
     val empty = Seq.empty[String].toDF("term")
     assert(Sketches.hllEstimate(Sketches.hllRegisters(empty)) == 0.0,

@@ -383,24 +383,25 @@ object Dedup {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val corpus = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-    // Same portable pseudo-random sample order as Similarity.ivfTopK.
-    val centroids0 = corpus
-      .orderBy(((col("id") * 1103515245L + 12345L) % 2147483648L).asc,
-        col("id").asc)
-      .limit(nClusters)
-      .select(col("id").as("cid"), col("vec").as("cvec"))
+    // The shared portable bootstrap (Similarity.sampleCentroids —
+    // single definition of the LCG sample order the oracles bake in).
+    val centroids0 = Similarity.sampleCentroids(corpus, nClusters)
     val centroids =
       if (lloydIterations > 0)
         Similarity.refineCentroids(corpus, centroids0, lloydIterations)
       else centroids0
-    val centRows = centroids.select(col("cid"), col("cvec")).collect()
-    require(centRows.nonEmpty,
-      "semanticDedup: empty centroid set (empty corpus?)")
-    val cids = centRows.map(_.getLong(0))
-    val cvs = centRows.map(_.getSeq[Double](1).toArray)
+    val (cids, cvs) =
+      Similarity.collectCentroids(centroids, "semanticDedup")
     // In-row cluster assignment, then the (tiny, broadcast) centroid
     // table supplies the vector for the exact centroid-cosine the
     // keep-rule ranks by.
+    // Persisted: this subtree is referenced three times (both
+    // self-join sides and the final kept-join, which exchanges on id
+    // rather than cid) — without the persist the scan + assignment +
+    // centroid-cosine pipeline runs a third time for the output join.
+    // Measured a wash at the 10x fixture (2.80 s persisted vs 2.72 s
+    // recomputed — recompute is cheap at 20k vectors); kept for the
+    // 100 TB posture, where the third pass is a full corpus scan.
     val assigned = corpus
       .withColumn("cid", element_at(graft.functions.GraftFunctions
         .nearestCentroids(col("vec"), cids, cvs, 1), 1))
@@ -408,6 +409,7 @@ object Dedup {
       .withColumn("cc", graft.functions.GraftFunctions
         .arrayCosine(col("vec"), col("cvec")))
       .select(col("id"), col("vec"), col("cid"), col("cc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Intra-cluster duplicate pairs; merge-hinted like every other
     // corpus-sized self-join here (a bad-estimate broadcast would
     // replicate a vector-carrying side).

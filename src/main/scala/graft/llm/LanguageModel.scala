@@ -19,9 +19,15 @@ object LanguageModel {
 
   /** Per-document mean unigram surprisal over the corpus MLE.
     *
-    * Scale posture: one tokenize pass feeds the frequency aggregation
-    * (vocabulary-sized — words, not documents) and the scoring join;
-    * the per-token `-ln p` terms sum in DECIMAL(38,18) per document so
+    * Scale posture: the tokenize+explode subtree feeds two different
+    * shuffles (the vocabulary-sized frequency aggregation and the
+    * scoring join), whose plans diverge above the scan — so the
+    * normalize/split/explode pass runs TWICE per query. At 100 TB the
+    * caller amortizes it by persisting the exploded (doc_id, term)
+    * frame (or materializing the frequency table once per corpus
+    * snapshot and reusing it across scoring runs — the production
+    * shape, since the LM changes far less often than the batch). The
+    * per-token `-ln p` terms sum in DECIMAL(38,18) per document so
     * the mean is partition-order independent and restatable
     * bit-identically by an external engine. Nothing wider than
     * (doc_id, term) crosses a shuffle.

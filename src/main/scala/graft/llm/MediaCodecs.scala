@@ -251,6 +251,17 @@ object MediaCodecs {
         null: Array[Int])
     }
 
+    /** Whether the payload carries the RIFF/AVI container magic — the
+      * single definition of "claims to be an AVI", shared by [[parse]]
+      * and the dispatch in `Multimodal.sampleFrames` so the two can
+      * never drift (a payload passing here but failing [[parse]] is
+      * corrupt, not foreign). */
+    def hasAviMagic(payload: Array[Byte]): Boolean = {
+      val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      payload.length >= 12 && bb.getInt(0) == FccRiff &&
+        bb.getInt(8) == FccAvi
+    }
+
     /** Parse the container WITHOUT decoding frames: header fields +
       * frame chunk locations. Unknown chunks (idx1, strn, JUNK,
       * vendor chunks) are skipped, per the RIFF contract. Fails fast
@@ -258,8 +269,7 @@ object MediaCodecs {
       * video-bearing AVI. */
     def parse(payload: Array[Byte]): Parsed = {
       val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
-      require(payload.length >= 12 && bb.getInt(0) == FccRiff &&
-        bb.getInt(8) == FccAvi, "payload is not a RIFF AVI")
+      require(hasAviMagic(payload), "payload is not a RIFF AVI")
       val riffEnd = math.min(payload.length.toLong, 8L + bb.getInt(4))
 
       var width = -1

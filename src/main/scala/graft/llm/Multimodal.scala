@@ -553,13 +553,9 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { r =>
-      val bb = java.nio.ByteBuffer.wrap(r.payload)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      val isAvi = r.payload.length >= 12 &&
-        bb.getInt(0) == MediaCodecs.AviCodec.FccRiff &&
-        bb.getInt(8) == MediaCodecs.AviCodec.FccAvi
       val parsed =
-        if (isAvi) Some(MediaCodecs.AviCodec.parse(r.payload))
+        if (MediaCodecs.AviCodec.hasAviMagic(r.payload))
+          Some(MediaCodecs.AviCodec.parse(r.payload))
         else None
       parsed match {
         case Some(v) =>

@@ -42,9 +42,16 @@ object Retrieval {
       idCol: String = "doc_id", textCol: String = "text",
       k1: Double = 1.5, b: Double = 0.75, k: Int = 20): DataFrame = {
     require(terms.nonEmpty, "bm25TopK: empty term set")
+    // Length-filtered tokens: split("") yields [""], so an unfiltered
+    // size() would hand empty/whitespace-only documents dl=1; and a
+    // tokenless document is excluded from the corpus stats entirely —
+    // it can never match, and letting dl=0 rows into n_docs/avgdl
+    // skews idf and length normalization for every real document
+    // (same convention as unigramSurprisal: only non-empty tokens).
     val base = docs.select(col(idCol).as("doc_id"),
-      tokens(col(textCol)).as("tk"))
+      filter(tokens(col(textCol)), t => length(t) > 0).as("tk"))
       .withColumn("dl", size(col("tk")).cast("long"))
+      .where(col("dl") > 0)
     // One row: corpus size and mean document length. sum(long) is
     // exact, so avgdl is a single double division of two integers.
     val stats = base.agg(

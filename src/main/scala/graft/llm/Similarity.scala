@@ -25,6 +25,30 @@ import graft.functions.GraftFunctions
   */
 object Similarity {
 
+  /** Deterministic LCG-ordered corpus sample of up to `n` (cid, cvec)
+    * rows — the portable centroid bootstrap every clustered operator
+    * shares (ivfTopK, ivfpqTopK, Dedup.semanticDedup); the identical
+    * ORDER BY is baked into each operator's oracle SQL, so this is the
+    * single Scala definition of the sampling convention. */
+  private[llm] def sampleCentroids(corpus: DataFrame, n: Int)
+      : DataFrame =
+    corpus
+      .orderBy(((col("id") * 1103515245L + 12345L) % 2147483648L).asc,
+        col("id").asc)
+      .limit(n)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+
+  /** Driver-collect a (bounded, <= nCentroids by construction)
+    * centroid frame into the parallel arrays the in-row assignment
+    * expression takes; fails fast with the caller's name on an empty
+    * set. */
+  private[llm] def collectCentroids(centroids: DataFrame, who: String)
+      : (Array[Long], Array[Array[Double]]) = {
+    val rows = centroids.select(col("cid"), col("cvec")).collect()
+    require(rows.nonEmpty, s"$who: empty centroid set (empty corpus?)")
+    (rows.map(_.getLong(0)), rows.map(_.getSeq[Double](1).toArray))
+  }
+
   /** Exact brute-force top-k neighbors for each query vector.
     *
     * @param corpus  (id, vec) rows
@@ -116,14 +140,10 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4,
       excludeSelf: Boolean = true, lloydIterations: Int = 0): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    // Pseudo-random-but-portable sample order: an LCG step of the id,
-    // plain modular arithmetic any engine reproduces (Murmur3 `hash`
-    // would be Spark-private).
-    val centroids0 = corpus
-      .orderBy(((col("id") * 1103515245L + 12345L) % 2147483648L).asc,
-        col("id").asc)
-      .limit(nCentroids)
-      .select(col("id").as("cid"), col("vec").as("cvec"))
+    // Pseudo-random-but-portable sample order ([[sampleCentroids]]:
+    // an LCG step of the id, plain modular arithmetic any engine
+    // reproduces — Murmur3 `hash` would be Spark-private).
+    val centroids0 = sampleCentroids(corpus, nCentroids)
     val centroids =
       if (lloydIterations > 0)
         refineCentroids(corpus, centroids0, lloydIterations)
@@ -135,11 +155,7 @@ object Similarity {
     // shuffled |corpus| x nCentroids rows through a per-group sort
     // just to take a maximum. Bit-identical results (same cosine
     // evaluation order, same (cosine desc, cid asc) tie-break).
-    val centRows = centroids.select(col("cid"), col("cvec")).collect()
-    require(centRows.nonEmpty,
-      "ivfTopK: empty centroid set (empty corpus?)")
-    val cids = centRows.map(_.getLong(0))
-    val cvs = centRows.map(_.getSeq[Double](1).toArray)
+    val (cids, cvs) = collectCentroids(centroids, "ivfTopK")
     def assign(df: DataFrame, idCol: String, vecCol: String,
         keep: Int): DataFrame =
       if (keep == 1)
@@ -323,17 +339,11 @@ object Similarity {
     val lcg = ((col("id") * 1103515245L + 12345L) % 2147483648L).asc
 
     // IVF layer (as ivfTopK): 1 cell per corpus vector, nProbe per
-    // query; candidate pairs come from the cell join alone.
-    val centroids = corpus.orderBy(lcg, col("id").asc)
-      .limit(nCentroids)
-      .select(col("id").as("cid"), col("vec").as("cvec"))
-    // Same shuffle-free in-row assignment as ivfTopK: the corpus
-    // crosses no exchange to learn its cell.
-    val centRows = centroids.collect()
-    require(centRows.nonEmpty,
-      "ivfpqTopK: empty centroid set (empty corpus?)")
-    val ccids = centRows.map(_.getLong(0))
-    val ccvs = centRows.map(_.getSeq[Double](1).toArray)
+    // query; candidate pairs come from the cell join alone. Same
+    // shuffle-free in-row assignment as ivfTopK: the corpus crosses
+    // no exchange to learn its cell.
+    val (ccids, ccvs) = collectCentroids(
+      sampleCentroids(corpus, nCentroids), "ivfpqTopK")
     def assign(df: DataFrame, idCol: String, vecCol: String,
         keep: Int): DataFrame =
       if (keep == 1)

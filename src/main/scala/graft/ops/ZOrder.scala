@@ -56,6 +56,9 @@ object ZOrder {
   def layout(df: DataFrame, xCol: String, yCol: String,
       targetFiles: Int, bits: Int = 20): DataFrame = {
     require(targetFiles >= 1, "targetFiles must be positive")
+    require(!df.columns.contains("_z"),
+      "layout: input already has a '_z' column (withColumn would " +
+        "silently replace it)")
     val withZ = df.withColumn("_z",
       zValue(col(xCol), col(yCol), bits))
     withZ

@@ -436,9 +436,6 @@ object LlmQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
-    // Heavy hitters: corpus-wide top terms (explode + count + top-k —
-    // the wordcount shape whose 100 TB variant swaps the exact count
-    // for count_min_sketch; exact here so the oracle can hash-match).
     // Perplexity-proxy filtering: per-doc mean unigram surprisal over
     // the corpus MLE (the CCNet filter shape with the KenLM model
     // swapped for the unigram estimate). Full oracle: frequency table,
@@ -457,6 +454,9 @@ object LlmQueries {
         terms = Seq("spark", "vector", "customer", "merge"), k = 20)
     }),
 
+    // Heavy hitters: corpus-wide top terms (explode + count + top-k —
+    // the wordcount shape whose 100 TB variant swaps the exact count
+    // for count_min_sketch; exact here so the oracle can hash-match).
     "t05_top_terms" -> ((s, dir) => {
       docs(s, dir)
         .select(explode(TextFunctions.tokens(col("text"))).as("term"))
@@ -1798,10 +1798,10 @@ object LlmQueries {
       // double), avgdl as an integer quotient, DECIMAL per-term sum —
       // the same expression tree as the Spark plan, term for term.
       "t17_bm25" ->
-        s"""WITH g AS (SELECT doc_id,
-             string_split($norm, ' ') AS tk,
-             len(string_split($norm, ' '))::BIGINT AS dl
-             FROM documents),
+        s"""WITH g AS (SELECT doc_id, tk, len(tk)::BIGINT AS dl FROM (
+             SELECT doc_id, list_filter(string_split($norm, ' '),
+               t -> len(t) > 0) AS tk FROM documents)
+             WHERE len(tk) > 0),
            st AS (SELECT count(*) AS n_docs,
              sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM g),
            tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (

@@ -119,6 +119,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!q15.contains("Join") && !q15.contains("Window") &&
       !q15.contains("HashAggregate"),
       s"q15 grew a shuffle-bearing operator:\n$q15")
+    // t18: the scoring join is a real hash/merge join on the term key
+    // (never nested-loop over the vocabulary) and there is no Window —
+    // the per-doc mean is a hash aggregation.
+    val t18 = plan("t18_surprisal")
+    assert(t18.contains("SortMergeJoin") ||
+      t18.contains("ShuffledHashJoin") ||
+      t18.contains("BroadcastHashJoin"),
+      s"t18 frequency join degenerated:\n$t18")
+    assert(!t18.contains("Window"), "t18 grew a Window")
     // w10: the interval join keys on user_id (a real equi-join with a
     // range residual), never a cartesian/nested-loop; the event_type
     // filters reach the scans.

@@ -436,6 +436,31 @@ object LlmQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Second-generation curation composition: the round's new stages
+    // prove they COMPOSE — perplexity-proxy outlier filter (t18's
+    // operator) intersected with semantic-dedup survivors (d12's
+    // operator over the aligned embeddings), rolled up per source.
+    // Full oracle: the t18 and d12 oracle fragments CTE-chained.
+    "t19_curation_semantic" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lm = LanguageModel.unigramSurprisal(d)
+        .where(!col("is_outlier"))
+        .select(col("doc_id"), col("n_tokens"))
+      val sem = Dedup.semanticDedup(emb(s, dir), nClusters = 16,
+        lloydIterations = 1, threshold = 0.35)
+        .where(col("kept"))
+        .select(col("id").as("doc_id"))
+      // both filter frames are corpus-cardinality: shuffle_hash pins
+      // id-keyed hash joins (the dedup-family discipline — a bad
+      // estimate must never broadcast a corpus-sized side)
+      d.join(lm.hint("shuffle_hash"), "doc_id")
+        .join(sem.hint("shuffle_hash"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("source")
+    }),
+
     // Perplexity-proxy filtering: per-doc mean unigram surprisal over
     // the corpus MLE (the CCNet filter shape with the KenLM model
     // swapped for the unigram estimate). Full oracle: frequency table,
@@ -1777,6 +1802,61 @@ object LlmQueries {
              FROM documents)
            WHERE len(term) > 0
            GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20""",
+      // t18's surprisal CTEs chained with d12's cluster/keep-rule
+      // CTEs, intersected, per-source rollup (exact integer sums).
+      "t19_curation_semantic" ->
+        s"""WITH gg AS (SELECT doc_id, term FROM (
+             SELECT doc_id, unnest(string_split($norm, ' ')) AS term
+             FROM documents) WHERE len(term) > 0),
+           f AS (SELECT term, count(*) AS cnt FROM gg GROUP BY term),
+           tot AS (SELECT sum(cnt) AS total FROM f),
+           lmk AS (SELECT doc_id, count(*) AS n_tokens,
+               sum((-ln(cnt::DOUBLE / total::DOUBLE))
+                 ::DECIMAL(38,18))::DOUBLE / count(*) AS ms
+             FROM gg JOIN f USING (term) CROSS JOIN tot
+             GROUP BY doc_id),
+           e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             FROM embeddings),
+           cent AS (SELECT id AS cid, v AS cv FROM e
+             ORDER BY (id * 1103515245 + 12345) % 2147483648 ASC,
+               id ASC LIMIT 16),
+           a1 AS (SELECT id, v, cid FROM (
+             SELECT e.id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                   c.cid ASC) AS cr
+             FROM e CROSS JOIN cent c) WHERE cr <= 1),
+           m AS (SELECT cid, i,
+               (sum(val::DECIMAL(38,18))::DOUBLE / count(*)) AS mv
+             FROM (SELECT cid, unnest(v) AS val,
+               unnest(range(len(v))) AS i FROM a1)
+             GROUP BY cid, i),
+           c1 AS (SELECT cid, list(mv ORDER BY i) AS cv FROM m
+             GROUP BY cid),
+           asg AS (SELECT id, v, cid, cc FROM (
+             SELECT e.id, e.v, c.cid,
+               list_cosine_similarity(e.v, c.cv) AS cc,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                   c.cid ASC) AS cr
+             FROM e CROSS JOIN c1 c) WHERE cr <= 1),
+           p AS (SELECT a.id AS id_a, b.id AS id_b,
+               a.cc AS cc_a, b.cc AS cc_b
+             FROM asg a JOIN asg b
+               ON a.cid = b.cid AND a.id < b.id
+             WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+           dropped AS (SELECT DISTINCT
+               CASE WHEN cc_a > cc_b THEN id_a ELSE id_b END AS id
+             FROM p),
+           semk AS (SELECT g.id FROM asg g
+             LEFT JOIN dropped dd ON g.id = dd.id
+             WHERE dd.id IS NULL)
+           SELECT d.source, count(*) AS n_docs,
+             sum(lmk.n_tokens)::BIGINT AS sum_tokens
+           FROM documents d
+           JOIN lmk ON d.doc_id = lmk.doc_id AND NOT (lmk.ms > 3.45)
+           JOIN semk ON d.doc_id = semk.id
+           GROUP BY d.source ORDER BY d.source""",
       // Unigram surprisal: corpus MLE frequencies, exact token total,
       // -ln(cnt/total) per token, DECIMAL per-doc sum / count — the
       // identical expression tree.

@@ -43,4 +43,23 @@ object SparkEntry {
     "c12_asof", "w03_sessionize",
     "d01_exact_dedup", "d02_minhash_pairs", "d04_ngram_jaccard",
     "s01_ann_bruteforce", "t03_quality", "t04_fingerprint")
+
+  /** Ops-suite subset used by [[Bench]] alongside the headline: the
+    * operator families added after the headline list froze (media
+    * codecs, ANN variants, retrieval, curation compositions,
+    * hardening). Benchmarked under `ops_value`/`ops_queries` in the
+    * artifact so their regressions are tracked round-over-round
+    * without breaking headline comparability. */
+  val opsBenchQueries: Seq[String] = Seq(
+    "mm01_media_meta", "mm02_media_features", "mm03_frame_sample",
+    "mm04_video_decode", "mm05_audio_decode", "mm06_image_resize",
+    "mm07_audio_windows", "mm08_image_dhash", "mm09_audio_fingerprint",
+    "mm10_video_signature", "mm11_featurize",
+    "d05_embedding_dups", "d08_incremental_dedup", "d11_substring_dup",
+    "d12_semantic_dedup",
+    "s02_ann_lsh", "s03_ann_ivf", "s06_ann_pq", "s07_ann_ivfpq",
+    "s08_featurized_ann",
+    "t17_bm25", "t18_surprisal", "t19_curation_semantic",
+    "q15_zorder_key", "w10_interval_join",
+    "x01_ansi_mix", "x02_adversarial_domain")
 }

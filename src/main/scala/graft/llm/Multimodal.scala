@@ -446,9 +446,14 @@ object Multimodal {
     * same plan-time derivation as the LSH hyperplane signs
     * ([[Dedup.planeSign]]): no RNG state, identical on every run and
     * restatable literal-for-literal in an external SQL oracle. Each
-    * output dimension is an integer dot product (exactly
-    * representable as Float at media magnitudes), so the vectors feed
-    * the ANN stack with no float-portability caveats. */
+    * output dimension is an integer dot product, carried as Float in
+    * [[MediaFeatures]] — exact ONLY while |dot| <= 2^24 (Float's
+    * contiguous-integer range). Random ±1 signs keep typical sums
+    * near sqrt(n)·E|v| (a megapixel raster lands ~1e5), but the bound
+    * is not guaranteed: [[decodeFeatures]] verifies exact
+    * representability per component and fails loudly on overflow
+    * rather than silently rounding the bit-exact-oracle contract
+    * away. */
   object Featurizer {
     /** Component (j, i) of the fixed projection matrix: ±1 from a
       * byteswap64 hash of the (dimension, index) pair. */
@@ -527,7 +532,16 @@ object Multimodal {
           case _ => r.payload.map(_ & 0xFF)
         }
         MediaFeatures(r.media_id,
-          Featurizer.project(content, d).map(_.toFloat))
+          Featurizer.project(content, d).map { l =>
+            val f = l.toFloat
+            // |dot| beyond 2^24 silently rounds in Float; refuse —
+            // downstream oracles assume bit-exact integer features.
+            if (f.toLong != l) throw new IllegalArgumentException(
+              s"media ${r.media_id}: feature dot $l exceeds Float's " +
+                "exact-integer range (2^24) — raster too large for " +
+                "the Float feature contract")
+            f
+          })
       }
     }
   }

@@ -99,9 +99,11 @@ object Similarity {
       // former crossJoin+window shape, bit-identical result), and the
       // otherwise-growing iterative plan is truncated to bounded
       // driver state per round.
-      val rows = cents.select(col("cid"), col("cvec")).collect()
-      val cids = rows.map(_.getLong(0))
-      val cvs = rows.map(_.getSeq[Double](1).toArray)
+      // Shared collector: fails fast with the same descriptive
+      // message as ivfTopK/ivfpqTopK on an empty corpus, instead of
+      // letting an empty cids array surface later as silent null cids
+      // from element_at.
+      val (cids, cvs) = collectCentroids(cents, "refineCentroids")
       val assigned = corpus
         .withColumn("cid", element_at(GraftFunctions
           .nearestCentroids(col("vec"), cids, cvs, 1), 1))

@@ -22,8 +22,13 @@ object ZOrder {
   /** Morton interleave of the low `bits` bits of two non-negative
     * integer columns: x occupies even bit positions, y odd. Built from
     * plain shift/mask arithmetic (disjoint bit positions sum without
-    * carries), so any engine can restate it literally. Values must be
-    * non-negative; with `bits` <= 31 each, the result fits a long. */
+    * carries), so any engine can restate it literally. Non-negativity
+    * is ENFORCED per row (a negative key's sign bits would smear
+    * across every interleave position, silently destroying the
+    * layout's skipping property — a layout pass is run rarely and
+    * trusted long, so mis-layout must be loud): a negative input
+    * throws; nulls propagate as null, as before. With `bits` <= 31
+    * each, the result fits a long. */
   def zValue(x: Column, y: Column, bits: Int = 20): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
     val terms = (0 until bits).flatMap { i =>
@@ -33,12 +38,21 @@ object ZOrder {
         shiftright(y.cast("long"), i).bitwiseAND(lit(1L)) *
           lit(1L << (2 * i + 1)))
     }
-    terms.reduce(_ + _)
+    // assert_true yields null when the condition holds (and nulls are
+    // let through to keep null-in/null-out semantics); adding the
+    // coalesced 0 folds the guard into the same codegen'd expression.
+    val guard = assert_true(
+      coalesce(x.cast("long") >= 0 && y.cast("long") >= 0, lit(true)),
+      lit("zValue: inputs must be non-negative — a sign bit smears " +
+        "across the Morton interleave and silently breaks skipping"))
+    terms.reduce(_ + _) + coalesce(guard.cast("long"), lit(0L))
   }
 
   /** The same interleave as SQL text (for external oracles): a sum of
     * `((col >> i) & 1) * 2^pos` terms, matching [[zValue]] bit for
-    * bit. */
+    * bit on the non-negative domain ([[zValue]]'s runtime guard is
+    * deliberately not restated — oracle fixtures are non-negative by
+    * construction). */
   def zValueSql(x: String, y: String, bits: Int = 20): String = {
     val terms = (0 until bits).flatMap { i =>
       Seq(

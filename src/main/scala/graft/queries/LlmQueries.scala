@@ -969,6 +969,19 @@ object LlmQueries {
        [ascii(c)::BIGINT FOR c IN string_split(g, '')]),
        (a, c) -> (a*31 + c) % 1000000007) FOR g IN $src]"""
 
+  /** DuckDB restatement of the WIDE gram key (mirrors
+    * [[graft.functions.PolyHash.shingleHashesWideAll]]): two
+    * independent polynomial families — base 31 mod 1e9+7 and base 131
+    * mod 1e9+9 — packed injectively as `h1 * 1000000009 + h2` (max
+    * ~1e18, inside BIGINT). The trillion-gram-safe d11 key. */
+  private def polyHashWideListSql(src: String): String =
+    s"""[list_reduce(list_prepend(0::BIGINT,
+       [ascii(c)::BIGINT FOR c IN string_split(g, '')]),
+       (a, c) -> (a*31 + c) % 1000000007) * 1000000009
+     + list_reduce(list_prepend(0::BIGINT,
+       [ascii(c)::BIGINT FOR c IN string_split(g, '')]),
+       (a, c) -> (a*131 + c) % 1000000009) FOR g IN $src]"""
+
   /** DuckDB restatement of [[graft.llm.Dedup.hyperplaneSignature]]:
     * the plane signs are plan-time constants, emitted here as the SAME
     * literals the Spark expression bakes in; dots are left-associated
@@ -1305,10 +1318,11 @@ object LlmQueries {
       // restated without list_distinct (instances, not the set), then
       // corpus-wide counts and a per-doc rollup — mirrors
       // Dedup.duplicatedNgramStats exactly, whole-text-hash arm
-      // included.
+      // included. Uses the WIDE two-family key (the default since the
+      // narrow key measurably inflates dup counts at birthday scale).
       "d11_substring_dup" ->
         s"""WITH g AS (
-             SELECT id, unnest(${polyHashListSql("grams")}) AS gram
+             SELECT id, unnest(${polyHashWideListSql("grams")}) AS gram
              FROM (
                SELECT doc_id AS id,
                  CASE WHEN len(t) < 20 THEN [t]

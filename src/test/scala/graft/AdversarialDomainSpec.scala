@@ -128,8 +128,9 @@ class AdversarialDomainSpec extends SparkSpec {
       10L -> "你好 世界", 11L -> "你好 世界",
       12L -> "totally unique text that matches nobody else")
     val n = 8
+    // Model with the wide two-family key — the operator's default.
     def gramsAll(t: String): Seq[Long] =
-      PolyHash.shingleHashesAll(UTF8String.fromString(t), n).toSeq
+      PolyHash.shingleHashesWideAll(UTF8String.fromString(t), n).toSeq
     val byDoc = docs.map { case (id, t) => id -> gramsAll(t) }.toMap
     val corpusCount = byDoc.values.toSeq.flatten
       .groupBy(identity).view.mapValues(_.size.toLong).toMap

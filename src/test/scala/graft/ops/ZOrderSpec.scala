@@ -28,6 +28,33 @@ class ZOrderSpec extends SparkSpec {
     assert(zx == (1L + 4L + 16L)) // 111 -> positions 0, 2, 4
   }
 
+  test("zValue fails fast on negative inputs; nulls still propagate") {
+    // A negative key would smear its sign bit across every interleave
+    // position and silently destroy the layout's skipping property —
+    // the guard must turn that into a loud error.
+    val thrown = intercept[Exception] {
+      Seq((-1L, 5L)).toDF("x", "y")
+        .select(ZOrder.zValue(col("x"), col("y"), bits = 3))
+        .collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(thrown).exists(_.contains("non-negative")),
+      s"unexpected error: $thrown")
+    intercept[Exception] {
+      Seq((3L, -5L)).toDF("x", "y")
+        .select(ZOrder.zValue(col("x"), col("y"), bits = 3))
+        .collect()
+    }
+    // null-in/null-out unchanged by the guard
+    val nullOut = Seq((Some(3L), Option.empty[Long]))
+      .toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y"), bits = 3))
+      .collect().head
+    assert(nullOut.isNullAt(0))
+  }
+
   test("zValueSql restates zValue exactly (random draws)") {
     val rnd = new scala.util.Random(11)
     val rows = Seq.fill(200)((rnd.nextInt(1 << 20).toLong,

@@ -60,6 +60,7 @@ object SparkEntry {
     "s02_ann_lsh", "s03_ann_ivf", "s06_ann_pq", "s07_ann_ivfpq",
     "s08_featurized_ann",
     "t17_bm25", "t18_surprisal", "t19_curation_semantic",
+    "t20_curation_filtered", "t21_bm25_persisted",
     "q15_zorder_key", "w10_interval_join",
     "x01_ansi_mix", "x02_adversarial_domain")
 }

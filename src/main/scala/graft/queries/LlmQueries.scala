@@ -461,6 +461,36 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // Filtered-first variant of t19: semantic dedup runs ONLY on the
+    // surprisal-surviving subset's embeddings. SEMANTICALLY DIFFERENT
+    // from t19 by design — centroids, cluster memberships, and
+    // keep/drop verdicts are all conditioned on the filter (a pair
+    // whose nearer-centroid member was filtered out now KEEPS the
+    // other member) — but the |cluster|^2 cosine work runs on a
+    // strictly smaller corpus, which at 100 TB is the cheaper
+    // composition when verdict independence isn't required (cost
+    // delta at the 10x fixture recorded in bench_scale.json). Full
+    // oracle: t19's CTE chain with the embedding corpus pre-filtered.
+    "t20_curation_filtered" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lm = LanguageModel.unigramSurprisal(d)
+        .where(!col("is_outlier"))
+        .select(col("doc_id"), col("n_tokens"))
+      val keptEmb = emb(s, dir).join(
+        lm.select(col("doc_id").as("vec_id")).hint("shuffle_hash"),
+        "vec_id")
+      val sem = Dedup.semanticDedup(keptEmb, nClusters = 16,
+        lloydIterations = 1, threshold = 0.35)
+        .where(col("kept"))
+        .select(col("id").as("doc_id"))
+      d.join(lm.hint("shuffle_hash"), "doc_id")
+        .join(sem.hint("shuffle_hash"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("source")
+    }),
+
     // Perplexity-proxy filtering: per-doc mean unigram surprisal over
     // the corpus MLE (the CCNet filter shape with the KenLM model
     // swapped for the unigram estimate). Full oracle: frequency table,
@@ -476,6 +506,18 @@ object LlmQueries {
     // exactly-representable k1/b constants keep scores bit-identical.
     "t17_bm25" -> ((s, dir) => {
       Retrieval.bm25TopK(docs(s, dir),
+        terms = Seq("spark", "vector", "customer", "merge"), k = 20)
+    }),
+
+    // BM25 through the persisted-corpus-stats path (buildStats →
+    // score): the production retrieval shape — the vocabulary-sized
+    // (term, df, n_docs, avgdl) snapshot is computed once per corpus
+    // and serves every probe set. Gate contract: hash-equal to t17 on
+    // the same probes (same tf derivation, same score expression
+    // tree), so the oracle IS t17's oracle.
+    "t21_bm25_persisted" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Retrieval.bm25TopKWithStats(d, Retrieval.bm25BuildStats(d),
         terms = Seq("spark", "vector", "customer", "merge"), k = 20)
     }),
 
@@ -1000,6 +1042,34 @@ object LlmQueries {
   val oracles: Map[String, String] = {
     val norm =
       "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    // Shared by t17 (one-shot) and t21 (persisted-stats path): the two
+    // Spark plans are bit-identical by construction, so one
+    // restatement gates both.
+    val t17Sql =
+      s"""WITH g AS (SELECT doc_id, tk, len(tk)::BIGINT AS dl FROM (
+             SELECT doc_id, list_filter(string_split($norm, ' '),
+               t -> len(t) > 0) AS tk FROM documents)
+             WHERE len(tk) > 0),
+           st AS (SELECT count(*) AS n_docs,
+             sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM g),
+           tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+               SELECT doc_id, dl, unnest(tk) AS term FROM g)
+             WHERE term IN ('spark', 'vector', 'customer', 'merge')
+             GROUP BY doc_id, dl, term),
+           dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           sc AS (SELECT t.doc_id,
+               ln((st.n_docs::DOUBLE - dft.df::DOUBLE + 0.5)
+                   / (dft.df::DOUBLE + 0.5) + 1.0)
+                 * (t.tf::DOUBLE * 2.5)
+                 / (t.tf::DOUBLE + 1.5 * (0.25
+                     + (0.75 * t.dl::DOUBLE) / st.avgdl)) AS part
+             FROM tf t JOIN dft USING (term) CROSS JOIN st),
+           agg AS (SELECT doc_id,
+               sum(part::DECIMAL(38,18))::DOUBLE AS score_raw,
+               count(*) AS terms_hit
+             FROM sc GROUP BY doc_id)
+           SELECT doc_id, round(score_raw, 6) AS score, terms_hit
+           FROM agg ORDER BY score_raw DESC, doc_id ASC LIMIT 20"""
     val s01Sql =
       """WITH q AS (SELECT vec_id AS qid, embedding AS qvec
            FROM embeddings WHERE vec_id < 5),
@@ -1871,6 +1941,66 @@ object LlmQueries {
            JOIN lmk ON d.doc_id = lmk.doc_id AND NOT (lmk.ms > 3.45)
            JOIN semk ON d.doc_id = semk.id
            GROUP BY d.source ORDER BY d.source""",
+      // Filtered-first composition: t19's CTE chain, except the
+      // embedding corpus `e` is pre-filtered to the surprisal
+      // survivors — centroid sample, Lloyd round, assignment, and
+      // keep-rule all run on the filtered set, exactly as the Spark
+      // plan does.
+      "t20_curation_filtered" ->
+        s"""WITH gg AS (SELECT doc_id, term FROM (
+             SELECT doc_id, unnest(string_split($norm, ' ')) AS term
+             FROM documents) WHERE len(term) > 0),
+           f AS (SELECT term, count(*) AS cnt FROM gg GROUP BY term),
+           tot AS (SELECT sum(cnt) AS total FROM f),
+           lmk AS (SELECT doc_id, count(*) AS n_tokens,
+               sum((-ln(cnt::DOUBLE / total::DOUBLE))
+                 ::DECIMAL(38,18))::DOUBLE / count(*) AS ms
+             FROM gg JOIN f USING (term) CROSS JOIN tot
+             GROUP BY doc_id),
+           keep AS (SELECT doc_id, n_tokens FROM lmk
+             WHERE NOT (ms > 3.45)),
+           e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             FROM embeddings JOIN keep ON vec_id = keep.doc_id),
+           cent AS (SELECT id AS cid, v AS cv FROM e
+             ORDER BY (id * 1103515245 + 12345) % 2147483648 ASC,
+               id ASC LIMIT 16),
+           a1 AS (SELECT id, v, cid FROM (
+             SELECT e.id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                   c.cid ASC) AS cr
+             FROM e CROSS JOIN cent c) WHERE cr <= 1),
+           m AS (SELECT cid, i,
+               (sum(val::DECIMAL(38,18))::DOUBLE / count(*)) AS mv
+             FROM (SELECT cid, unnest(v) AS val,
+               unnest(range(len(v))) AS i FROM a1)
+             GROUP BY cid, i),
+           c1 AS (SELECT cid, list(mv ORDER BY i) AS cv FROM m
+             GROUP BY cid),
+           asg AS (SELECT id, v, cid, cc FROM (
+             SELECT e.id, e.v, c.cid,
+               list_cosine_similarity(e.v, c.cv) AS cc,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                   c.cid ASC) AS cr
+             FROM e CROSS JOIN c1 c) WHERE cr <= 1),
+           p AS (SELECT a.id AS id_a, b.id AS id_b,
+               a.cc AS cc_a, b.cc AS cc_b
+             FROM asg a JOIN asg b
+               ON a.cid = b.cid AND a.id < b.id
+             WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+           dropped AS (SELECT DISTINCT
+               CASE WHEN cc_a > cc_b THEN id_a ELSE id_b END AS id
+             FROM p),
+           semk AS (SELECT g.id FROM asg g
+             LEFT JOIN dropped dd ON g.id = dd.id
+             WHERE dd.id IS NULL)
+           SELECT d.source, count(*) AS n_docs,
+             sum(keep.n_tokens)::BIGINT AS sum_tokens
+           FROM documents d
+           JOIN keep ON d.doc_id = keep.doc_id
+           JOIN semk ON d.doc_id = semk.id
+           GROUP BY d.source ORDER BY d.source""",
       // Unigram surprisal: corpus MLE frequencies, exact token total,
       // -ln(cnt/total) per token, DECIMAL per-doc sum / count — the
       // identical expression tree.
@@ -1891,31 +2021,10 @@ object LlmQueries {
       // BM25: Lucene-style idf, k1=1.5 b=0.75 (every constant an exact
       // double), avgdl as an integer quotient, DECIMAL per-term sum —
       // the same expression tree as the Spark plan, term for term.
-      "t17_bm25" ->
-        s"""WITH g AS (SELECT doc_id, tk, len(tk)::BIGINT AS dl FROM (
-             SELECT doc_id, list_filter(string_split($norm, ' '),
-               t -> len(t) > 0) AS tk FROM documents)
-             WHERE len(tk) > 0),
-           st AS (SELECT count(*) AS n_docs,
-             sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM g),
-           tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
-               SELECT doc_id, dl, unnest(tk) AS term FROM g)
-             WHERE term IN ('spark', 'vector', 'customer', 'merge')
-             GROUP BY doc_id, dl, term),
-           dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-           sc AS (SELECT t.doc_id,
-               ln((st.n_docs::DOUBLE - dft.df::DOUBLE + 0.5)
-                   / (dft.df::DOUBLE + 0.5) + 1.0)
-                 * (t.tf::DOUBLE * 2.5)
-                 / (t.tf::DOUBLE + 1.5 * (0.25
-                     + (0.75 * t.dl::DOUBLE) / st.avgdl)) AS part
-             FROM tf t JOIN dft USING (term) CROSS JOIN st),
-           agg AS (SELECT doc_id,
-               sum(part::DECIMAL(38,18))::DOUBLE AS score_raw,
-               count(*) AS terms_hit
-             FROM sc GROUP BY doc_id)
-           SELECT doc_id, round(score_raw, 6) AS score, terms_hit
-           FROM agg ORDER BY score_raw DESC, doc_id ASC LIMIT 20""",
+      "t17_bm25" -> t17Sql,
+      // The persisted-stats path must be bit-identical to the one-shot
+      // path, so its oracle IS t17's restatement.
+      "t21_bm25_persisted" -> t17Sql,
       // HLL registers: bucket = h mod 256, rho = trailing-zero rank
       // of the remaining bits + 1 (23 when they are all zero) — pure
       // integer arithmetic on the portable hash.

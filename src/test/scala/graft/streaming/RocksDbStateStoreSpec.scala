@@ -81,6 +81,56 @@ class RocksDbStateStoreSpec extends SparkSpec {
     s.table(name).select("k", "v").as[(String, Double)].collect().toSet
   }
 
+  /** Replay the w10 stream-stream interval join (both sides buffered
+    * in the state store across micro-batches) — the same fixture and
+    * batch split as the StreamOpsSpec replay case. */
+  private def replayIntervalJoin(s: SparkSession,
+      name: String): Set[(Long, Long)] = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def t(ts: String) = java.sql.Timestamp.valueOf(ts)
+    val viewRows = Seq(
+      (1L, 10L, t("2024-03-01 10:00:00")),
+      (1L, 11L, t("2024-03-01 11:30:00")),
+      (2L, 12L, t("2024-03-01 10:05:00")),
+      (3L, 13L, t("2024-03-01 10:10:00")))
+    val clickRows = Seq(
+      (1L, 20L, t("2024-03-01 10:20:00")),
+      (1L, 21L, t("2024-03-01 11:10:00")),
+      (2L, 22L, t("2024-03-01 10:04:00")),
+      (2L, 23L, t("2024-03-01 11:04:00")),
+      (3L, 24L, t("2024-03-01 11:10:01")))
+    val vmem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cmem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = StreamOps.intervalJoin(
+      vmem.toDS().toDF("user_id", "view_id", "view_ts"),
+      cmem.toDS().toDF("user_id", "click_id", "click_ts"),
+      "user_id", "view_ts", "click_ts", "60 minutes", "120 minutes")
+      .select("view_id", "click_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      vmem.addData(viewRows.take(3): _*)
+      cmem.addData(clickRows.take(1): _*)
+      q.processAllAvailable()
+      vmem.addData(viewRows.drop(3): _*)
+      cmem.addData(clickRows.drop(1): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).as[(Long, Long)].collect().toSet
+  }
+
+  test("stream-stream interval join (w10) is identical under the " +
+      "default and RocksDB state store providers") {
+    val default =
+      replayIntervalJoin(withProvider(None), "rdb_ivj_default")
+    val rocks =
+      replayIntervalJoin(withProvider(Some(RocksDb)), "rdb_ivj_rocks")
+    assert(default == Set((10L, 20L), (12L, 23L)))
+    assert(rocks == default,
+      s"provider changed the interval join:\n$rocks\nvs\n$default")
+  }
+
   test("flatMapGroupsWithState anomaly stream is identical under " +
       "the default and RocksDB state store providers") {
     val default =

@@ -22,6 +22,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partition count defaults to the core count but scales
+    // with the fixture: hash-relation build memory per task is
+    // (corpus side / partitions), so a 100x fixture on a fixed-heap
+    // local JVM needs proportionally more partitions — exactly the
+    // cluster-sizing rule (partitions track data volume, AQE
+    // coalesces the small ones back down).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     // Optional subset (comma-separated names) for targeted A/B runs;
     // a subset run reports only that subset as the headline block and
     // skips the ops suite.
@@ -33,7 +40,7 @@ object Bench {
       else SparkEntry.opsBenchQueries
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -85,6 +92,11 @@ object Bench {
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
       }
     }
+    // Drop whatever the warmup pass cached (operator-internal persists
+    // land in the unified memory region and would otherwise shrink the
+    // execution-memory pool the measured queries run in — observed as
+    // hash-relation spill pressure on the join-heavy dedup queries).
+    spark.catalog.clearCache()
 
     def jsonMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }

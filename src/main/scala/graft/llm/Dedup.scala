@@ -358,6 +358,25 @@ object Dedup {
   private val previousAssigned =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** Bounded persist: cache `df` (MEMORY_AND_DISK) after dropping the
+    * slot's previous occupant, so however many times the owning
+    * operator runs in one session, at most ONE of its cached subtrees
+    * is live — the same discipline as [[semanticDedup]]'s assignment
+    * cache, factored out for other multi-reference compositions
+    * (e.g. the filtered-first curation's filter-verdict frame). */
+  private[graft] def swapCached(
+      slot: java.util.concurrent.atomic.AtomicReference[DataFrame],
+      df: DataFrame): DataFrame = {
+    slot.getAndSet(null) match {
+      case null => ()
+      case prev => prev.unpersist(blocking = false)
+    }
+    val cached =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    slot.set(cached)
+    cached
+  }
+
   /** Semantic dedup (Abbas et al., "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication", arXiv 2023): k-means
     * cluster the embedding space, then call two vectors semantic
@@ -413,19 +432,13 @@ object Dedup {
     // invocation's cache is dropped, bounding a session to one live
     // semanticDedup subtree however many times it runs (gates + bench
     // reps + t19/t20 reuse would otherwise accumulate until eviction).
-    previousAssigned.getAndSet(null) match {
-      case null => ()
-      case prev => prev.unpersist(blocking = false)
-    }
-    val assigned = corpus
+    val assigned = swapCached(previousAssigned, corpus
       .withColumn("cid", element_at(graft.functions.GraftFunctions
         .nearestCentroids(col("vec"), cids, cvs, 1), 1))
       .join(broadcast(centroids), "cid")
       .withColumn("cc", graft.functions.GraftFunctions
         .arrayCosine(col("vec"), col("cvec")))
-      .select(col("id"), col("vec"), col("cid"), col("cc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    previousAssigned.set(assigned)
+      .select(col("id"), col("vec"), col("cid"), col("cc")))
     // Intra-cluster duplicate pairs; merge-hinted like every other
     // corpus-sized self-join here (a bad-estimate broadcast would
     // replicate a vector-carrying side).

@@ -299,13 +299,21 @@ object Similarity {
     val csig = Dedup.hyperplaneSignature(col("vec"), dim, planes)
     val qsig = Dedup.hyperplaneSignature(col("qvec"), dim, planes)
     val bucketed = corpus.withColumn("bucket", csig)
-    val probeSigs: org.apache.spark.sql.Column =
-      if (multiProbe)
-        array((qsig +: (0 until planes).map(p =>
-          qsig.bitwiseXOR(lit(1L << p)))): _*)
-      else array(qsig)
+    // Compute the signature ONCE per query row and derive the probed
+    // buckets by XOR against exploded mask literals (0 = the home
+    // bucket). Inlining the planes x dim signature tree per probe
+    // variant would put thousands of expression nodes in one
+    // projection — re-optimized on every invocation, the driver-side
+    // cost then dominates small-probe-set runs for an identical
+    // bucket set.
+    val masks: Seq[org.apache.spark.sql.Column] =
+      if (multiProbe) lit(0L) +: (0 until planes).map(p => lit(1L << p))
+      else Seq(lit(0L))
     val probes = queries
-      .withColumn("bucket", explode(probeSigs))
+      .withColumn("sig0", qsig)
+      .withColumn("mask", explode(array(masks: _*)))
+      .withColumn("bucket", col("sig0").bitwiseXOR(col("mask")))
+      .drop("sig0", "mask")
     val joined = bucketed.join(broadcast(probes), "bucket")
       .where(if (excludeSelf) col("qid") =!= col("id") else lit(true))
       .withColumn("cosine",

@@ -17,6 +17,11 @@ import graft.llm.{Chunking, Contamination, Dedup, LanguageModel, MediaCodecs, Mu
   */
 object LlmQueries {
 
+  /** One live cache slot for t20's surprisal filter verdict (see the
+    * query's comment; the swap discipline is [[Dedup.swapCached]]'s). */
+  private val t20FilterVerdict =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -473,9 +478,17 @@ object LlmQueries {
     // oracle: t19's CTE chain with the embedding corpus pre-filtered.
     "t20_curation_filtered" -> ((s, dir) => {
       val d = docs(s, dir)
-      val lm = LanguageModel.unigramSurprisal(d)
-        .where(!col("is_outlier"))
-        .select(col("doc_id"), col("n_tokens"))
+      // The filter verdict is materialized once (bounded cache — one
+      // live copy per session): semanticDedup references its input
+      // three times (centroid sample, Lloyd refine, assignment), and
+      // each reference would otherwise re-run the full surprisal
+      // corpus scan. The cached frame is ids+counts only — at corpus
+      // cardinality but a few bytes/row, the production shape for a
+      // persisted filter verdict.
+      val lm = Dedup.swapCached(t20FilterVerdict,
+        LanguageModel.unigramSurprisal(d)
+          .where(!col("is_outlier"))
+          .select(col("doc_id"), col("n_tokens")))
       val keptEmb = emb(s, dir).join(
         lm.select(col("doc_id").as("vec_id")).hint("shuffle_hash"),
         "vec_id")

@@ -21,7 +21,17 @@ object Verify {
     // driver's gate run drops to the longest few queries instead of
     // the sum of all of them.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Optional subset (comma-separated) for targeted dumps — e.g.
+    // re-verifying tractable-oracle queries on a large stress fixture
+    // without paying for the combinatorial ones. The driver's gate
+    // never sets this: the default dumps everything.
+    val subset = sys.env.get("SPARK_GRAFT_VERIFY_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = subset match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val tasks = selected.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -51,7 +61,7 @@ object Verify {
     // Full query inventory, so the harness can flag queries that
     // failed before writing anything (incl. rows-only ones).
     Files.writeString(Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted
+      selected.keys.toSeq.sorted
         .map(q).mkString("[", ",", "]"))
     spark.stop()
   }

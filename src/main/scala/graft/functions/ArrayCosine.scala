@@ -163,6 +163,11 @@ object GraftFunctions {
             exprs(3).eval().asInstanceOf[Int])
         }, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_hyperplane_sig",
+        exprs => HyperplaneSig(exprs(0),
+          exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().asInstanceOf[Int]), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_nearest_centroids",
         exprs => {
           val cids = exprs(1).eval().asInstanceOf[ArrayData]
@@ -180,6 +185,12 @@ object GraftFunctions {
   /** Column form (requires [[register]] on the session first). */
   def arrayCosine(a: Column, b: Column): Column =
     call_function("graft_array_cosine", a, b)
+
+  /** Column form (requires [[register]] on the session first). */
+  def hyperplaneSig(vec: Column, dim: Int, planes: Int): Column =
+    call_function("graft_hyperplane_sig", vec,
+      org.apache.spark.sql.functions.lit(dim),
+      org.apache.spark.sql.functions.lit(planes))
 
   /** Column form (requires [[register]] on the session first). */
   def simhash64(tokens: Column): Column =

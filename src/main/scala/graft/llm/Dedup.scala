@@ -326,20 +326,48 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Smallest plane count in [minPlanes, maxPlanes] whose bucket space
+    * holds `n` vectors at `targetBucket` per bucket: 2^p * targetBucket
+    * >= n. Pure integer arithmetic (no FP log), so the DuckDB oracles
+    * restate it exactly as a CASE chain on count(*). With a FIXED
+    * plane count, expected LSH candidate-pair volume is n^2 / 2^planes
+    * — quadratic in the corpus; scaling p with log(n) pins expected
+    * bucket size, making pair volume ~n * targetBucket / 2: linear.
+    * The same rule a production deployment applies when sizing the
+    * signature for a corpus snapshot. */
+  private[graft] def adaptivePlanes(n: Long, minPlanes: Int,
+      targetBucket: Int, maxPlanes: Int = 20): Int = {
+    var p = minPlanes
+    while (p < maxPlanes && (1L << p) * targetBucket < n) p += 1
+    p
+  }
+
   /** Embedding-cosine near-dup via random-hyperplane LSH: sign-bit
     * signatures bucket the corpus; exact cosine verifies candidates.
     * `planes` hyperplanes are derived deterministically from a seed via
-    * integer hashing — no Math.random, reproducible across runs. */
+    * integer hashing — no Math.random, reproducible across runs.
+    *
+    * `targetBucket > 0` switches `planes` to the corpus-adaptive floor
+    * ([[adaptivePlanes]]): one count() of the corpus (a metadata-cheap
+    * parquet aggregate) sizes the bucket space so expected bucket
+    * occupancy — and with it candidate-pair volume — stays constant
+    * per row as the corpus grows. The rule floors at `planes`, so any
+    * fixture small enough for the floor (the gate SFs) keeps its
+    * oracle outputs byte-identical to the fixed-plane form. */
   def embeddingPairs(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", dim: Int, planes: Int = 16,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95, targetBucket: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
+    val effPlanes =
+      if (targetBucket > 0)
+        adaptivePlanes(emb.count(), planes, targetBucket)
+      else planes
     // Signature over the double-cast vector: float->double cast is
     // exact and double +/* is what external engines use, so the sign
     // bits are reproducible bit-for-bit outside Spark.
     val sigs = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-      .withColumn("sig", hyperplaneSignature(col("v"), dim, planes))
+      .withColumn("sig", hyperplaneSignature(col("v"), dim, effPlanes))
     val a = sigs.as("a")
     // As in minhashPairs: the vector-carrying self-join must not
     // broadcast a corpus-sized side on a bad static estimate.
@@ -402,15 +430,38 @@ object Dedup {
     *
     * @return one row per input vector: (id, cid, cent_cosine, kept)
     */
+  /** Smallest power-of-two multiple of `minClusters` (capped at
+    * `maxClusters`) whose expected cluster size at `n` rows is at most
+    * `targetCluster`. Pure integer doubling — the DuckDB oracles
+    * restate it as a CASE chain on count(*). SemDeDup's candidate
+    * volume is sum over clusters of |cluster|^2; with FIXED k that is
+    * n^2/k — quadratic in the corpus — while scaling k with n pins
+    * expected cluster size and makes pair volume ~n * targetCluster:
+    * the paper itself runs ~50k clusters at web scale for the same
+    * reason. */
+  private[graft] def adaptiveClusters(n: Long, minClusters: Int,
+      targetCluster: Int, maxClusters: Int = 4096): Int = {
+    var k = minClusters
+    while (k < maxClusters && k.toLong * targetCluster < n) k *= 2
+    k
+  }
+
   def semanticDedup(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", nClusters: Int = 16,
-      lloydIterations: Int = 1, threshold: Double = 0.5): DataFrame = {
+      lloydIterations: Int = 1, threshold: Double = 0.5,
+      targetCluster: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val corpus = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
+    // Corpus-adaptive cluster count (one count() of the input, as in
+    // [[embeddingPairs]]'s adaptive planes); 0 = fixed nClusters.
+    val k =
+      if (targetCluster > 0)
+        adaptiveClusters(corpus.count(), nClusters, targetCluster)
+      else nClusters
     // The shared portable bootstrap (Similarity.sampleCentroids —
     // single definition of the LCG sample order the oracles bake in).
-    val centroids0 = Similarity.sampleCentroids(corpus, nClusters)
+    val centroids0 = Similarity.sampleCentroids(corpus, k)
     val centroids =
       if (lloydIterations > 0)
         Similarity.refineCentroids(corpus, centroids0, lloydIterations)
@@ -465,25 +516,21 @@ object Dedup {
     * into the DuckDB oracle SQL, so the signature needs no portable
     * hashing at all. */
   private[graft] def planeSign(p: Int, d: Int): Double =
-    if (scala.util.hashing.byteswap64(
-      p.toLong * 1000003L + d) % 2 == 0) 1.0 else -1.0
+    graft.functions.HyperplaneSig.planeSign(p, d)
 
   /** Deterministic pseudo-random hyperplane sign signature over an
     * `array<double>` vector; packs the sign bits of the dot products
-    * into a long. Left-associated double sums, so any engine repeating
-    * the same expression gets bit-identical dots. */
+    * into a long. A native codegen expression
+    * ([[graft.functions.HyperplaneSig]]) with left-associated double
+    * sums, so any engine repeating the same formula gets bit-identical
+    * dots — the former planes x dim `element_at * lit` column tree
+    * (1024 nodes at 16x64) overflowed the generated-method budget and
+    * fell out of whole-stage codegen. Caller must have registered
+    * [[graft.functions.GraftFunctions]] on the session. */
   private[graft] def hyperplaneSignature(
       vec: org.apache.spark.sql.Column,
-      dim: Int, planes: Int): org.apache.spark.sql.Column = {
-    val bits = (0 until planes).map { p =>
-      val comps = (0 until dim).map { d =>
-        element_at(vec, d + 1) * lit(planeSign(p, d))
-      }
-      val dot = comps.reduce(_ + _)
-      when(dot > 0d, lit(1L) * lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+      dim: Int, planes: Int): org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.hyperplaneSig(vec, dim, planes)
 
   /** Survivor view: given a pair list, keep the smallest id of each
     * connected component's star (greedy: drop any id that appears as the

@@ -140,16 +140,27 @@ object LlmQueries {
     // Lloyd CTE composed with the pair/keep-rule restatement.
     "d12_semantic_dedup" -> ((s, dir) => {
       Dedup.semanticDedup(emb(s, dir), nClusters = 16,
-        lloydIterations = 1, threshold = 0.35)
+        lloydIterations = 1, threshold = 0.35, targetCluster = 512)
         .orderBy("id")
     }),
 
     // Embedding-cosine near-dup through hyperplane LSH buckets. The
     // plane signs are plan-time constants baked identically into the
-    // DuckDB oracle, so the query carries a full oracle.
+    // DuckDB oracle, so the query carries a full oracle. Plane count
+    // adapts to corpus size (targetBucket = 8: 6 planes at the
+    // sf0.01 gate fixture, 8 at sf0.1, 12 at the 10x stress fixture,
+    // 15 at 100x) — the oracle restates the same integer rule as a
+    // CASE chain on count(*), so the compare holds at every scale.
+    // The corpus is geometrically clustered (10 label clusters), so
+    // signatures are far from uniform and real bucket occupancy floors
+    // well above the uniform-case target — measured on the 10x
+    // fixture (20k vectors), candidate pairs fall 23.2M -> 3.6M going
+    // 9 -> 12 planes and floor near the true near-dup mass (~1.4M) by
+    // 16; the tight target keeps verify-side cosine volume pinned to
+    // that floor instead of n^2 / occupied-buckets.
     "d05_embedding_dups" -> ((s, dir) => {
       Dedup.embeddingPairs(emb(s, dir), dim = 64, planes = 6,
-        threshold = 0.2)
+        threshold = 0.2, targetBucket = 8)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")
     }),
@@ -452,7 +463,7 @@ object LlmQueries {
         .where(!col("is_outlier"))
         .select(col("doc_id"), col("n_tokens"))
       val sem = Dedup.semanticDedup(emb(s, dir), nClusters = 16,
-        lloydIterations = 1, threshold = 0.35)
+        lloydIterations = 1, threshold = 0.35, targetCluster = 512)
         .where(col("kept"))
         .select(col("id").as("doc_id"))
       // both filter frames are corpus-cardinality: shuffle_hash pins
@@ -493,7 +504,7 @@ object LlmQueries {
         lm.select(col("doc_id").as("vec_id")).hint("shuffle_hash"),
         "vec_id")
       val sem = Dedup.semanticDedup(keptEmb, nClusters = 16,
-        lloydIterations = 1, threshold = 0.35)
+        lloydIterations = 1, threshold = 0.35, targetCluster = 512)
         .where(col("kept"))
         .select(col("id").as("doc_id"))
       d.join(lm.hint("shuffle_hash"), "doc_id")
@@ -1052,6 +1063,62 @@ object LlmQueries {
       s"(CASE WHEN ($dot) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")::BIGINT")
 
+  /** Adaptive-plane variant: emits all `maxPlanes` plane terms, each
+    * gated on `p < npExpr` where `npExpr` is the corpus-adaptive plane
+    * count ([[graft.llm.Dedup.adaptivePlanes]] restated by
+    * [[adaptivePlanesSql]]). Planes below `minPlanes` are always
+    * active, so small fixtures produce byte-identical SQL results to
+    * the fixed-plane form. */
+  private def hyperSigSqlAdaptive(vecExpr: String, dim: Int,
+      minPlanes: Int, maxPlanes: Int, npExpr: String): String =
+    (0 until maxPlanes).map { p =>
+      val dot = (0 until dim).map { d =>
+        val s =
+          if (graft.llm.Dedup.planeSign(p, d) > 0) "1.0" else "(-1.0)"
+        s"$vecExpr[${d + 1}]*$s"
+      }.mkString(" + ")
+      val bit = s"(CASE WHEN ($dot) > 0 THEN ${1L << p} ELSE 0 END)"
+      if (p < minPlanes) bit
+      else s"(CASE WHEN $p < $npExpr THEN $bit ELSE 0 END)"
+    }.mkString("(", " + ", ")::BIGINT")
+
+  /** Integer CASE-chain restatement of
+    * [[graft.llm.Dedup.adaptivePlanes]]: smallest p in
+    * [minPlanes, maxPlanes] with 2^p * targetBucket >= `cntExpr`.
+    * Exact integer comparisons — no FP log whose ULP could diverge
+    * between JVM and DuckDB at power-of-two boundaries. */
+  private def adaptivePlanesSql(cntExpr: String, minPlanes: Int,
+      targetBucket: Int, maxPlanes: Int = 20): String =
+    (minPlanes until maxPlanes).map { p =>
+      s"WHEN $cntExpr <= ${(1L << p) * targetBucket} THEN $p"
+    }.mkString("(CASE ", " ", s"ELSE $maxPlanes END)")
+
+  /** Integer doubling-chain restatement of
+    * [[graft.llm.Dedup.adaptiveClusters]]: smallest power-of-two
+    * multiple of `minClusters` (capped at `maxClusters`) with
+    * k * targetCluster >= `cntExpr`. */
+  private def adaptiveClustersSql(cntExpr: String, minClusters: Int,
+      targetCluster: Int, maxClusters: Int = 4096): String = {
+    val ks = Iterator.iterate(minClusters)(_ * 2)
+      .takeWhile(_ < maxClusters).toSeq
+    ks.map { k =>
+      s"WHEN $cntExpr <= ${k.toLong * targetCluster} THEN $k"
+    }.mkString("(CASE ", " ", s"ELSE $maxClusters END)")
+  }
+
+  /** Adaptive-k centroid-bootstrap CTE pair shared by the d12/t19/t20
+    * oracles: `nk` computes the corpus-adaptive cluster count from
+    * `e`'s cardinality and `cent` takes the first k rows of the LCG
+    * sample order — `row_number() <= nk.k` restates the former
+    * `LIMIT 16` exactly (the order is total: id breaks ties). */
+  private def adaptiveCentSql: String =
+    s"""nk AS (SELECT
+             ${adaptiveClustersSql("count(*)", 16, 512)} AS k FROM e),
+           cent AS (SELECT cid, cv FROM (
+             SELECT id AS cid, v AS cv, row_number() OVER (
+               ORDER BY (id * 1103515245 + 12345) % 2147483648 ASC,
+                 id ASC) AS rn FROM e), nk WHERE rn <= nk.k)"""
+
   val oracles: Map[String, String] = {
     val norm =
       "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1440,8 +1507,11 @@ object LlmQueries {
       "d05_embedding_dups" ->
         s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
              FROM embeddings),
+           np AS (SELECT
+             ${adaptivePlanesSql("count(*)", 6, 8)} AS np FROM e),
            sig AS (SELECT id, v,
-             ${hyperSigSql("v", 64, 6)} AS sig FROM e),
+             ${hyperSigSqlAdaptive("v", 64, 6, 20, "np.np")} AS sig
+             FROM e, np),
            cand AS (SELECT a.id AS id_a, b.id AS id_b,
              list_cosine_similarity(a.v, b.v) AS cos
              FROM sig a JOIN sig b ON a.sig = b.sig AND a.id < b.id)
@@ -1453,9 +1523,7 @@ object LlmQueries {
       "d12_semantic_dedup" ->
         s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
              FROM embeddings),
-           cent AS (SELECT id AS cid, v AS cv FROM e
-             ORDER BY (id * 1103515245 + 12345) % 2147483648 ASC,
-               id ASC LIMIT 16),
+           $adaptiveCentSql,
            a1 AS (SELECT id, v, cid FROM (
              SELECT e.id, e.v, c.cid,
                row_number() OVER (PARTITION BY e.id
@@ -1914,9 +1982,7 @@ object LlmQueries {
              GROUP BY doc_id),
            e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
              FROM embeddings),
-           cent AS (SELECT id AS cid, v AS cv FROM e
-             ORDER BY (id * 1103515245 + 12345) % 2147483648 ASC,
-               id ASC LIMIT 16),
+           $adaptiveCentSql,
            a1 AS (SELECT id, v, cid FROM (
              SELECT e.id, e.v, c.cid,
                row_number() OVER (PARTITION BY e.id
@@ -1974,9 +2040,7 @@ object LlmQueries {
              WHERE NOT (ms > 3.45)),
            e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
              FROM embeddings JOIN keep ON vec_id = keep.doc_id),
-           cent AS (SELECT id AS cid, v AS cv FROM e
-             ORDER BY (id * 1103515245 + 12345) % 2147483648 ASC,
-               id ASC LIMIT 16),
+           $adaptiveCentSql,
            a1 AS (SELECT id, v, cid FROM (
              SELECT e.id, e.v, c.cid,
                row_number() OVER (PARTITION BY e.id

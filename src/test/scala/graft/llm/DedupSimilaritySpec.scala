@@ -242,6 +242,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a % 3 == b % 3 })
   }
 
+  test("HyperplaneSig expression is bit-identical to the left-assoc " +
+      "column formula") {
+    import graft.functions.HyperplaneSig
+    // Independent restatement: per plane, a strictly left-associated
+    // double sum of v(d) * planeSign(p, d) — the formula the former
+    // element_at * lit column tree evaluated and the DuckDB oracle
+    // restates. Any FP-order deviation in the kernel would flip a
+    // near-zero dot's sign bit.
+    def reference(v: Array[Double], dim: Int, planes: Int): Long =
+      (0 until planes).map { p =>
+        val dot = (0 until dim)
+          .map(d => v(d) * HyperplaneSig.planeSign(p, d))
+          .reduce(_ + _)
+        if (dot > 0d) 1L << p else 0L
+      }.sum
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(64)(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian())))
+    val df = vecs.toDF("id", "v")
+      .select(col("id"), col("v").cast("array<double>").as("v"))
+    graft.functions.GraftFunctions.register(spark)
+    val got = df.select(col("id"),
+      graft.functions.GraftFunctions.hyperplaneSig(col("v"), 16, 16)
+        .as("sig")).as[(Long, Long)].collect().toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == reference(v, 16, 16), s"id=$id")
+    }
+  }
+
   test("survivorsCC resolves chains exactly where greedy over-keeps") {
     // Component {1,2,3,4} via edges (1,2),(2,4),(3,4): node 3's only
     // neighbor is larger, so the greedy star drop keeps {1,3}; true

@@ -7,6 +7,7 @@ driver does: columns sorted by name, rows sorted, values hashed.
 
 Usage:
   python3 tools/check.py [sfdir] [--skip-verify] [--only q01,q02]
+                         [--out /tmp/graft_verify]
 """
 import json
 import sys
@@ -27,6 +28,8 @@ for i, a in enumerate(sys.argv):
         ONLY = a.split("=", 1)[1].split(",")
     elif a == "--only" and i + 1 < len(sys.argv):
         ONLY = sys.argv[i + 1].split(",")
+    elif a.startswith("--out="):
+        OUT = a.split("=", 1)[1]
 
 if "--skip-verify" not in sys.argv:
     r = subprocess.run(

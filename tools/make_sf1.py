@@ -1,10 +1,22 @@
 #!/usr/bin/env python3
-"""Synthesize a ~10x fixture from sf0.1 by unioning key-shifted copies.
+"""Synthesize a scale fixture from sf0.1 by unioning key-shifted copies.
 
 Writes /tmp/graft_sf1/*.parquet (outside the repo; a local stress
 fixture only — the driver's correctness gate stays on the provided
 fixtures). Keys are shifted per copy so FK joins stay valid; document
 text gets a per-copy suffix so exact-dup structure doesn't collapse.
+
+Near-dup structure is BOUNDED: copies are grouped into dup-groups of
+GROUP (=10) copies. Within a group, a doc's copies differ only by the
+suffix (near-dups, same as the original 10x fixture); across groups,
+text is Caesar-shifted per group and embedding signs are flipped by a
+seeded per-(group,dim) pattern, so cross-group similarity collapses.
+Without this, scaling K scales every dup CLUSTER to size K and pair
+volume grows K^2 — a corpus where every document has K-1 near-twins,
+which no real corpus resembles (real dup RATE is scale-invariant; a
+100x corpus has 100x the clusters, not 100x-bigger clusters). Group 0
+is unperturbed, so K<=10 output is identical to the pre-grouping
+generator.
 
 Usage: python3 tools/make_sf1.py [src_dir] [dst_dir] [copies]
 """
@@ -64,11 +76,46 @@ copy_table("events", lambda k:
     f"SELECT event_id + {k*E} AS event_id, "
     f"user_id + {k*U} AS user_id, "
     f"* EXCLUDE (event_id, user_id) FROM {src('events')}")
+GROUP = 10
+LOWER = "abcdefghijklmnopqrstuvwxyz"
+UPPER = LOWER.upper()
+
+
+def shift_text(k):
+    g = k // GROUP
+    if g == 0:
+        return f"text || ' c{k}'"
+    lo = LOWER[g % 26:] + LOWER[:g % 26]
+    up = lo.upper()
+    return (f"translate(text, '{LOWER}{UPPER}', '{lo}{up}') || ' c{k}'")
+
+
+PERM_PRIMES = [29, 31, 37, 41, 43, 47, 53, 59, 61]
+
+
+def shift_vec(k):
+    g = k // GROUP
+    if g == 0:
+        return "embedding"
+    # Per-group dim permutation (i -> i*p mod D, p coprime to D) plus a
+    # seeded +-1 sign flip per (group, dim). Sign flip alone leaves
+    # cosine up to ~0.5 when vector energy concentrates in few dims
+    # (measured on the sf0.1 embeddings); the permutation decorrelates
+    # the energy profile so cross-group cosine collapses toward 0,
+    # while within-group vectors stay exact duplicates.
+    p = PERM_PRIMES[(g - 1) % len(PERM_PRIMES)]
+    return ("list_transform(generate_series(1, len(embedding)), "
+            f"i -> CAST(embedding[((i - 1) * {p}) % len(embedding) + 1]"
+            f" * (CASE WHEN hash(i + {g} * 1000003)"
+            " % 2 = 0 THEN 1 ELSE -1 END) AS FLOAT))")
+
+
 copy_table("documents", lambda k:
     f"SELECT doc_id + {k*D} AS doc_id, "
-    f"text || ' c{k}' AS text, "
+    f"{shift_text(k)} AS text, "
     f"* EXCLUDE (doc_id, text) FROM {src('documents')}")
 copy_table("embeddings", lambda k:
     f"SELECT vec_id + {k*V} AS vec_id, "
-    f"* EXCLUDE (vec_id) FROM {src('embeddings')}")
+    f"{shift_vec(k)} AS embedding, "
+    f"* EXCLUDE (vec_id, embedding) FROM {src('embeddings')}")
 print("done ->", DST)

@@ -401,6 +401,15 @@ object Dedup {
     }
     val cached =
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize eagerly: the first consumer is typically a self-join
+    // whose two shuffle-map stages are submitted CONCURRENTLY by the
+    // scheduler; against a lazily-cached frame both stages race to
+    // compute every partition (the "Block rdd_N already exists"
+    // BlockManager warning), running the upstream pipeline twice
+    // before the cache wins. One count() here builds each cached
+    // partition exactly once and turns the racing stages into cache
+    // reads — strictly less work, and the warning disappears.
+    cached.count()
     slot.set(cached)
     cached
   }

@@ -38,17 +38,41 @@ object Bench {
     val opsNames =
       if (subset.isDefined) Seq.empty[String]
       else SparkEntry.opsBenchQueries
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffle)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Input-split size: a stress fixture that is 100x the gate SF is
+    // still small in ABSOLUTE bytes (lineitem ~1.1 GB), so the 128 MB
+    // default yields single-digit scan tasks against 32 cores — scan
+    // underparallelization that a real 100 TB table (hundreds of
+    // thousands of splits) never sees. Shrinking the split restores
+    // the scan parallelism the cluster would have.
+    val maxPartitionBytes =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m")
+    def makeSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = makeSession()
 
     def runOnce(name: String): Double = {
+      // A query that OOMs an executor thread can take the whole
+      // local-mode SparkContext down with it; without recovery every
+      // later query would "fail" with `stopped SparkContext` and the
+      // suite's tail would be unmeasured (observed on the 100x stress
+      // fixture). Rebuild the session so one fatal query costs one
+      // data point, not the rest of the artifact.
+      if (spark.sparkContext.isStopped) {
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = makeSession()
+      }
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

@@ -178,6 +178,10 @@ object GraftFunctions {
           NearestCentroids(exprs(0), cids, cents,
             exprs(3).eval().asInstanceOf[Int])
         }, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_top_k_by_score",
+        exprs => TopKByScoreAgg(exprs(0), exprs(1),
+          exprs(2).eval().asInstanceOf[Int]), "built-in")
       registered += key
     }
   }
@@ -254,6 +258,14 @@ object GraftFunctions {
   /** Column form (requires [[register]] on the session first). */
   def textRepetitionStats(text: Column): Column =
     call_function("graft_text_repetition_stats", text)
+
+  /** Per-group top-k-by-score aggregate (requires [[register]]
+    * first): `array<struct<id,score>>` sorted best-first — score
+    * desc, id asc on ties. Map-side partial heaps mean only
+    * |groups| x k entries cross the shuffle ([[TopKByScoreAgg]]). */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    call_function("graft_top_k_by_score", score, id,
+      org.apache.spark.sql.functions.lit(k))
 
   /** Bloom bitmap aggregate (requires [[register]] first). */
   def polyBloom(key: Column, mBits: Int, k: Int): Column =

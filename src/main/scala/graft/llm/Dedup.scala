@@ -124,10 +124,20 @@ object Dedup {
     // jaccard; loose half-threshold margin) pay for the exact array
     // intersection.
     //
-    // Both lookups build their hash side from the PAIR stream
-    // (shuffle_hash on the narrow id-pair side): array columns defeat
-    // Catalyst's size estimate and it would otherwise broadcast the
-    // corpus signature table — backwards at any scale.
+    // Lookup-join hint discipline (asymmetric on purpose): the FIRST
+    // lookup builds its hash side from the narrow id-pair stream —
+    // the cheapest possible build. The SECOND lookup must NOT: its
+    // left side is the pair stream already carrying mh_a/sh_a
+    // (~k + |shingles| longs per row — several KB), i.e. |pairs| x
+    // signature width, typically several times the corpus itself.
+    // Hinting that side (the old shape) made Spark build the hash
+    // relation from it and die at the 100x fixture ("Can't acquire
+    // ... to build hash relation"); the hint now sits on the corpus
+    // signature table, whose per-partition build is corpus/partitions
+    // — exactly the quantity the shuffle-partition sizing rule keeps
+    // bounded as data grows. Either hint also keeps Catalyst from
+    // broadcasting the corpus side on a bad array-column estimate —
+    // backwards at any scale.
     // Portable mode fuses estimate + verify into one native loop pair
     // (HOFs evaluate interpreted; the verify runs once per candidate
     // pair, so its constant factor dominates adversarial corpora).
@@ -147,9 +157,8 @@ object Dedup {
     pairs.hint("shuffle_hash")
       .join(sigs.select(col("id").as("id_a"), col("mh").as("mh_a"),
         col("sh").as("sh_a")), "id_a")
-      .hint("shuffle_hash")
       .join(sigs.select(col("id").as("id_b"), col("mh").as("mh_b"),
-        col("sh").as("sh_b")), "id_b")
+        col("sh").as("sh_b")).hint("shuffle_hash"), "id_b")
       .withColumn("jaccard", verified)
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -202,12 +211,16 @@ object Dedup {
       else
         when(est >= threshold * 0.5, jaccard(col("sh_a"), col("sh_b")))
           .otherwise(lit(-1d))
+    // Same asymmetric hint discipline as [[minhashPairs]]: first
+    // lookup builds from the narrow pair stream; second builds from
+    // the signature table (here the BATCH side — small by definition),
+    // never from the pair stream once it carries signature arrays.
     pairs.hint("shuffle_hash")
       .join(cSigs.select(col("id").as("id_corpus"),
         col("mh").as("mh_a"), col("sh").as("sh_a")), "id_corpus")
-      .hint("shuffle_hash")
       .join(bSigs.select(col("id").as("id_batch"),
-        col("mh").as("mh_b"), col("sh").as("sh_b")), "id_batch")
+        col("mh").as("mh_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "id_batch")
       .withColumn("jaccard", verified)
       .where(col("jaccard") >= threshold)
       .select("id_corpus", "id_batch", "jaccard")
@@ -397,7 +410,12 @@ object Dedup {
       df: DataFrame): DataFrame = {
     slot.getAndSet(null) match {
       case null => ()
-      case prev => prev.unpersist(blocking = false)
+      // The previous occupant may belong to a session that has since
+      // been stopped (e.g. the bench harness rebuilding after a fatal
+      // query); dropping a cache on a dead context must not poison
+      // the next invocation.
+      case prev => try prev.unpersist(blocking = false)
+        catch { case _: Throwable => () }
     }
     val cached =
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

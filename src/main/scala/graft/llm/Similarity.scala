@@ -51,6 +51,15 @@ object Similarity {
 
   /** Exact brute-force top-k neighbors for each query vector.
     *
+    * The scored stream is |corpus| x |queries| rows — the one frame in
+    * the ANN family that must NEVER be shuffled (the former window
+    * top-k did exactly that, and the 100x stress fixture OOM-killed
+    * the sort). The [[graft.functions.TopKByScoreAgg]] aggregate
+    * consumes the cross product map-side where it is produced: only
+    * |queries| x k heap entries cross the exchange, regardless of
+    * corpus size. Output is identical to the window form (score desc,
+    * id asc on ties, Spark's total double order).
+    *
     * @param corpus  (id, vec) rows
     * @param queries (qid, qvec) rows — expected driver-small; broadcast
     * @return (qid, id, cosine, rank) with rank 1..k, ties broken by id
@@ -62,12 +71,14 @@ object Similarity {
       .where(if (excludeSelf) col("qid") =!= col("id") else lit(true))
       .withColumn("cosine",
         GraftFunctions.arrayCosine(col("qvec"), col("vec")))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("id").asc)
     joined
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("qid", "id", "cosine", "rank")
+      .groupBy(col("qid"))
+      .agg(GraftFunctions.topKByScore(col("cosine"), col("id"), k)
+        .as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.id").as("id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Distributed Lloyd refinement of an initial centroid set (the

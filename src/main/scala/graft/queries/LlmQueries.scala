@@ -1020,7 +1020,16 @@ object LlmQueries {
       val feats = Multimodal.decodeFeatures(media, d = 8)
       val corpus = feats.select(col("media_id").as("id"),
         col("features").cast("array<double>").as("vec"))
-      val qs = corpus.where(col("id") % 100 === 0)
+      // Probe set BOUNDED by id, not only by rate: a pure `% 100`
+      // probe rate scales with the corpus, turning the brute-force
+      // baseline |corpus| x |probes| quadratic in fixture size (the
+      // unbounded form OOM-killed the 100x stress run). The id cap
+      // admits every probe at the gate SFs (ids < 1e5 there) and pins
+      // |probes| <= 1000 on any larger corpus — brute force stays the
+      // linear-per-probe exhaustive baseline; the scale path for
+      // corpus-sized probe sets is the LSH/IVF family.
+      val qs = corpus.where(col("id") % 100 === 0 &&
+          col("id") < 100000L)
         .select(col("id").as("qid"), col("vec").as("qvec"))
       Similarity.bruteForceTopK(corpus, qs, k = 5)
         .withColumn("cosine", round(col("cosine"), 6))
@@ -2501,7 +2510,7 @@ object LlmQueries {
              ] AS vec
            FROM px),
            q AS (SELECT id AS qid, vec AS qvec FROM vv
-             WHERE id % 100 = 0),
+             WHERE id % 100 = 0 AND id < 100000),
            scored AS (SELECT qid, v.id AS id,
              list_cosine_similarity(qvec::DOUBLE[], v.vec::DOUBLE[])
                AS cos

@@ -482,10 +482,21 @@ object Dedup {
       col(vecCol).cast("array<double>").as("vec"))
     // Corpus-adaptive cluster count (one count() of the input, as in
     // [[embeddingPairs]]'s adaptive planes); 0 = fixed nClusters.
-    val k =
-      if (targetCluster > 0)
-        adaptiveClusters(corpus.count(), nClusters, targetCluster)
-      else nClusters
+    val n = if (targetCluster > 0) Some(corpus.count()) else None
+    // Empty-in -> empty-out: in a composed curation pipeline the
+    // upstream filter may legitimately leave nothing (observed on the
+    // 100x stress fixture, where the Caesar-shifted groups push every
+    // document over t20's fixed surprisal threshold). Unlike the ANN
+    // index builders — where an empty corpus is a caller error and
+    // fail-fast stands — an empty dedup input has a well-defined
+    // verdict: no vectors, no duplicates. The isEmpty probe stops at
+    // the first row, so non-empty corpora pay one cheap limit-1 job.
+    if (n.contains(0L) || (n.isEmpty && corpus.isEmpty))
+      return corpus.where(lit(false)).select(col("id"),
+        lit(0L).as("cid"), lit(0d).as("cent_cosine"),
+        lit(true).as("kept"))
+    val k = n.map(adaptiveClusters(_, nClusters, targetCluster))
+      .getOrElse(nClusters)
     // The shared portable bootstrap (Similarity.sampleCentroids —
     // single definition of the LCG sample order the oracles bake in).
     val centroids0 = Similarity.sampleCentroids(corpus, k)

@@ -106,6 +106,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.map(_._2).distinct.forall(keptPerCluster.contains))
   }
 
+  test("semantic dedup: empty corpus yields an empty verdict frame " +
+      "(not a failure) in both fixed and adaptive cluster modes") {
+    val empty = vecs.where(col("id") < 0)
+    for (target <- Seq(0, 512)) {
+      val out = Dedup.semanticDedup(empty, idCol = "id",
+        vecCol = "vec", nClusters = 3, targetCluster = target)
+      assert(out.columns.toSeq ==
+        Seq("id", "cid", "cent_cosine", "kept"))
+      assert(out.count() == 0)
+    }
+    // The ANN index builders keep their fail-fast on empty input.
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(empty.select(col("id"),
+          col("vec").cast("array<double>").as("vec")),
+        empty.select(col("id").as("qid"),
+          col("vec").cast("array<double>").as("qvec")),
+        nCentroids = 4, nProbe = 2, k = 5)
+        .collect()
+    }
+  }
+
   test("brute-force ANN: self excluded, k respected, ranks ordered") {
     val qs = vecs.limit(3)
       .select(col("id").as("qid"), col("vec").as("qvec"))

@@ -2,7 +2,6 @@ package graft.llm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.functions.GraftFunctions
 
@@ -49,16 +48,45 @@ object Similarity {
     (rows.map(_.getLong(0)), rows.map(_.getSeq[Double](1).toArray))
   }
 
+  /** Shared final ranking of a scored (qid, id, cosine) candidate
+    * stream: per-query top-k via [[graft.functions.TopKByScoreAgg]].
+    * Map-side partial heaps consume the candidate stream in the stage
+    * that produced it, so only |queries| x k entries cross the
+    * exchange — the window form this replaced shuffled EVERY scored
+    * candidate row through a per-query sort (and for brute force,
+    * where the stream is |corpus| x |probes| rows, the 100x stress
+    * fixture OOM-killed that sort). Output-identical to
+    * `row_number over (partition by qid order by cosine desc, id
+    * asc)` filtered to `<= k`; the candidate generators guarantee
+    * (qid, id) appears at most once, so heap slots are never wasted
+    * on duplicates. */
+  private def topKByCosine(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("qid"))
+      .agg(GraftFunctions.topKByScore(col("cosine"), col("id"), k)
+        .as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.id").as("id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
+
+  /** Shared ADC shortlist: per-query `shortlist` best ids by
+    * approximate distance (asc, id asc on ties) — the same aggregate
+    * with the score negated (adist is a DECIMAL-summed finite
+    * non-negative double, so negation is a faithful order reversal;
+    * no NaN cases to diverge on). Emits (qid, id) only. */
+  private def shortlistByDistance(approx: DataFrame, shortlist: Int)
+      : DataFrame =
+    approx
+      .groupBy(col("qid"))
+      .agg(GraftFunctions.topKByScore(negate(col("adist")), col("id"),
+        shortlist).as("tk"))
+      .select(col("qid"), explode(col("tk.id")).as("id"))
+
   /** Exact brute-force top-k neighbors for each query vector.
     *
     * The scored stream is |corpus| x |queries| rows — the one frame in
-    * the ANN family that must NEVER be shuffled (the former window
-    * top-k did exactly that, and the 100x stress fixture OOM-killed
-    * the sort). The [[graft.functions.TopKByScoreAgg]] aggregate
-    * consumes the cross product map-side where it is produced: only
-    * |queries| x k heap entries cross the exchange, regardless of
-    * corpus size. Output is identical to the window form (score desc,
-    * id asc on ties, Spark's total double order).
+    * the ANN family that must NEVER be shuffled; see [[topKByCosine]].
     *
     * @param corpus  (id, vec) rows
     * @param queries (qid, qvec) rows — expected driver-small; broadcast
@@ -71,14 +99,7 @@ object Similarity {
       .where(if (excludeSelf) col("qid") =!= col("id") else lit(true))
       .withColumn("cosine",
         GraftFunctions.arrayCosine(col("qvec"), col("vec")))
-    joined
-      .groupBy(col("qid"))
-      .agg(GraftFunctions.topKByScore(col("cosine"), col("id"), k)
-        .as("tk"))
-      .select(col("qid"), posexplode(col("tk")))
-      .select(col("qid"), col("col.id").as("id"),
-        col("col.score").as("cosine"),
-        (col("pos") + 1).cast("int").as("rank"))
+    topKByCosine(joined, k)
   }
 
   /** Distributed Lloyd refinement of an initial centroid set (the
@@ -185,12 +206,7 @@ object Similarity {
       .where(if (excludeSelf) col("qid") =!= col("id") else lit(true))
       .withColumn("cosine",
         GraftFunctions.arrayCosine(col("qvec"), col("vec")))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("id").asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("qid", "id", "cosine", "rank")
+    topKByCosine(joined, k)
   }
 
   /** Product-quantization ANN (the ADC half of Jegou et al.'s IVFADC,
@@ -277,13 +293,9 @@ object Similarity {
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("d").cast("decimal(38,18)")).cast("double")
         .as("adist"))
-    val sw = Window.partitionBy(col("qid"))
-      .orderBy(col("adist").asc, col("id").asc)
-    val short = approx
-      .where(if (excludeSelf) col("qid") =!= col("id") else lit(true))
-      .withColumn("_sr", row_number().over(sw))
-      .where(col("_sr") <= shortlist)
-      .select("qid", "id")
+    val short = shortlistByDistance(approx
+      .where(if (excludeSelf) col("qid") =!= col("id") else lit(true)),
+      shortlist)
 
     // Exact rerank of the shortlist.
     val joined = short
@@ -291,12 +303,7 @@ object Similarity {
       .join(queries.select(col("qid"), col("qvec")), "qid")
       .withColumn("cosine",
         GraftFunctions.arrayCosine(col("qvec"), col("vec")))
-    val rw = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("id").asc)
-    joined
-      .withColumn("rank", row_number().over(rw))
-      .where(col("rank") <= k)
-      .select("qid", "id", "cosine", "rank")
+    topKByCosine(joined, k)
   }
 
   /** LSH-bucketed approximate top-k: probe the query's signature bucket
@@ -329,12 +336,7 @@ object Similarity {
       .where(if (excludeSelf) col("qid") =!= col("id") else lit(true))
       .withColumn("cosine",
         GraftFunctions.arrayCosine(col("qvec"), col("vec")))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("id").asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("qid", "id", "cosine", "rank")
+    topKByCosine(joined, k)
   }
 
   /** IVF + PQ composed — the IVFADC scheme of Jegou et al. (TPAMI
@@ -424,23 +426,13 @@ object Similarity {
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("d").cast("decimal(38,18)")).cast("double")
         .as("adist"))
-    val sw = Window.partitionBy(col("qid"))
-      .orderBy(col("adist").asc, col("id").asc)
-    val short = approx
-      .withColumn("_sr", row_number().over(sw))
-      .where(col("_sr") <= shortlist)
-      .select("qid", "id")
+    val short = shortlistByDistance(approx, shortlist)
 
     val joined = short
       .join(corpus, "id")
       .join(queries.select(col("qid"), col("qvec")), "qid")
       .withColumn("cosine",
         GraftFunctions.arrayCosine(col("qvec"), col("vec")))
-    val rw = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("id").asc)
-    joined
-      .withColumn("rank", row_number().over(rw))
-      .where(col("rank") <= k)
-      .select("qid", "id", "cosine", "rank")
+    topKByCosine(joined, k)
   }
 }

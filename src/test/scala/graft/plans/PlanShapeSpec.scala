@@ -66,28 +66,32 @@ class PlanShapeSpec extends SparkSpec {
         s"${scan.selectedPartitions.partitionCount}")
   }
 
-  test("IVF/PQ assignment is shuffle-free: in-row argmax/argmin " +
-      "expressions, only the ranking Windows remain, no centroid " +
-      "or codebook join on the corpus side") {
-    // s03: the single remaining Window is the final per-query rank.
-    // s07: final rank + ADC shortlist rank (both per-query, inherent
-    // to top-k) — but NOT the former assignment windows, which
-    // shuffled |corpus| x nCentroids (and x codebookSize) rows
-    // through per-group sorts just to take an extremum.
-    for ((n, expect) <- Seq("s03_ann_ivf" -> 1, "s06_ann_pq" -> 2,
-        "s07_ann_ivfpq" -> 2)) {
+  test("ANN plans are window-free: in-row argmax/argmin assignment, " +
+      "heap-aggregate top-k, no centroid or codebook join on the " +
+      "corpus side") {
+    // Round 8 removed the last ranking Windows: per-query top-k (and
+    // the ADC shortlist) are now the top_k_by_score aggregate, whose
+    // map-side partial heaps consume the scored candidate stream in
+    // the stage that produces it — a window would shuffle every
+    // candidate row through a per-query sort. Assignment stays the
+    // in-row expressions pinned since round 6.
+    for (n <- Seq("s02_ann_lsh", "s03_ann_ivf", "s06_ann_pq",
+        "s07_ann_ivfpq", "s01_ann_bruteforce")) {
       val p = plan(n)
-      if (n != "s06_ann_pq")
+      if (n == "s03_ann_ivf" || n == "s07_ann_ivfpq")
         assert(p.contains("nearest_centroids"),
           s"$n lost the in-row cell assignment expression")
-      if (n != "s03_ann_ivf")
+      if (n == "s06_ann_pq" || n == "s07_ann_ivfpq")
         assert(p.contains("pq_codes"),
           s"$n lost the in-row code assignment expression")
+      assert(p.contains("top_k_by_score"),
+        s"$n lost the heap-aggregate top-k")
       val windows = "\\bWindow\\b".r.findAllIn(p).length
-      assert(windows == expect,
-        s"$n expected $expect Window nodes, got $windows")
-      assert(!p.contains("BroadcastNestedLoopJoin"),
-        s"$n still crossJoins centroids for assignment")
+      assert(windows == 0,
+        s"$n expected 0 Window nodes, got $windows")
+      if (n != "s01_ann_bruteforce")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$n still crossJoins centroids for assignment")
     }
   }
 

@@ -61,18 +61,23 @@ object Bench {
     }
     var spark = makeSession()
 
-    def runOnce(name: String): Double = {
-      // A query that OOMs an executor thread can take the whole
-      // local-mode SparkContext down with it; without recovery every
-      // later query would "fail" with `stopped SparkContext` and the
-      // suite's tail would be unmeasured (observed on the 100x stress
-      // fixture). Rebuild the session so one fatal query costs one
-      // data point, not the rest of the artifact.
+    // A query that OOMs an executor thread can take the whole
+    // local-mode SparkContext down with it; without recovery every
+    // later call would "fail" with `stopped SparkContext` and the
+    // suite's tail would be unmeasured (observed on the 100x stress
+    // fixture). Rebuild the session so one fatal query costs one
+    // data point, not the rest of the artifact. Applied before EVERY
+    // query execution — warmup included: a fatal warmup query must
+    // not unmeasure the whole suite either.
+    def ensureSession(): Unit =
       if (spark.sparkContext.isStopped) {
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
         spark = makeSession()
       }
+
+    def runOnce(name: String): Double = {
+      ensureSession()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -94,11 +99,17 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
       .max(1)
     val failures = scala.collection.mutable.LinkedHashMap[String, Int]()
-    def run(name: String): Double = {
+    // (best, median) per query: best-of-N stays the round-comparable
+    // headline statistic; the median is recorded alongside so a run
+    // where even the minimum was load-inflated is detectable from the
+    // artifact itself (best << median ⇒ noisy window).
+    def run(name: String): (Double, Double) = {
       val times = (1 to reps).map(_ => runOnce(name))
       val failed = times.count(_ < 0)
       if (failed > 0) failures(name) = failed
-      if (failed == reps) -1.0 else times.filter(_ >= 0).min
+      val ok = times.filter(_ >= 0).sorted
+      if (ok.isEmpty) (-1.0, -1.0)
+      else (ok.min, ok(ok.size / 2))
     }
 
     // JVM/codegen warmup on the smallest fixture (fall back to the
@@ -110,6 +121,7 @@ object Bench {
     val warm =
       if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
     (headlineNames ++ opsNames).foreach { n =>
+      ensureSession()
       try SparkEntry.queries(n)(spark, warm)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -120,20 +132,64 @@ object Bench {
     // land in the unified memory region and would otherwise shrink the
     // execution-memory pool the measured queries run in — observed as
     // hash-relation spill pressure on the join-heavy dedup queries).
-    spark.catalog.clearCache()
+    // Tolerant + rebuild-guarded: if the LAST warmup query killed the
+    // context, clearCache on the dead session must not abort the bench
+    // before a single measurement.
+    ensureSession()
+    try spark.catalog.clearCache()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] clearCache failed: ${e.getMessage}")
+    }
+
+    // Machine context + page-cache warming, so the artifact is
+    // adjudicable without re-measuring: two rounds in a row the
+    // driver's artifact disagreed >35% with a committed idle-box run
+    // (r7, r8) and a judge had to re-run queries to tell load noise
+    // from regression. loadavg before/after bounds the box's busyness
+    // across the measured window; the sequential pre-read both warms
+    // the OS page cache (first timed rep no longer pays cold-disk
+    // reads) and measures it: a warm fixture streams at memory speed,
+    // so warm_read_sec >> fixture_gb/1 GBps ⇒ the fixture was cold.
+    def loadavg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadBefore = loadavg()
+    var fixtureBytes = 0L
+    val warmReadSec = {
+      val t0 = System.nanoTime()
+      val buf = new Array[Byte](1 << 20)
+      Option(new java.io.File(sfDir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .foreach { f =>
+          val in = new java.io.FileInputStream(f)
+          try {
+            var n = in.read(buf)
+            while (n >= 0) { fixtureBytes += n; n = in.read(buf) }
+          } finally in.close()
+        }
+      (System.nanoTime() - t0) / 1e9
+    }
 
     def jsonMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     val headline = headlineNames.map(n => n -> run(n))
     val ops = opsNames.map(n => n -> run(n))
-    val total = headline.map(_._2).filter(_ >= 0).sum
-    val opsTotal = ops.map(_._2).filter(_ >= 0).sum
+    val loadAfter = loadavg()
+    def best(rs: Seq[(String, (Double, Double))]) =
+      rs.map { case (k, v) => k -> v._1 }
+    def med(rs: Seq[(String, (Double, Double))]) =
+      rs.map { case (k, v) => k -> v._2 }
+    val total = best(headline).map(_._2).filter(_ >= 0).sum
+    val totalMed = med(headline).map(_._2).filter(_ >= 0).sum
+    val opsTotal = best(ops).map(_._2).filter(_ >= 0).sum
+    val opsTotalMed = med(ops).map(_._2).filter(_ >= 0).sum
     val failJson = failures.toSeq
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fixtureGb = fixtureBytes / 1e9
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(headline)},"ops_value":$opsTotal,"ops_queries":${jsonMap(ops)},"failures":$failJson,"sf":"$sfDir","reps":$reps,"stat":"best-of-$reps"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(best(headline))},"value_median":$totalMed,"queries_median":${jsonMap(med(headline))},"ops_value":$opsTotal,"ops_value_median":$opsTotalMed,"ops_queries":${jsonMap(best(ops))},"ops_queries_median":${jsonMap(med(ops))},"failures":$failJson,"sf":"$sfDir","reps":$reps,"stat":"best-of-$reps","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"fixture_gb":$fixtureGb,"warm_read_sec":$warmReadSec,"cpus":$cpus,"shuffle":$shuffle}"""
     println(line)
     // sbt interleaves [info] prefixes into stdout, so the driver can't
     // reliably parse the line above — also write it to a bare file.

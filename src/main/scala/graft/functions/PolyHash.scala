@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Portable-hash variants of the signature kernels.
@@ -255,6 +255,35 @@ object PolyHash {
     var inter = 0
     i = 0
     while (i < nb) { if (set.contains(shB.getLong(i))) inter += 1; i += 1 }
+    val union = (na + nb).toDouble - inter
+    if (union == 0.0) 1.0 else inter / union
+  }
+
+  /** [[minhashVerify]] over int32 arrays — identical logic on the
+    * narrowed representation. Every portable hash lives in
+    * [0, 1e9+7) ⊂ int32, so signatures and shingle-hash sets can
+    * cross shuffles at half the width; the verify kernel then reads
+    * them without widening. Same values, same arithmetic, same
+    * result bits as the long form (pinned in
+    * FusedKernelPropertySpec). */
+  def minhashVerifyInt(mhA: ArrayData, mhB: ArrayData, shA: ArrayData,
+      shB: ArrayData, k: Int, threshold: Double): Double = {
+    val n = math.min(mhA.numElements(), mhB.numElements())
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (mhA.getInt(i) == mhB.getInt(i)) m += 1
+      i += 1
+    }
+    if (m.toDouble / k < threshold * 0.5) return -1.0
+    val na = shA.numElements()
+    val nb = shB.numElements()
+    val set = new java.util.HashSet[Integer](na * 2)
+    i = 0
+    while (i < na) { set.add(shA.getInt(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nb) { if (set.contains(shB.getInt(i))) inter += 1; i += 1 }
     val union = (na + nb).toDouble - inter
     if (union == 0.0) 1.0 else inter / union
   }
@@ -510,29 +539,47 @@ case class MinhashJaccardVerify(mhA: Expression, mhB: Expression,
   override def third: Expression = shA
   override def fourth: Expression = shB
 
+  // Accepts all-long or all-int arrays: the portable pipeline narrows
+  // signatures/shingle hashes to int32 (values < 1e9+7) so they cross
+  // shuffles at half the width; the kernel dispatch is static.
+  private def intMode: Boolean = shA.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     Seq(mhA, mhB, shA, shB).map(_.dataType) match {
       case Seq(ArrayType(LongType, _), ArrayType(LongType, _),
           ArrayType(LongType, _), ArrayType(LongType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case Seq(ArrayType(IntegerType, _), ArrayType(IntegerType, _),
+          ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case ts => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires four array<long> arguments, got " +
-          ts.map(_.simpleString(10)).mkString(", "))
+        s"$prettyName requires four array<long> or four array<int> " +
+          s"arguments, got ${ts.map(_.simpleString(10)).mkString(", ")}")
     }
 
   override def dataType: DataType =
     org.apache.spark.sql.types.DoubleType
 
   override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
-    PolyHash.minhashVerify(a.asInstanceOf[ArrayData],
-      b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
-      d.asInstanceOf[ArrayData], k, threshold)
+    if (intMode)
+      PolyHash.minhashVerifyInt(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+        d.asInstanceOf[ArrayData], k, threshold)
+    else
+      PolyHash.minhashVerify(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+        d.asInstanceOf[ArrayData], k, threshold)
 
   override protected def doGenCode(ctx: CodegenContext,
-      ev: ExprCode): ExprCode =
+      ev: ExprCode): ExprCode = {
+    val kernel = if (intMode) "minhashVerifyInt" else "minhashVerify"
     nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
-      s"${ev.value} = graft.functions.PolyHash.minhashVerify(" +
+      s"${ev.value} = graft.functions.PolyHash.$kernel(" +
         s"$a, $b, $c, $d, $k, $threshold);")
+  }
 
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression,

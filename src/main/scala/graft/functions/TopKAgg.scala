@@ -25,10 +25,19 @@ import org.apache.spark.sql.types._
   * materialized or shuffled.
   *
   * Ordering matches the window form exactly — score descending, id
-  * ascending on ties, doubles compared by Spark's total order
-  * (NaN greatest, as in `Ordering[Double]`) — so replacing the window
-  * with this aggregate is output-identical, and external oracles can
-  * restate it with their own window functions unchanged.
+  * ascending on ties, doubles compared like Spark's sort order
+  * (NaN greatest; -0.0 normalized to 0.0 on entry so the pair falls
+  * through to the id tie-break exactly as `nanSafeCompareDoubles`
+  * would) — so replacing the window with this aggregate is
+  * output-identical, and external oracles can restate it with their
+  * own window functions unchanged.
+  *
+  * Null handling: rows with a null score OR null id are SKIPPED (the
+  * usual aggregate-input convention), whereas the window form ranks
+  * null scores NULLS LAST — a group with fewer than k non-null scores
+  * emits fewer rows here than the window would. Callers wanting exact
+  * window parity on nullable inputs must filter or coalesce nulls
+  * themselves; every in-repo caller scores with non-null arithmetic.
   *
   * eval emits `array<struct<id:long, score:double>>` already sorted
   * best-first; `posexplode` recovers (rank - 1) as the position.
@@ -132,9 +141,11 @@ object TopKByScoreAgg {
 
   /** Bounded binary min-heap over parallel primitive arrays; the root
     * (index 0) is the WORST retained entry — smallest score, largest
-    * id on ties, doubles under Spark's total order (`Double.compare`:
-    * NaN greatest, -0.0 < 0.0) so results match the window form
-    * bit-for-bit. */
+    * id on ties. Scores compare via `Double.compare` (NaN greatest)
+    * with -0.0 normalized to 0.0 in [[offer]]: `Double.compare` alone
+    * orders -0.0 < 0.0, but Spark's sort (`nanSafeCompareDoubles`)
+    * treats them equal and falls through to the id tie-break — the
+    * normalization keeps mixed ±0.0 scores window-identical. */
   final class Buffer(k: Int) {
     val scores = new Array[Double](k)
     val ids = new Array[Long](k)
@@ -155,7 +166,8 @@ object TopKByScoreAgg {
       c < 0 || (c == 0 && ia > ib)
     }
 
-    def offer(s: Double, i: Long): Unit =
+    def offer(s0: Double, i: Long): Unit = {
+      val s = if (s0 == 0.0d) 0.0d else s0 // -0.0 -> 0.0 (see above)
       if (size < k) {
         // Sift up from the next leaf.
         var j = size
@@ -170,6 +182,7 @@ object TopKByScoreAgg {
         scores(0) = s; ids(0) = i
         siftDown()
       }
+    }
 
     def removeWorst(): Unit = {
       size -= 1

@@ -64,12 +64,23 @@ object Dedup {
         graft.functions.GraftFunctions
           .polyShingleHashes(col(textCol), shingleN)
       else shingles(col(textCol), shingleN)
-    graft.core.Partitioning.ensureWidth(docs).select(
+    val sigs = graft.core.Partitioning.ensureWidth(docs).select(
       col(idCol).as("id"), shExpr.as("sh"))
       .withColumn("mh",
         if (portable)
           graft.functions.GraftFunctions.polyMinhashLongs(col("sh"), k)
         else graft.functions.GraftFunctions.minhashSig(col("sh"), k))
+    // Portable hashes live in [0, 1e9+7) ⊂ int32: narrow both arrays
+    // so every downstream exchange — the band explode and above all
+    // the signature-laden verify join, the widest shuffle in the
+    // operator (9 GB at the 100x fixture as longs) — moves half the
+    // bytes. Values are unchanged (the band fold promotes to long
+    // arithmetic; the verify kernel reads ints natively), so oracles
+    // and gate outputs are byte-identical.
+    if (portable)
+      sigs.select(col("id"), col("sh").cast("array<int>").as("sh"),
+        col("mh").cast("array<int>").as("mh"))
+    else sigs
   }
 
   /** (id, band_idx, band_hash) exploded band buckets of signatures. */
@@ -297,10 +308,14 @@ object Dedup {
     // exchanges and long-keyed window/join. (A scalar hash projection
     // AFTER the string-shingle HOF measured slower; replacing the HOF
     // itself is what pays.)
+    // Gram keys narrowed to int32 (hash range [0, 1e9+7)): the
+    // exploded inverted index is the operator's dominant shuffle
+    // (|docs| x |grams| rows), and the self-join key rides it twice.
     val index = graft.core.Partitioning.ensureWidth(docs)
       .select(col(idCol).as("id"),
         explode(graft.functions.GraftFunctions
-          .polyShingleHashes(col(textCol), shingleN)).as("gram"))
+          .polyShingleHashes(col(textCol), shingleN)
+          .cast("array<int>")).as("gram"))
     // Document frequency via hash-aggregate + semi-join-shaped filter:
     // the index exchange is shared with the agg and the pair join by
     // ReuseExchange, and unlike the earlier count-window form no full
@@ -415,7 +430,7 @@ object Dedup {
       // query); dropping a cache on a dead context must not poison
       // the next invocation.
       case prev => try prev.unpersist(blocking = false)
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () }
     }
     val cached =
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

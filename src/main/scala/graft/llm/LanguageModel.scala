@@ -62,4 +62,50 @@ object LanguageModel {
         round(col("ms"), 6).as("mean_surprisal"),
         (col("ms") > outlierAbove).as("is_outlier"))
   }
+
+  /** Corpus-derived surprisal keep-threshold: the `mean_surprisal`
+    * value below which the best `keepFraction` of a deterministic
+    * document sample falls — i.e. "keep the corpus' own best 90%"
+    * instead of a fixed absolute cutoff. A fixed threshold silently
+    * degenerates when the corpus distribution shifts (the 100x stress
+    * fixture's shifted-alphabet groups push EVERY document over 3.45
+    * and the filtered corpus is empty); a quantile tracks the corpus.
+    *
+    * Exactness discipline: no interpolated percentile — the threshold
+    * is the ceil(keepFraction * n)-th SMALLEST sampled value, one of
+    * the input doubles verbatim, so an external engine sorting the
+    * same doubles reproduces it bit-identically (ties at the boundary
+    * share the same value, so tie order cannot change the result).
+    * The sample is the deterministic slice `id % sampleMod ==
+    * sampleRem`; at 100 TB pick sampleMod so the sample is ~1e6 docs
+    * (the threshold job is a top-k over the sample only — the full
+    * corpus never sorts). An EMPTY sample (corpus smaller than the
+    * modulus) yields threshold +Inf: a corpus too small to sample is
+    * kept whole rather than dropped whole.
+    *
+    * Driver-side: one bounded `count()` of the sample sizes the
+    * top-k (a scalar, same class as the repo's other bounded
+    * collects).
+    *
+    * @param scored [[unigramSurprisal]] output (or any frame with
+    *               `idCol` + `mean_surprisal`)
+    * @return one-row frame `(ms_thr: double)`, +Inf when the sample
+    *         is empty
+    */
+  def surprisalKeepThreshold(scored: DataFrame,
+      keepFraction: Double = 0.9, sampleMod: Int = 7,
+      sampleRem: Int = 3, idCol: String = "doc_id"): DataFrame = {
+    val samp = scored
+      .where(col(idCol) % sampleMod === sampleRem)
+      .select(col("mean_surprisal").as("msr"))
+    val n = samp.count()
+    val k = math.ceil(keepFraction * n).toLong.toInt
+    if (k == 0)
+      samp.sparkSession.range(1)
+        .select(lit(Double.PositiveInfinity).as("ms_thr"))
+    else
+      samp.orderBy(col("msr").asc).limit(k)
+        .agg(coalesce(max(col("msr")),
+          lit(Double.PositiveInfinity)).as("ms_thr"))
+  }
 }

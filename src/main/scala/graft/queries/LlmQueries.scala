@@ -125,6 +125,78 @@ object LlmQueries {
             .as("chars_sum"))
     }),
 
+    // 100x-scale witnesses for the pair-dedup family (the d09/d10
+    // pattern, steeper slice): the full d02/d04/d05 oracles are
+    // combinatorial on the 100x stress fixture (500k docs / 200k
+    // vectors), so these run the SAME operator on the deterministic
+    // `id % 31` slice — 31 is coprime to the fixture's copy shifts
+    // (5000 docs / 2000 vecs per sf0.1 copy), so the slice cuts
+    // ACROSS duplicate groups instead of sampling aligned copies —
+    // and pin the exact pair set via order-free count + checksums.
+    // The similarity checksum sums floor(round(sim,6)*1e6) per pair:
+    // both engines derive each pair's value from the same integer
+    // counts (bit-identical doubles), and the integer projection
+    // makes the SUM order-independent where a double sum is not.
+    // At the sf0.01 gate the slice is ~16 docs (the full-output d02/
+    // d04/d05 gates carry correctness there); at 100x it is ~16k
+    // docs / 6.5k vectors — the scale where these witnesses are the
+    // only tractable oracle.
+    "d14_minhash_witness" -> ((s, dir) => {
+      val sample = docs(s, dir).where(col("doc_id") % 31 === 7)
+      Dedup.minhashPairs(sample, shingleN = 8, bands = 16,
+        rowsPerBand = 4, threshold = 0.3, portable = true)
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum((col("id_a") * 1000003L + col("id_b"))
+            % 1000000007L), lit(0L)).as("pair_checksum"),
+          coalesce(sum(floor(round(col("jaccard"), 6) * 1e6)
+            .cast("long")), lit(0L)).as("jmil_sum"))
+    }),
+
+    "d15_ngram_witness" -> ((s, dir) => {
+      val sample = docs(s, dir).where(col("doc_id") % 31 === 7)
+      Dedup.ngramJaccardPairs(sample, shingleN = 8,
+        threshold = 0.3, maxDocFreq = 50)
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum((col("id_a") * 1000003L + col("id_b"))
+            % 1000000007L), lit(0L)).as("pair_checksum"),
+          coalesce(sum(floor(round(col("jaccard"), 6) * 1e6)
+            .cast("long")), lit(0L)).as("jmil_sum"))
+    }),
+
+    "d16_embedding_witness" -> ((s, dir) => {
+      val sample = emb(s, dir).where(col("vec_id") % 31 === 7)
+      Dedup.embeddingPairs(sample, dim = 64, planes = 6,
+        threshold = 0.2, targetBucket = 8)
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum((col("id_a") * 1000003L + col("id_b"))
+            % 1000000007L), lit(0L)).as("pair_checksum"),
+          coalesce(sum(floor(round(col("cosine"), 6) * 1e6)
+            .cast("long")), lit(0L)).as("cmil_sum"))
+    }),
+
+    // d05 over the FULL corpus, collapsed to the witness row: the
+    // bench form. d05's pair output grows linearly with a dup-dense
+    // corpus, and its gate wrapper's deterministic global output sort
+    // was ~19s of its 25s at the 100x fixture — the artifact was
+    // measuring the sort, not the operator. This form keeps every
+    // candidate-generation + verify stage identical and replaces the
+    // sorted emit with an order-free aggregate, so the bench measures
+    // operator work at any scale; the full-output d05 gate is
+    // unchanged for row-level correctness at the gate SFs.
+    "d17_embedding_dups_agg" -> ((s, dir) => {
+      Dedup.embeddingPairs(emb(s, dir), dim = 64, planes = 6,
+        threshold = 0.2, targetBucket = 8)
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum((col("id_a") * 1000003L + col("id_b"))
+            % 1000000007L), lit(0L)).as("pair_checksum"),
+          coalesce(sum(floor(round(col("cosine"), 6) * 1e6)
+            .cast("long")), lit(0L)).as("cmil_sum"))
+    }),
+
     // Exact-substring duplication stats (Lee et al. 2022 span-dedup
     // signal): per-doc count + fraction of character-20-gram
     // INSTANCES that repeat anywhere in the corpus. Full oracle: the
@@ -489,17 +561,28 @@ object LlmQueries {
     // oracle: t19's CTE chain with the embedding corpus pre-filtered.
     "t20_curation_filtered" -> ((s, dir) => {
       val d = docs(s, dir)
-      // The filter verdict is materialized once (bounded cache — one
-      // live copy per session): semanticDedup references its input
-      // three times (centroid sample, Lloyd refine, assignment), and
-      // each reference would otherwise re-run the full surprisal
-      // corpus scan. The cached frame is ids+counts only — at corpus
-      // cardinality but a few bytes/row, the production shape for a
-      // persisted filter verdict.
-      val lm = Dedup.swapCached(t20FilterVerdict,
+      // The scored frame is materialized once (bounded cache — one
+      // live copy per session): the quantile threshold reads it twice
+      // (sample count + sample top-k) and semanticDedup references
+      // the filtered verdict three times (centroid sample, Lloyd
+      // refine, assignment) — each reference would otherwise re-run
+      // the full surprisal corpus scan. The cached frame is
+      // ids+counts+score only — corpus cardinality but a few
+      // bytes/row, the production shape for a persisted filter
+      // verdict. The keep rule is the corpus-quantile threshold
+      // (best 90% of a deterministic sample), not t18's fixed
+      // absolute cutoff: a fixed cutoff empties the filtered corpus
+      // outright when the distribution shifts (observed at the 100x
+      // fixture), turning the composition into a no-op.
+      val scored = Dedup.swapCached(t20FilterVerdict,
         LanguageModel.unigramSurprisal(d)
-          .where(!col("is_outlier"))
-          .select(col("doc_id"), col("n_tokens")))
+          .select(col("doc_id"), col("n_tokens"),
+            col("mean_surprisal")))
+      val thr = LanguageModel.surprisalKeepThreshold(scored)
+      val lm = scored
+        .crossJoin(broadcast(thr))
+        .where(col("mean_surprisal") <= col("ms_thr"))
+        .select(col("doc_id"), col("n_tokens"))
       val keptEmb = emb(s, dir).join(
         lm.select(col("doc_id").as("vec_id")).hint("shuffle_hash"),
         "vec_id")
@@ -1342,6 +1425,124 @@ object LlmQueries {
                0)::BIGINT AS pair_checksum,
              coalesce(sum(hamming), 0)::BIGINT AS hamming_sum
            FROM ham""",
+      // d02's full pipeline on the id%31=7 slice, collapsed to the
+      // witness row (100x-tractable oracle; see the query comment).
+      "d14_minhash_witness" ->
+        s"""WITH g AS (SELECT doc_id AS id,
+             list_distinct(CASE WHEN len(t) < 8 THEN [t]
+               ELSE [substr(t, i, 8)
+                 FOR i IN range(1, len(t) - 6)] END) AS grams
+             FROM (SELECT doc_id, $norm AS t FROM documents
+               WHERE doc_id % 31 = 7)),
+           hs AS (SELECT id,
+             ${polyHashListSql("grams")} AS hs FROM g),
+           sig AS (SELECT id, hs,
+             [list_min([((((i*1103515245 + 12345) % 1000000006) + 1) * h
+                + (i*69069 + 7) % 1000000007) % 1000000007
+               FOR h IN hs]) FOR i IN range(0, 64)] AS mh
+             FROM hs),
+           bands AS (SELECT id, b AS band_idx,
+             list_reduce(list_prepend(0::BIGINT, mh[b*4+1 : b*4+4]),
+               (a, v) -> (a*31 + v) % 1000000007) AS band_hash
+             FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bt),
+           pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bands a JOIN bands b
+             ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.id < b.id),
+           est AS (SELECT id_a, id_b FROM pairs
+             JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+             WHERE len([i FOR i IN range(1, 65)
+               IF sa.mh[i] = sb.mh[i]])::DOUBLE / 64 >= 0.15),
+           ver AS (SELECT id_a, id_b,
+             len(list_intersect(sa.hs, sb.hs))::DOUBLE AS inter,
+             (len(sa.hs) + len(sb.hs))::DOUBLE AS tot
+             FROM est
+             JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b),
+           outp AS (SELECT id_a, id_b, jaccard FROM (
+             SELECT id_a, id_b, CASE WHEN tot - inter = 0 THEN 1.0
+               ELSE inter / (tot - inter) END AS jaccard FROM ver)
+             WHERE jaccard >= 0.3)
+           SELECT count(*)::BIGINT AS n_pairs,
+             coalesce(sum((id_a * 1000003 + id_b) % 1000000007),
+               0)::BIGINT AS pair_checksum,
+             coalesce(sum(CAST(floor(round(jaccard, 6) * 1000000)
+               AS BIGINT)), 0)::BIGINT AS jmil_sum
+           FROM outp""",
+      // d04's full pipeline on the id%31=7 slice, witness-collapsed.
+      "d15_ngram_witness" ->
+        s"""WITH idx AS (
+             SELECT id, unnest(${polyHashListSql("grams")}) AS gram
+             FROM (
+               SELECT doc_id AS id,
+                 list_distinct(CASE WHEN len(t) < 8 THEN [t]
+                   ELSE [substr(t, i, 8)
+                     FOR i IN range(1, len(t) - 6)] END) AS grams
+               FROM (SELECT doc_id, $norm AS t FROM documents
+                 WHERE doc_id % 31 = 7))),
+           inf AS (SELECT id, gram FROM (
+             SELECT id, gram, count(*) OVER (PARTITION BY gram) AS df
+             FROM idx) WHERE df BETWEEN 2 AND 50),
+           sizes AS (SELECT id, count(*) AS sz FROM inf GROUP BY id),
+           inter AS (SELECT a.id AS id_a, b.id AS id_b,
+               count(*) AS inter
+             FROM inf a JOIN inf b
+             ON a.gram = b.gram AND a.id < b.id
+             GROUP BY 1, 2),
+           verified AS (SELECT id_a, id_b,
+             inter::DOUBLE / (sa.sz + sb.sz - inter)::DOUBLE AS jaccard
+             FROM inter
+             JOIN sizes sa ON sa.id = id_a
+             JOIN sizes sb ON sb.id = id_b),
+           outp AS (SELECT id_a, id_b, jaccard FROM verified
+             WHERE jaccard >= 0.3)
+           SELECT count(*)::BIGINT AS n_pairs,
+             coalesce(sum((id_a * 1000003 + id_b) % 1000000007),
+               0)::BIGINT AS pair_checksum,
+             coalesce(sum(CAST(floor(round(jaccard, 6) * 1000000)
+               AS BIGINT)), 0)::BIGINT AS jmil_sum
+           FROM outp""",
+      // d05's full pipeline on the vec_id%31=7 slice,
+      // witness-collapsed; the adaptive plane rule keys off the
+      // SLICE count, same as the Spark operator handed the slice.
+      "d16_embedding_witness" ->
+        s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             FROM embeddings WHERE vec_id % 31 = 7),
+           np AS (SELECT
+             ${adaptivePlanesSql("count(*)", 6, 8)} AS np FROM e),
+           sig AS (SELECT id, v,
+             ${hyperSigSqlAdaptive("v", 64, 6, 20, "np.np")} AS sig
+             FROM e, np),
+           cand AS (SELECT a.id AS id_a, b.id AS id_b,
+             list_cosine_similarity(a.v, b.v) AS cos
+             FROM sig a JOIN sig b ON a.sig = b.sig AND a.id < b.id),
+           outp AS (SELECT id_a, id_b, round(cos, 6) AS cosine
+             FROM cand WHERE cos >= 0.2)
+           SELECT count(*)::BIGINT AS n_pairs,
+             coalesce(sum((id_a * 1000003 + id_b) % 1000000007),
+               0)::BIGINT AS pair_checksum,
+             coalesce(sum(CAST(floor(cosine * 1000000) AS BIGINT)),
+               0)::BIGINT AS cmil_sum
+           FROM outp""",
+      // d05's full-corpus pipeline, witness-collapsed (bench form).
+      "d17_embedding_dups_agg" ->
+        s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             FROM embeddings),
+           np AS (SELECT
+             ${adaptivePlanesSql("count(*)", 6, 8)} AS np FROM e),
+           sig AS (SELECT id, v,
+             ${hyperSigSqlAdaptive("v", 64, 6, 20, "np.np")} AS sig
+             FROM e, np),
+           cand AS (SELECT a.id AS id_a, b.id AS id_b,
+             list_cosine_similarity(a.v, b.v) AS cos
+             FROM sig a JOIN sig b ON a.sig = b.sig AND a.id < b.id),
+           outp AS (SELECT id_a, id_b, round(cos, 6) AS cosine
+             FROM cand WHERE cos >= 0.2)
+           SELECT count(*)::BIGINT AS n_pairs,
+             coalesce(sum((id_a * 1000003 + id_b) % 1000000007),
+               0)::BIGINT AS pair_checksum,
+             coalesce(sum(CAST(floor(cosine * 1000000) AS BIGINT)),
+               0)::BIGINT AS cmil_sum
+           FROM outp""",
       "d04_ngram_jaccard" ->
         s"""WITH idx AS (
              SELECT id, unnest(${polyHashListSql("grams")}) AS gram
@@ -2033,7 +2234,11 @@ object LlmQueries {
       // embedding corpus `e` is pre-filtered to the surprisal
       // survivors — centroid sample, Lloyd round, assignment, and
       // keep-rule all run on the filtered set, exactly as the Spark
-      // plan does.
+      // plan does. The keep rule is the corpus-quantile threshold
+      // (ceil(0.9 * n)-th smallest rounded score over the doc_id%7=3
+      // sample — a discrete order statistic, no interpolation, so
+      // the threshold is one of the shared doubles verbatim), +Inf
+      // when the sample is empty.
       "t20_curation_filtered" ->
         s"""WITH gg AS (SELECT doc_id, term FROM (
              SELECT doc_id, unnest(string_split($norm, ' ')) AS term
@@ -2045,8 +2250,16 @@ object LlmQueries {
                  ::DECIMAL(38,18))::DOUBLE / count(*) AS ms
              FROM gg JOIN f USING (term) CROSS JOIN tot
              GROUP BY doc_id),
-           keep AS (SELECT doc_id, n_tokens FROM lmk
-             WHERE NOT (ms > 3.45)),
+           samp AS (SELECT round(ms, 6) AS msr FROM lmk
+             WHERE doc_id % 7 = 3),
+           thr AS (SELECT coalesce(
+               (SELECT max(msr) FROM (SELECT msr FROM samp
+                 ORDER BY msr ASC
+                 LIMIT (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT)
+                   FROM samp))),
+               'infinity'::DOUBLE) AS ms_thr),
+           keep AS (SELECT doc_id, n_tokens FROM lmk CROSS JOIN thr
+             WHERE round(ms, 6) <= ms_thr),
            e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
              FROM embeddings JOIN keep ON vec_id = keep.doc_id),
            $adaptiveCentSql,

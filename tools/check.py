@@ -23,6 +23,7 @@ SFDIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
     else "/root/testdata/sf0.01"
 OUT = "/tmp/graft_verify"
 ONLY = None
+TIMEOUT = None  # per-oracle wall seconds (--timeout=N); None = unbounded
 for i, a in enumerate(sys.argv):
     if a.startswith("--only="):
         ONLY = a.split("=", 1)[1].split(",")
@@ -30,6 +31,8 @@ for i, a in enumerate(sys.argv):
         ONLY = sys.argv[i + 1].split(",")
     elif a.startswith("--out="):
         OUT = a.split("=", 1)[1]
+    elif a.startswith("--timeout="):
+        TIMEOUT = float(a.split("=", 1)[1])
 
 if "--skip-verify" not in sys.argv:
     r = subprocess.run(
@@ -66,9 +69,25 @@ def compare(name: str):
     if name not in oracle:
         return ("ROWS-ONLY", f"{len(sdf)} rows (no oracle)")
     try:
-        ddf = con.execute(oracle[name]).df()
+        if TIMEOUT:
+            # Combinatorial oracles on big stress fixtures must not hang
+            # the sweep: a watchdog interrupts DuckDB mid-query.
+            import threading
+            timer = threading.Timer(TIMEOUT, con.interrupt)
+            timer.start()
+            try:
+                ddf = con.execute(oracle[name]).df()
+            finally:
+                timer.cancel()
+        else:
+            ddf = con.execute(oracle[name]).df()
+    except KeyboardInterrupt:
+        return ("ORACLE-TIMEOUT", f">{TIMEOUT}s")
     except Exception as e:
-        return ("ORACLE-ERROR", str(e).split("\n")[0][:200])
+        msg = str(e).split("\n")[0][:200]
+        if "INTERRUPT" in msg.upper():
+            return ("ORACLE-TIMEOUT", f">{TIMEOUT}s")
+        return ("ORACLE-ERROR", msg)
     s, d = canon(sdf), canon(ddf)
     if list(s.columns) != list(d.columns):
         return ("SCHEMA-MISMATCH", f"spark={list(s.columns)} duck={list(d.columns)}")
@@ -116,13 +135,17 @@ if os.path.exists(qlist):
     names |= set(json.load(open(qlist)))
 names = sorted(names)
 fails = 0
+import time
 for name in names:
     if ONLY and name not in ONLY:
         continue
+    t0 = time.time()
     status, detail = compare(name)
+    dt = time.time() - t0
     flag = "✓" if status in ("OK", "ROWS-ONLY") else "✗"
     if flag == "✗":
         fails += 1
-    print(f"{flag} {name:24s} {status:18s} {detail}")
+    print(f"{flag} {name:24s} {status:18s} {detail}  [{dt:.1f}s]",
+          flush=True)
 print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
 sys.exit(1 if fails else 0)

@@ -18,18 +18,27 @@ which no real corpus resembles (real dup RATE is scale-invariant; a
 is unperturbed, so K<=10 output is identical to the pre-grouping
 generator.
 
-Usage: python3 tools/make_sf1.py [src_dir] [dst_dir] [copies]
+Usage: python3 tools/make_sf1.py [src_dir] [dst_dir] [copies] [--only=t1,t2]
+(--only resumes an interrupted run by regenerating just those tables.)
 """
 import sys
 import os
 import duckdb
 
-SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
-K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+ONLY = None
+for a in sys.argv[1:]:
+    if a.startswith("--only="):
+        ONLY = set(a.split("=", 1)[1].split(","))
+SRC = ARGS[0] if len(ARGS) > 0 else "/root/testdata/sf0.1"
+DST = ARGS[1] if len(ARGS) > 1 else "/tmp/graft_sf1"
+K = int(ARGS[2]) if len(ARGS) > 2 else 10
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
+# A K-part UNION ALL nests K-deep in the parser; the default depth cap
+# (1000) rejects K>=1000. Raise it — the union itself streams fine.
+con.execute(f"SET max_expression_depth TO {max(2000, K * 2 + 100)}")
 
 
 def src(t):
@@ -37,6 +46,9 @@ def src(t):
 
 
 def copy_table(t, select_k):
+    if ONLY is not None and t not in ONLY:
+        print(f"{t}: skipped (--only)")
+        return
     parts = " UNION ALL ".join(select_k(k) for k in range(K))
     con.execute(
         f"COPY ({parts}) TO '{DST}/{t}.parquet' (FORMAT PARQUET, "
@@ -46,6 +58,9 @@ def copy_table(t, select_k):
 
 
 def plain(t):
+    if ONLY is not None and t not in ONLY:
+        print(f"{t}: skipped (--only)")
+        return
     con.execute(
         f"COPY (SELECT * FROM {src(t)}) TO '{DST}/{t}.parquet' "
         "(FORMAT PARQUET, COMPRESSION SNAPPY)")

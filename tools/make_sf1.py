@@ -39,6 +39,12 @@ con = duckdb.connect()
 # A K-part UNION ALL nests K-deep in the parser; the default depth cap
 # (1000) rejects K>=1000. Raise it — the union itself streams fine.
 con.execute(f"SET max_expression_depth TO {max(2000, K * 2 + 100)}")
+# Without these, COPY of a K=1000 union buffers output to preserve
+# insertion order and balloons to ~100 GB RSS (observed OOM kill).
+# Fixture row order is irrelevant: every consumer is order-agnostic
+# and the oracle compares are order-free.
+con.execute("SET preserve_insertion_order = false")
+con.execute("SET memory_limit = '24GB'")
 
 
 def src(t):

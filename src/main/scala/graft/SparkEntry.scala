@@ -63,7 +63,8 @@ object SparkEntry {
     "d17_embedding_dups_agg", "d08_incremental_dedup",
     "d11_substring_dup", "d12_semantic_dedup",
     "s02_ann_lsh", "s03_ann_ivf", "s06_ann_pq", "s07_ann_ivfpq",
-    "s08_featurized_ann",
+    "s08_featurized_ann", "s09_ann_ivf_persisted",
+    "q16_quantile_disc",
     "t17_bm25", "t18_surprisal", "t19_curation_semantic",
     "t20_curation_filtered", "t21_bm25_persisted",
     "q15_zorder_key", "w10_interval_join",

@@ -173,36 +173,69 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
       excludeSelf: Boolean = true, lloydIterations: Int = 0): DataFrame = {
+    val (centroids, lists) = ivfIndex(corpus, nCentroids,
+      lloydIterations)
+    ivfQuery(centroids, lists, queries, k, nProbe, excludeSelf)
+  }
+
+  /** Build the IVF index as two PERSISTABLE frames — the production
+    * shape at 100 TB, where the index is built once per corpus
+    * version and queried many times (mirrors
+    * [[graft.llm.Retrieval]]'s persisted BM25 stats):
+    *
+    *  - `centroids` (cid, cvec): <= nCentroids rows;
+    *  - `lists` (corpus columns + cid): every corpus vector tagged
+    *    with its inverted-list cell — write it `partitionBy("cid")`
+    *    and [[ivfQuery]]'s probe-cell filter becomes PARTITION
+    *    PRUNING: a query batch physically reads only the nProbe cells
+    *    it probes, ~|corpus| * nProbe / nCentroids bytes instead of
+    *    the whole corpus.
+    *
+    * Centroids start as deterministic corpus samples
+    * ([[sampleCentroids]]: an LCG step of the id, plain modular
+    * arithmetic any engine reproduces) and are optionally refined
+    * with `lloydIterations` rounds of distributed k-means
+    * ([[refineCentroids]]). The (bounded, <= nCentroids) centroid set
+    * is driver-collected and the corpus assigned in-row: the corpus
+    * crosses NO exchange for its cell assignment — the former
+    * crossJoin(broadcast)+window argmax shuffled |corpus| x
+    * nCentroids rows through a per-group sort just to take a maximum.
+    */
+  def ivfIndex(corpus: DataFrame, nCentroids: Int = 16,
+      lloydIterations: Int = 0): (DataFrame, DataFrame) = {
     GraftFunctions.register(corpus.sparkSession)
-    // Pseudo-random-but-portable sample order ([[sampleCentroids]]:
-    // an LCG step of the id, plain modular arithmetic any engine
-    // reproduces — Murmur3 `hash` would be Spark-private).
     val centroids0 = sampleCentroids(corpus, nCentroids)
     val centroids =
       if (lloydIterations > 0)
         refineCentroids(corpus, centroids0, lloydIterations)
       else centroids0
+    val (cids, cvs) = collectCentroids(centroids, "ivfIndex")
+    val lists = corpus.withColumn("cid", element_at(GraftFunctions
+      .nearestCentroids(col("vec"), cids, cvs, 1), 1))
+    (centroids, lists)
+  }
 
-    // Driver-collect the (bounded, <= nCentroids) centroid set and
-    // assign in-row: the corpus side crosses NO exchange for its cell
-    // assignment — the former crossJoin(broadcast)+window argmax
-    // shuffled |corpus| x nCentroids rows through a per-group sort
-    // just to take a maximum. Bit-identical results (same cosine
-    // evaluation order, same (cosine desc, cid asc) tie-break).
-    val (cids, cvs) = collectCentroids(centroids, "ivfTopK")
-    def assign(df: DataFrame, idCol: String, vecCol: String,
-        keep: Int): DataFrame =
-      if (keep == 1)
-        df.withColumn("cid", element_at(GraftFunctions
-          .nearestCentroids(col(vecCol), cids, cvs, 1), 1))
-      else
-        df.select(df.columns.map(col) :+
-          explode(GraftFunctions.nearestCentroids(col(vecCol), cids,
-            cvs, keep)).as("cid"): _*)
-
-    val lists = assign(corpus, "id", "vec", 1) // inverted lists
-    val probes = assign(queries, "qid", "qvec", nProbe)
-    val joined = lists.join(probes, "cid")
+  /** Query an IVF index ([[ivfIndex]] output, possibly reloaded from
+    * parquet). Probes assign in-row against the driver-collected
+    * centroid set; the distinct probed cells (<= nCentroids — bounded
+    * driver state) become an `isin` filter on the lists side, which a
+    * cid-partitioned lake layout answers by partition pruning — the
+    * unprobed cells are never read. Results are identical to the
+    * one-shot [[ivfTopK]] (the pruned cells contain no joinable
+    * rows). */
+  def ivfQuery(centroids: DataFrame, lists: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    GraftFunctions.register(lists.sparkSession)
+    val (cids, cvs) = collectCentroids(centroids, "ivfQuery")
+    val probes = queries.select(queries.columns.map(col) :+
+      explode(GraftFunctions.nearestCentroids(col("qvec"), cids,
+        cvs, nProbe)).as("cid"): _*)
+    val probedCids = probes.select("cid").distinct()
+      .collect().map(_.getLong(0))
+    val joined = lists
+      .where(col("cid").isin(probedCids.map(Long.box): _*))
+      .join(probes, "cid")
       .where(if (excludeSelf) col("qid") =!= col("id") else lit(true))
       .withColumn("cosine",
         GraftFunctions.arrayCosine(col("qvec"), col("vec")))

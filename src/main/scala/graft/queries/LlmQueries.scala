@@ -303,6 +303,32 @@ object LlmQueries {
         .orderBy("qid", "rank")
     }),
 
+    // The persisted-index ANN shape (mirrors t21's persisted BM25
+    // stats): build the IVF index ONCE, write it to the lake with the
+    // inverted lists cid-partitioned, reload, and probe — the probe's
+    // cell filter is answered by parquet PARTITION PRUNING, so a
+    // query batch physically reads ~nProbe/nCentroids of the corpus.
+    // Same parameters as s03; the oracle is s03's verbatim (the
+    // round trip and pruning change representation, not results).
+    "s09_ann_ivf_persisted" -> ((s, dir) => {
+      val corpus = emb(s, dir)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vec"))
+      val queries = emb(s, dir).where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qvec"))
+      val (cent, lists) = Similarity.ivfIndex(corpus, nCentroids = 16)
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
+        Integer.toHexString(dir.hashCode)
+      cent.write.mode("overwrite").parquet(s"$idx/centroids")
+      lists.write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$idx/lists")
+      Similarity.ivfQuery(s.read.parquet(s"$idx/centroids"),
+        s.read.parquet(s"$idx/lists"), queries, k = 10, nProbe = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("qid", "rank")
+    }),
+
     // IVF with one round of distributed Lloyd refinement: same probe
     // dataflow as s03, better centroids. The oracle recomputes the
     // refined centroids in SQL — the DECIMAL(38,18) mean arithmetic
@@ -1255,6 +1281,36 @@ object LlmQueries {
          SELECT qid, id, round(cos, 6) AS cosine, rank
          FROM ranked WHERE rank <= 10
          ORDER BY qid, rank"""
+    val s03Sql =
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             FROM embeddings),
+           q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+             FROM embeddings WHERE vec_id < 5),
+           cent AS (SELECT id AS cid, v AS cv FROM e
+             ORDER BY (id * 1103515245 + 12345) % 2147483648 ASC,
+               id ASC LIMIT 16),
+           lists AS (SELECT id, v, cid FROM (
+             SELECT e.id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                   c.cid ASC) AS cr
+             FROM e CROSS JOIN cent c) WHERE cr <= 1),
+           probes AS (SELECT qid, qv, cid FROM (
+             SELECT q.qid, q.qv, c.cid,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                   c.cid ASC) AS cr
+             FROM q CROSS JOIN cent c) WHERE cr <= 4),
+           cand AS (SELECT p.qid, l.id,
+             list_cosine_similarity(p.qv, l.v) AS cos
+             FROM lists l JOIN probes p USING (cid)
+             WHERE l.id <> p.qid),
+           ranked AS (SELECT qid, id, cos,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC, id ASC) AS rank FROM cand)
+           SELECT qid, id, round(cos, 6) AS cosine, rank
+           FROM ranked WHERE rank <= 10
+           ORDER BY qid, rank"""
     val s02Sql =
       s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
            FROM embeddings),
@@ -1771,36 +1827,12 @@ object LlmQueries {
       "s02_ann_lsh" -> s02Sql,
       // IVF-flat ANN: LCG-ordered deterministic centroid sample,
       // argmax-cosine list assignment, nProbe=4 probing.
-      "s03_ann_ivf" ->
-        s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
-             FROM embeddings),
-           q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
-             FROM embeddings WHERE vec_id < 5),
-           cent AS (SELECT id AS cid, v AS cv FROM e
-             ORDER BY (id * 1103515245 + 12345) % 2147483648 ASC,
-               id ASC LIMIT 16),
-           lists AS (SELECT id, v, cid FROM (
-             SELECT e.id, e.v, c.cid,
-               row_number() OVER (PARTITION BY e.id
-                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
-                   c.cid ASC) AS cr
-             FROM e CROSS JOIN cent c) WHERE cr <= 1),
-           probes AS (SELECT qid, qv, cid FROM (
-             SELECT q.qid, q.qv, c.cid,
-               row_number() OVER (PARTITION BY q.qid
-                 ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
-                   c.cid ASC) AS cr
-             FROM q CROSS JOIN cent c) WHERE cr <= 4),
-           cand AS (SELECT p.qid, l.id,
-             list_cosine_similarity(p.qv, l.v) AS cos
-             FROM lists l JOIN probes p USING (cid)
-             WHERE l.id <> p.qid),
-           ranked AS (SELECT qid, id, cos,
-             row_number() OVER (PARTITION BY qid
-               ORDER BY cos DESC, id ASC) AS rank FROM cand)
-           SELECT qid, id, round(cos, 6) AS cosine, rank
-           FROM ranked WHERE rank <= 10
-           ORDER BY qid, rank""",
+      "s03_ann_ivf" -> s03Sql,
+      // Persisted-index IVF (build → parquet round trip → probe):
+      // the parquet round trip and probe-cell partition pruning are
+      // representation changes only — the probed cells' contents, and
+      // so the result, are identical to the one-shot s03 plan.
+      "s09_ann_ivf_persisted" -> s03Sql,
       // One Lloyd round: assign to the sampled centroids, recompute
       // each centroid as the per-dim DECIMAL mean of its members
       // (empty clusters drop out, matching Spark's groupBy), then run

@@ -295,6 +295,16 @@ object RelationalQueries {
           graft.ops.ZOrder.zValue(col("l_orderkey"), col("l_partkey"),
             bits = 20).as("z"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Exact GLOBAL order statistics over the engine's biggest table —
+    // the scale complement of q12's per-group percentile (whose
+    // value-count buffers are bounded by group size): iterative
+    // histogram selection, no global sort, driver state O(buckets).
+    "q16_quantile_disc" -> ((s, dir) => {
+      graft.ops.Quantiles.quantileDisc(t(s, dir, "lineitem"),
+        "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy(col("prob"))
     }))
 
   /** Baked affine coefficients for the bloom oracles (must equal
@@ -401,6 +411,15 @@ object RelationalQueries {
            ::BIGINT AS z
          FROM lineitem
          ORDER BY l_orderkey, l_linenumber""",
+    // quantile_disc picks an ELEMENT (rank max(1, ceil(p*n)) of the
+    // sorted values) — no arithmetic on values, so the compare is
+    // exact, no rounding needed.
+    "q16_quantile_disc" ->
+      Seq(0.25, 0.5, 0.75, 0.9, 0.99).map(p =>
+        s"""SELECT CAST($p AS DOUBLE) AS prob,
+           CAST(quantile_disc(l_extendedprice, $p) AS DOUBLE) AS value
+           FROM lineitem""").mkString(
+        "", " UNION ALL ", " ORDER BY prob"),
     // quantile_cont computes the same p*(n-1) linear interpolation as
     // Spark's exact percentile; 4dp rounding absorbs ulp differences.
     "q12_quantiles" ->

@@ -162,6 +162,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("persisted IVF index: parquet round trip == one-shot ivfTopK; " +
+      "probe reads only probed cid partitions") {
+    val qs = vecs.limit(1)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val oneShot = Similarity.ivfTopK(vecs, qs, k = 5, nCentroids = 6,
+      nProbe = 2).collect().map(_.toSeq).toSeq
+    val (cent, lists) = Similarity.ivfIndex(vecs, nCentroids = 6)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_spec").toString
+    cent.write.mode("overwrite").parquet(s"$idx/centroids")
+    lists.write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$idx/lists")
+    val out = Similarity.ivfQuery(
+      spark.read.parquet(s"$idx/centroids"),
+      spark.read.parquet(s"$idx/lists"), qs, k = 5, nProbe = 2)
+    assert(out.collect().map(_.toSeq).toSeq == oneShot)
+    // Partition pruning: the probed-cell isin filter must reach the
+    // lists scan as a PARTITION filter (cid is the partition column),
+    // not a post-scan predicate — that's what makes the unprobed
+    // cells physically unread on a partitioned lake.
+    val plan = out.queryExecution.sparkPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
+      s"probe-cell filter not pushed to partition pruning:\n$plan")
+  }
+
   test("PQ ANN recall >= 60% of brute-force top-5 on clusters") {
     val qs = vecs.limit(3)
       .select(col("id").as("qid"), col("vec").as("qvec"))

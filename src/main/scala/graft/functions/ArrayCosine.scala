@@ -132,6 +132,10 @@ object GraftFunctions {
         exprs => PolyMinHashLongs(exprs(0),
           exprs(1).eval().asInstanceOf[Int]), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_poly_minhash_wide",
+        exprs => PolyMinHashWide(exprs(0),
+          exprs(1).eval().asInstanceOf[Int]), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_text_quality_stats",
         exprs => TextQualityStats(exprs(0),
           exprs(1).eval().toString), "built-in")
@@ -236,6 +240,11 @@ object GraftFunctions {
   /** Column form (requires [[register]] on the session first). */
   def polyMinhashLongs(hashes: Column, k: Int): Column =
     call_function("graft_poly_minhash_longs", hashes,
+      org.apache.spark.sql.functions.lit(k))
+
+  /** Column form (requires [[register]] on the session first). */
+  def polyMinhashWide(hashes: Column, k: Int): Column =
+    call_function("graft_poly_minhash_wide", hashes,
       org.apache.spark.sql.functions.lit(k))
 
   /** Column form (requires [[register]] on the session first). */

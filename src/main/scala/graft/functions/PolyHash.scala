@@ -87,6 +87,31 @@ object PolyHash {
     mins
   }
 
+  /** Minhash over WIDE gram keys ([[shingleHashes]] /
+    * [[shingleHashesWideAll]] output, `h1 * P2 + h2`): the affine
+    * permutations run over the h1 component (`key / P2` — exact, h2 <
+    * P2), so signatures are identical to the pre-widening minhash
+    * over bare h1 arrays (bands, candidates, and every published
+    * oracle constant unchanged); only the exact-verify keys widened. */
+  def minhashWideKeys(hashes: ArrayData, k: Int): Array[Long] = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      if (!hashes.isNullAt(i)) {
+        val h = hashes.getLong(i) / P2
+        var j = 0
+        while (j < k) {
+          val v = (multiplier(j) * h + offset(j)) % P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    mins
+  }
+
   /** Second independent polynomial family (base 131): the shadow
     * hash for in-kernel distinctness ([[shingleHashes]]) and the low
     * half of the wide gram key ([[shingleHashesWideAll]]). */
@@ -116,8 +141,20 @@ object PolyHash {
     java.util.Arrays.copyOf(out, n)
   }
 
-  /** Distinct n-gram hashes of the normalized text (see
-    * [[PolyShingleHashes]]); short texts yield the whole-text hash. */
+  /** Distinct n-gram WIDE keys of the normalized text (see
+    * [[PolyShingleHashes]]); short texts yield the whole-text key.
+    *
+    * Emits the same injective two-family pack as
+    * [[shingleHashesWideAll]] — `h1 * P2 + h2` — NOT the bare base-31
+    * h1 it originally emitted. Base-31 alone is not merely
+    * birthday-weak at 1e9: it has EXACT small-integer identities
+    * ("c89" and "atw" hash equal — 2*31^2 - 60*31 - 62 = 0, the
+    * classic polynomial-hash pathology), and the 100x stress fixture
+    * manufactured thousands of them, turning near-dup pairs into
+    * false exact dups in the hash space. Two independent families
+    * break every such identity (~1e-18 residual per gram pair).
+    * Consumers needing the minhash domain extract h1 = key / P2
+    * (exact: h2 < P2). */
   def shingleHashes(s: UTF8String, n: Int): Array[Long] = {
     val cps = normalizedCodePoints(s)
     val len = cps.length
@@ -126,8 +163,8 @@ object PolyHash {
       while (i < len) { acc = (acc * base + cps(i)) % mod; i += 1 }
       acc
     }
-    if (len < n) return Array(fullHash(31L, P))
-    // pow31 = 31^(n-1) mod P; pow131 likewise for the shadow hash
+    if (len < n) return Array(fullHash(31L, P) * P2 + fullHash(131L, P2))
+    // pow31 = 31^(n-1) mod P; pow131 likewise for the second family
     var pow1 = 1L; var pow2 = 1L
     var j = 1
     while (j < n) { pow1 = pow1 * 31L % P; pow2 = pow2 * 131L % P2; j += 1 }
@@ -146,7 +183,7 @@ object PolyHash {
       h2 = (h2 * 131L + cps(i)) % P2
       if (i >= n - 1) {
         val key: java.lang.Long = h1 * P2 + h2
-        if (seen.add(key)) { out(count) = h1; count += 1 }
+        if (seen.add(key)) { out(count) = key; count += 1 }
       }
       i += 1
     }
@@ -288,6 +325,35 @@ object PolyHash {
     if (union == 0.0) 1.0 else inter / union
   }
 
+  /** [[minhashVerify]] with int32 SIGNATURES and WIDE (long) shingle
+    * keys — the post-widening portable layout: minhash values live in
+    * [0, 1e9+7) ⊂ int32 and cross shuffles narrow, while the
+    * exact-verify keys are the two-family 64-bit gram keys (base-31
+    * alone has exact polynomial identities — see
+    * [[shingleHashes]]). Same arithmetic, same result bits. */
+  def minhashVerifyIntWide(mhA: ArrayData, mhB: ArrayData,
+      shA: ArrayData, shB: ArrayData, k: Int,
+      threshold: Double): Double = {
+    val n = math.min(mhA.numElements(), mhB.numElements())
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (mhA.getInt(i) == mhB.getInt(i)) m += 1
+      i += 1
+    }
+    if (m.toDouble / k < threshold * 0.5) return -1.0
+    val na = shA.numElements()
+    val nb = shB.numElements()
+    val set = new java.util.HashSet[java.lang.Long](na * 2)
+    i = 0
+    while (i < na) { set.add(shA.getLong(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nb) { if (set.contains(shB.getLong(i))) inter += 1; i += 1 }
+    val union = (na + nb).toDouble - inter
+    if (union == 0.0) 1.0 else inter / union
+  }
+
   /** 30-bit simhash: per token, mixed = (polyhash * Mix) mod 2^30;
     * each bit casts a +-1 vote; signature sets bits with positive
     * votes. */
@@ -319,21 +385,25 @@ object PolyHash {
 /** Fused normalize -> shingle -> hash: emits the distinct character
   * n-gram hashes of the normalized text in one pass.
   *
-  * Semantically identical to
-  * `transform(shingles(text, n), g => poly_hash(g))` — same
-  * normalization (lowercase, `\s+` collapse, trim), same short-text
-  * rule (one whole-text shingle), same first-occurrence order — but
-  * computed with a ROLLING update of the base-31 mod-P polynomial
-  * (subtract the outgoing codepoint times 31^(n-1), shift, add the
-  * incoming one) instead of materializing every substring: O(len)
-  * work and zero intermediate arrays per document.
+  * Semantically identical to hashing each distinct normalized n-gram
+  * string — same normalization (lowercase, `\s+` collapse, trim),
+  * same short-text rule (one whole-text shingle), same
+  * first-occurrence order — but computed with ROLLING updates of the
+  * two polynomial families (subtract the outgoing codepoint times
+  * base^(n-1), shift, add the incoming one) instead of materializing
+  * every substring: O(len) work and zero intermediate arrays per
+  * document.
   *
-  * Distinctness is by gram CONTENT, tracked via a composite of two
-  * independent rolling hashes (base 31 mod 1e9+7 — the emitted value
-  * — and base 131 mod 1e9+9): two distinct grams colliding on both
-  * (~1e-18) is the only divergence from string-distinct semantics, so
-  * the emitted multiset matches `list_distinct` + per-gram hashing in
-  * an external oracle exactly.
+  * Emits the WIDE two-family key `h1 * P2 + h2` (base 31 mod 1e9+7
+  * and base 131 mod 1e9+9, packed injectively — max ~1e18, inside
+  * int64), and distinctness is by that same key: two distinct grams
+  * colliding on both families (~1e-18 per pair) is the only
+  * divergence from string-distinct semantics, so the emitted multiset
+  * matches `list_distinct` + per-gram wide hashing in an external
+  * oracle exactly. The bare base-31 value is NOT a usable key on its
+  * own — it has exact small-integer identities ("c89" = "atw"), which
+  * the 100x stress fixture manufactured systematically (see
+  * [[PolyHash.shingleHashes]]).
   */
 case class PolyShingleHashes(child: Expression, n: Int)
     extends UnaryExpression {
@@ -518,6 +588,39 @@ case class PolyMinHashLongs(child: Expression, k: Int)
   override def prettyName: String = "poly_minhash_longs"
 }
 
+/** Portable minhash over WIDE two-family gram keys
+  * ([[PolyHash.shingleHashes]] output): the affine permutations run
+  * over the h1 component (`key / P2`), yielding signatures identical
+  * to the pre-widening minhash over bare h1 arrays — bands,
+  * candidates, and oracle constants unchanged by the key widening. */
+case class PolyMinHashWide(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<long>, got ${t.simpleString(10)}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, false)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      PolyHash.minhashWideKeys(input.asInstanceOf[ArrayData], k))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.PolyHash.minhashWideKeys($c, $k))")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PolyMinHashWide = copy(child = newChild)
+
+  override def prettyName: String = "poly_minhash_wide"
+}
+
 /** Fused candidate-pair verification for minhash dedup: the estimate
   * prefilter (`size(filter(zip_with(mh_a, mh_b, _ === _), e => e)) / k
   * >= threshold/2`) and the exact Jaccard over pre-hashed shingles,
@@ -539,13 +642,19 @@ case class MinhashJaccardVerify(mhA: Expression, mhB: Expression,
   override def third: Expression = shA
   override def fourth: Expression = shB
 
-  // Accepts all-long or all-int arrays: the portable pipeline narrows
-  // signatures/shingle hashes to int32 (values < 1e9+7) so they cross
-  // shuffles at half the width; the kernel dispatch is static.
-  private def intMode: Boolean = shA.dataType match {
-    case ArrayType(IntegerType, _) => true
-    case _ => false
-  }
+  // Static kernel dispatch on the array layouts: all-long, all-int
+  // (fully narrowed), or the post-widening portable mix — int32
+  // signatures (minhash values < 1e9+7 cross shuffles narrow) with
+  // WIDE 64-bit shingle keys (the two-family gram key; base-31 alone
+  // has exact polynomial identities — see [[PolyHash.shingleHashes]]).
+  private def kernelName: String =
+    (mhA.dataType, shA.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        "minhashVerifyInt"
+      case (ArrayType(IntegerType, _), ArrayType(LongType, _)) =>
+        "minhashVerifyIntWide"
+      case _ => "minhashVerify"
+    }
 
   override def checkInputDataTypes(): TypeCheckResult =
     Seq(mhA, mhB, shA, shB).map(_.dataType) match {
@@ -555,31 +664,39 @@ case class MinhashJaccardVerify(mhA: Expression, mhB: Expression,
       case Seq(ArrayType(IntegerType, _), ArrayType(IntegerType, _),
           ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case Seq(ArrayType(IntegerType, _), ArrayType(IntegerType, _),
+          ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case ts => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires four array<long> or four array<int> " +
-          s"arguments, got ${ts.map(_.simpleString(10)).mkString(", ")}")
+        s"$prettyName requires four array<long>, four array<int>, or " +
+          "two array<int> signatures with two array<long> keys — got " +
+          ts.map(_.simpleString(10)).mkString(", "))
     }
 
   override def dataType: DataType =
     org.apache.spark.sql.types.DoubleType
 
   override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
-    if (intMode)
-      PolyHash.minhashVerifyInt(a.asInstanceOf[ArrayData],
-        b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
-        d.asInstanceOf[ArrayData], k, threshold)
-    else
-      PolyHash.minhashVerify(a.asInstanceOf[ArrayData],
-        b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
-        d.asInstanceOf[ArrayData], k, threshold)
+    kernelName match {
+      case "minhashVerifyInt" =>
+        PolyHash.minhashVerifyInt(a.asInstanceOf[ArrayData],
+          b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+          d.asInstanceOf[ArrayData], k, threshold)
+      case "minhashVerifyIntWide" =>
+        PolyHash.minhashVerifyIntWide(a.asInstanceOf[ArrayData],
+          b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+          d.asInstanceOf[ArrayData], k, threshold)
+      case _ =>
+        PolyHash.minhashVerify(a.asInstanceOf[ArrayData],
+          b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+          d.asInstanceOf[ArrayData], k, threshold)
+    }
 
   override protected def doGenCode(ctx: CodegenContext,
-      ev: ExprCode): ExprCode = {
-    val kernel = if (intMode) "minhashVerifyInt" else "minhashVerify"
+      ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
-      s"${ev.value} = graft.functions.PolyHash.$kernel(" +
+      s"${ev.value} = graft.functions.PolyHash.$kernelName(" +
         s"$a, $b, $c, $d, $k, $threshold);")
-  }
 
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression,

@@ -68,17 +68,18 @@ object Dedup {
       col(idCol).as("id"), shExpr.as("sh"))
       .withColumn("mh",
         if (portable)
-          graft.functions.GraftFunctions.polyMinhashLongs(col("sh"), k)
+          graft.functions.GraftFunctions.polyMinhashWide(col("sh"), k)
         else graft.functions.GraftFunctions.minhashSig(col("sh"), k))
-    // Portable hashes live in [0, 1e9+7) ⊂ int32: narrow both arrays
-    // so every downstream exchange — the band explode and above all
-    // the signature-laden verify join, the widest shuffle in the
-    // operator (9 GB at the 100x fixture as longs) — moves half the
-    // bytes. Values are unchanged (the band fold promotes to long
-    // arithmetic; the verify kernel reads ints natively), so oracles
-    // and gate outputs are byte-identical.
+    // Portable layout: `sh` carries the WIDE two-family gram keys
+    // (64-bit; bare base-31 has exact polynomial identities — "c89" =
+    // "atw" — that the 100x fixture manufactured into false exact
+    // dups, caught by the 100x oracle sweep), while the minhash
+    // signatures still live in [0, 1e9+7) ⊂ int32 (the permutations
+    // run over the h1 component, so signature values are unchanged by
+    // the widening) and cross the band explode and verify-join
+    // shuffles at half the width.
     if (portable)
-      sigs.select(col("id"), col("sh").cast("array<int>").as("sh"),
+      sigs.select(col("id"), col("sh"),
         col("mh").cast("array<int>").as("mh"))
     else sigs
   }
@@ -108,13 +109,14 @@ object Dedup {
     // 13.3 s vs cached min 19.5 s / median 21.9 s; at sf0.1 2.2 s vs
     // 2.8 s. ReuseExchange still dedupes the exchange where consumers
     // share partitioning (same conclusion as the d04 index, below).
-    // Portable mode hashes each shingle ONCE to a long in [0, P) via
-    // the fused rolling-hash expression (normalize+shingle+hash in one
-    // pass, no intermediate arrays): signatures come from affine
-    // permutations of those hashes, and the exact verify intersects
-    // the 8-byte hash arrays instead of strings — half the shuffle
-    // width, cheaper comparisons, same oracle-exact semantics (the
-    // oracle hashes its distinct gram strings identically).
+    // Portable mode hashes each shingle ONCE to the wide two-family
+    // 64-bit gram key via the fused rolling-hash expression
+    // (normalize+shingle+hash in one pass, no intermediate arrays):
+    // signatures come from affine permutations of the key's h1
+    // component, and the exact verify intersects the 8-byte key
+    // arrays instead of strings — fixed-width shuffles, cheaper
+    // comparisons, same oracle-exact semantics (the oracle hashes its
+    // distinct gram strings with the identical two-family pack).
     val sigs = minhashSigs(docs, idCol, textCol, shingleN, k, portable)
     val buckets = bandBuckets(sigs, bands, rowsPerBand, portable)
     // Corpus-sized self-join: force sort-merge (AQE upgrades it back
@@ -303,19 +305,21 @@ object Dedup {
       textCol: String = "text", shingleN: Int = 5,
       threshold: Double = 0.5, maxDocFreq: Long = 100L): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    // Index keys are the fused rolling-hash gram longs (one pass:
+    // Index keys are the fused rolling-hash gram keys (one pass:
     // normalize+shingle+hash, no substring arrays) — narrower
-    // exchanges and long-keyed window/join. (A scalar hash projection
-    // AFTER the string-shingle HOF measured slower; replacing the HOF
-    // itself is what pays.)
-    // Gram keys narrowed to int32 (hash range [0, 1e9+7)): the
-    // exploded inverted index is the operator's dominant shuffle
-    // (|docs| x |grams| rows), and the self-join key rides it twice.
+    // exchanges than strings and a fixed-width join key. (A scalar
+    // hash projection AFTER the string-shingle HOF measured slower;
+    // replacing the HOF itself is what pays.)
+    // The key is the WIDE two-family 64-bit gram key: a single-family
+    // int32 key halves the exploded index's shuffle width but
+    // identifies grams by bare base-31, whose exact polynomial
+    // identities ("c89" = "atw") the 100x fixture manufactured into
+    // phantom shared grams — df counts, per-doc sizes, and
+    // intersections all drift. Correctness over the 4 bytes.
     val index = graft.core.Partitioning.ensureWidth(docs)
       .select(col(idCol).as("id"),
         explode(graft.functions.GraftFunctions
-          .polyShingleHashes(col(textCol), shingleN)
-          .cast("array<int>")).as("gram"))
+          .polyShingleHashes(col(textCol), shingleN)).as("gram"))
     // Document frequency via hash-aggregate + semi-join-shaped filter:
     // the index exchange is shared with the agg and the pair join by
     // ReuseExchange, and unlike the earlier count-window form no full

@@ -1350,9 +1350,10 @@ object LlmQueries {
                  FOR i IN range(1, len(t) - 6)] END) AS grams
              FROM (SELECT doc_id, $norm AS t FROM documents)),
            hs AS (SELECT id,
-             ${polyHashListSql("grams")} AS hs FROM g),
+             ${polyHashWideListSql("grams")} AS hs FROM g),
            sig AS (SELECT id, hs,
-             [list_min([((((i*1103515245 + 12345) % 1000000006) + 1) * h
+             [list_min([((((i*1103515245 + 12345) % 1000000006) + 1)
+                  * (h // 1000000009)
                 + (i*69069 + 7) % 1000000007) % 1000000007
                FOR h IN hs]) FOR i IN range(0, 64)] AS mh
              FROM hs),
@@ -1389,9 +1390,10 @@ object LlmQueries {
                  FOR i IN range(1, len(t) - 6)] END) AS grams
              FROM (SELECT doc_id, $norm AS t FROM documents)),
            hs AS (SELECT id,
-             ${polyHashListSql("grams")} AS hs FROM g),
+             ${polyHashWideListSql("grams")} AS hs FROM g),
            sig AS (SELECT id, hs,
-             [list_min([((((i*1103515245 + 12345) % 1000000006) + 1) * h
+             [list_min([((((i*1103515245 + 12345) % 1000000006) + 1)
+                  * (h // 1000000009)
                 + (i*69069 + 7) % 1000000007) % 1000000007
                FOR h IN hs]) FOR i IN range(0, 64)] AS mh
              FROM hs),
@@ -1491,9 +1493,10 @@ object LlmQueries {
              FROM (SELECT doc_id, $norm AS t FROM documents
                WHERE doc_id % 31 = 7)),
            hs AS (SELECT id,
-             ${polyHashListSql("grams")} AS hs FROM g),
+             ${polyHashWideListSql("grams")} AS hs FROM g),
            sig AS (SELECT id, hs,
-             [list_min([((((i*1103515245 + 12345) % 1000000006) + 1) * h
+             [list_min([((((i*1103515245 + 12345) % 1000000006) + 1)
+                  * (h // 1000000009)
                 + (i*69069 + 7) % 1000000007) % 1000000007
                FOR h IN hs]) FOR i IN range(0, 64)] AS mh
              FROM hs),
@@ -1527,7 +1530,7 @@ object LlmQueries {
       // d04's full pipeline on the id%31=7 slice, witness-collapsed.
       "d15_ngram_witness" ->
         s"""WITH idx AS (
-             SELECT id, unnest(${polyHashListSql("grams")}) AS gram
+             SELECT id, unnest(${polyHashWideListSql("grams")}) AS gram
              FROM (
                SELECT doc_id AS id,
                  list_distinct(CASE WHEN len(t) < 8 THEN [t]
@@ -1601,7 +1604,7 @@ object LlmQueries {
            FROM outp""",
       "d04_ngram_jaccard" ->
         s"""WITH idx AS (
-             SELECT id, unnest(${polyHashListSql("grams")}) AS gram
+             SELECT id, unnest(${polyHashWideListSql("grams")}) AS gram
              FROM (
                SELECT doc_id AS id,
                  list_distinct(CASE WHEN len(t) < 8 THEN [t]
@@ -1627,7 +1630,7 @@ object LlmQueries {
            ORDER BY id_a, id_b""",
       "d06_dedup_survivors" ->
         s"""WITH idx AS (
-             SELECT id, unnest(${polyHashListSql("grams")}) AS gram
+             SELECT id, unnest(${polyHashWideListSql("grams")}) AS gram
              FROM (
                SELECT doc_id AS id,
                  list_distinct(CASE WHEN len(t) < 8 THEN [t]
@@ -1656,7 +1659,7 @@ object LlmQueries {
       // smallest reachable id; non-minimal members are dropped.
       "d07_survivors_cc" ->
         s"""WITH RECURSIVE idx AS (
-             SELECT id, unnest(${polyHashListSql("grams")}) AS gram
+             SELECT id, unnest(${polyHashWideListSql("grams")}) AS gram
              FROM (
                SELECT doc_id AS id,
                  list_distinct(CASE WHEN len(t) < 8 THEN [t]
@@ -1692,7 +1695,7 @@ object LlmQueries {
       // d07's closure on the 10% slice, collapsed to the witness row.
       "d10_cc_witness" ->
         s"""WITH RECURSIVE idx AS (
-             SELECT id, unnest(${polyHashListSql("grams")}) AS gram
+             SELECT id, unnest(${polyHashWideListSql("grams")}) AS gram
              FROM (
                SELECT doc_id AS id,
                  list_distinct(CASE WHEN len(t) < 8 THEN [t]
@@ -2059,7 +2062,7 @@ object LlmQueries {
              FROM documents GROUP BY md5($norm)),
            base AS (SELECT d.doc_id, d.source, d.text
              FROM documents d JOIN keepx USING (doc_id)),
-           idx AS (SELECT id, unnest(${polyHashListSql("grams")}) AS gram
+           idx AS (SELECT id, unnest(${polyHashWideListSql("grams")}) AS gram
              FROM (
                SELECT doc_id AS id,
                  list_distinct(CASE WHEN len(t) < 8 THEN [t]
@@ -2461,7 +2464,7 @@ object LlmQueries {
       },
       "t12_contamination" ->
         s"""WITH g AS (SELECT doc_id AS id,
-             unnest(${polyHashListSql("grams")}) AS gram FROM (
+             unnest(${polyHashWideListSql("grams")}) AS gram FROM (
              SELECT doc_id,
                list_distinct(CASE WHEN len(t) < 8 THEN [t]
                  ELSE [substr(t, i, 8)

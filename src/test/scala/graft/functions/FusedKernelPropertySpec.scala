@@ -118,4 +118,40 @@ class FusedKernelPropertySpec extends SparkSpec {
       assert(r.getDouble(0) == r.getDouble(1),
         s"row $i: HOF ${r.getDouble(0)} != fused ${r.getDouble(1)}")
   }
+
+  test("mixed-layout minhash verify (int32 signatures + wide long " +
+      "keys) == all-long kernel on the same logical values") {
+    graft.functions.GraftFunctions.register(spark)
+    val k = 16
+    val thr = 0.4
+    val P2 = PolyHash.P2
+    def sig(): Seq[Int] = Seq.fill(k)(rnd.nextInt(1000000007))
+    // Wide keys as the product pipeline makes them: h1 * P2 + h2 —
+    // including pairs that share h1 but differ in h2 (the base-31
+    // identity case the widening exists to catch).
+    def keys(): Seq[Long] = Seq.fill(rnd.nextInt(12))(
+      rnd.nextInt(50).toLong * P2 + rnd.nextInt(3)).distinct
+    val rows = (0 until 300).map(_ => (sig(), sig(), keys(), keys()))
+    val df = rows.toDF("mh_a", "mh_b", "sh_a", "sh_b")
+    val wide = df.select(GraftFunctions.minhashJaccardVerify(
+      col("mh_a"), col("mh_b"), col("sh_a"), col("sh_b"), k, thr)
+      .as("v")).collect().map(_.getDouble(0))
+    val long = df.select(
+      col("mh_a").cast("array<long>").as("mh_a"),
+      col("mh_b").cast("array<long>").as("mh_b"),
+      col("sh_a"), col("sh_b"))
+      .select(GraftFunctions.minhashJaccardVerify(
+        col("mh_a"), col("mh_b"), col("sh_a"), col("sh_b"), k, thr)
+        .as("v")).collect().map(_.getDouble(0))
+    assert(wide.toSeq == long.toSeq)
+    // h1-equal, h2-distinct keys are DIFFERENT (the "c89"/"atw" class)
+    val a = Seq(5L * P2 + 1)
+    val b = Seq(5L * P2 + 2)
+    val one = Seq((Seq.fill(k)(7), Seq.fill(k)(7), a, b))
+      .toDF("mh_a", "mh_b", "sh_a", "sh_b")
+      .select(GraftFunctions.minhashJaccardVerify(col("mh_a"),
+        col("mh_b"), col("sh_a"), col("sh_b"), k, thr))
+      .head().getDouble(0)
+    assert(one == 0.0, s"h1-colliding keys must not intersect: $one")
+  }
 }

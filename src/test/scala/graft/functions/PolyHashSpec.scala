@@ -43,8 +43,27 @@ class PolyHashSpec extends SparkSpec {
     }
   }
 
-  test("fused shingle hashes equal the HOF compose on varied text") {
+  test("fused shingle hashes equal the wide-key model of the " +
+      "string-shingle compose on varied text") {
     GraftFunctions.register(spark)
+    // The model: the distinct gram STRINGS (the HOF shingle form),
+    // each mapped to the injective two-family pack h1 * P2 + h2 —
+    // the wide key the fused expression emits (bare base-31 h1 has
+    // exact polynomial identities like "c89" = "atw"; see
+    // PolyHash.shingleHashes).
+    def wideKey(g: String): Long = {
+      def fold(base: Long, mod: Long): Long = {
+        var acc = 0L
+        var i = 0
+        while (i < g.length) {
+          val cp = g.codePointAt(i)
+          acc = (acc * base + cp) % mod
+          i += Character.charCount(cp)
+        }
+        acc
+      }
+      fold(31L, PolyHash.P) * PolyHash.P2 + fold(131L, PolyHash.P2)
+    }
     val rnd = new scala.util.Random(23)
     val rows = (Seq("", "ab", "abcdefgh", "  spaced\t out \n text  ",
       "UPPER and lower Mixed", "aaaaaaaaaaaaaaaa",
@@ -55,14 +74,17 @@ class PolyHashSpec extends SparkSpec {
     for (n <- Seq(3, 5, 8)) {
       val out = rows.select(
         GraftFunctions.polyShingleHashes(col("text"), n).as("native"),
-        transform(
-          graft.llm.TextFunctions.shingles(col("text"), n),
-          g => GraftFunctions.polyHash(g)).as("hof"))
-        .as[(Seq[Long], Seq[Long])].collect()
-      out.foreach { case (nat, hof) =>
-        assert(nat == hof, s"n=$n native=$nat hof=$hof")
+        graft.llm.TextFunctions.shingles(col("text"), n).as("grams"))
+        .as[(Seq[Long], Seq[String])].collect()
+      out.foreach { case (nat, grams) =>
+        assert(nat == grams.map(wideKey),
+          s"n=$n native=$nat grams=$grams")
       }
     }
+    // The base-31 identity the wide key exists to break: equal h1,
+    // distinct wide keys.
+    assert(wideKey("c89") != wideKey("atw"))
+    assert(wideKey("c89") / PolyHash.P2 == wideKey("atw") / PolyHash.P2)
   }
 
   test("poly minhash equals per-seed model; values stay below P") {

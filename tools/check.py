@@ -44,6 +44,15 @@ if "--skip-verify" not in sys.argv:
         sys.exit(1)
 
 con = duckdb.connect()
+# Stress-fixture oracles (combinatorial CTEs at the 100x fixture) can
+# otherwise spill unboundedly: one d12 run filled the disk through
+# DuckDB's cwd-relative .tmp and took the box (and the concurrently
+# running test JVM) down with it. Cap memory, point spill at a
+# dedicated dir, and let the per-oracle --timeout do the rest.
+os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
+con.execute(
+    f"SET memory_limit='{os.environ.get('GRAFT_ORACLE_MEM', '32GB')}'")
 for f in glob.glob(f"{SFDIR}/*.parquet"):
     name = os.path.basename(f)[:-8]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")

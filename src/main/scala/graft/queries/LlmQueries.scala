@@ -177,6 +177,29 @@ object LlmQueries {
             .cast("long")), lit(0L)).as("cmil_sum"))
     }),
 
+    // Semantic-dedup witness (the d14/d15/d16 pattern): the id%31
+    // slice through the FULL d12 pipeline — adaptive cluster count,
+    // LCG bootstrap, one DECIMAL-mean Lloyd round, intra-cluster
+    // pairs, the paper's keep-rule — collapsed to order-free
+    // count+checksum aggregates. At the 100x fixture d12's full
+    // oracle spills DuckDB past the disk (intra-cluster pair
+    // restatement over 200k 64-dim vectors); the slice keeps a FULL
+    // oracle tractable there, closing the last dedup family without
+    // 100x row-level correctness.
+    "d18_semantic_witness" -> ((s, dir) => {
+      val sample = emb(s, dir).where(col("vec_id") % 31 === 7)
+      Dedup.semanticDedup(sample, nClusters = 16,
+        lloydIterations = 1, threshold = 0.35, targetCluster = 512)
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          coalesce(sum(when(col("kept"), 1L).otherwise(0L)),
+            lit(0L)).as("n_kept"),
+          coalesce(sum((col("id") * 1000003L + col("cid"))
+            % 1000000007L), lit(0L)).as("cid_checksum"),
+          coalesce(sum(floor(col("cent_cosine") * 1e6).cast("long")),
+            lit(0L)).as("ccmil_sum"))
+    }),
+
     // d05 over the FULL corpus, collapsed to the witness row: the
     // bench form. d05's pair output grows linearly with a dup-dense
     // corpus, and its gate wrapper's deterministic global output sort
@@ -1825,6 +1848,53 @@ object LlmQueries {
              (d.id IS NULL) AS kept
            FROM asg g LEFT JOIN dropped d ON g.id = d.id
            ORDER BY g.id""",
+      // d12's full pipeline on the id%31 slice, collapsed to the
+      // witness aggregates — the adaptive-k CTE reads the (filtered)
+      // e's cardinality, so cluster count adapts exactly like the
+      // Spark slice run.
+      "d18_semantic_witness" ->
+        s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             FROM embeddings WHERE vec_id % 31 = 7),
+           $adaptiveCentSql,
+           a1 AS (SELECT id, v, cid FROM (
+             SELECT e.id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                   c.cid ASC) AS cr
+             FROM e CROSS JOIN cent c) WHERE cr <= 1),
+           m AS (SELECT cid, i,
+               (sum(val::DECIMAL(38,18))::DOUBLE / count(*)) AS mv
+             FROM (SELECT cid, unnest(v) AS val,
+               unnest(range(len(v))) AS i FROM a1)
+             GROUP BY cid, i),
+           c1 AS (SELECT cid, list(mv ORDER BY i) AS cv FROM m
+             GROUP BY cid),
+           asg AS (SELECT id, v, cid, cc FROM (
+             SELECT e.id, e.v, c.cid,
+               list_cosine_similarity(e.v, c.cv) AS cc,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                   c.cid ASC) AS cr
+             FROM e CROSS JOIN c1 c) WHERE cr <= 1),
+           p AS (SELECT a.id AS id_a, b.id AS id_b,
+               a.cc AS cc_a, b.cc AS cc_b
+             FROM asg a JOIN asg b
+               ON a.cid = b.cid AND a.id < b.id
+             WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+           dropped AS (SELECT DISTINCT
+               CASE WHEN cc_a > cc_b THEN id_a ELSE id_b END AS id
+             FROM p),
+           verdict AS (SELECT g.id, g.cid,
+               round(g.cc, 6) AS cent_cosine, (d.id IS NULL) AS kept
+             FROM asg g LEFT JOIN dropped d ON g.id = d.id)
+           SELECT count(*)::BIGINT AS n_vecs,
+             coalesce(sum(CASE WHEN kept THEN 1 ELSE 0 END),
+               0)::BIGINT AS n_kept,
+             coalesce(sum((id*1000003 + cid) % 1000000007),
+               0)::BIGINT AS cid_checksum,
+             coalesce(sum(floor(cent_cosine * 1e6)::BIGINT),
+               0)::BIGINT AS ccmil_sum
+           FROM verdict""",
       // LSH-bucketed ANN with hamming-1 multi-probe: the probe set is
       // the query signature and its single-bit flips.
       "s02_ann_lsh" -> s02Sql,

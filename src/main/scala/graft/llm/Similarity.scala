@@ -231,8 +231,23 @@ object Similarity {
     val probes = queries.select(queries.columns.map(col) :+
       explode(GraftFunctions.nearestCentroids(col("qvec"), cids,
         cvs, nProbe)).as("cid"): _*)
-    val probedCids = probes.select("cid").distinct()
-      .collect().map(_.getLong(0))
+    // Probed cells computed DRIVER-SIDE with the exact kernel the
+    // expression dispatches to (same cosine accumulation, same
+    // (cosine desc, cid asc) selection): queries are driver-small by
+    // the family contract (bruteForceTopK broadcasts them), so this
+    // is one tiny collect of the query vectors instead of a second
+    // distributed assignment job ahead of the main probe join.
+    val probedCids = queries.select(col("qvec")).collect()
+      .iterator.filterNot(_.isNullAt(0))
+      .flatMap { r =>
+        // Null elements map to 0.0, exactly as the kernel's
+        // isNullAt branch reads them in the expression path.
+        val vec = r.getSeq[java.lang.Double](0)
+          .map(d => if (d == null) 0.0 else d.doubleValue).toArray
+        graft.functions.NearestCentroids.topN(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(vec),
+          cvs, cids, nProbe).toLongArray()
+      }.toArray.distinct
     val joined = lists
       .where(col("cid").isin(probedCids.map(Long.box): _*))
       .join(probes, "cid")

@@ -42,11 +42,13 @@ import org.apache.spark.sql.functions._
   * to ≤ n/buckets rows (67M per collectCap at the defaults); one
   * recursion covers half a trillion.
   *
-  * Ties/NaN: doubles compare in Spark's total order (`NaN` greatest,
-  * equal values interchangeable — any witness of the rank is THE
-  * quantile). Values are compared as doubles; supply a double column
-  * (or accept the cast) — the output schema is
-  * `(prob double, value double)`.
+  * Ties: equal values are interchangeable — any witness of the rank
+  * is THE quantile. NaN is EXCLUDED like NULL (order statistics are
+  * defined over the comparable domain; DuckDB 1.0's quantile places
+  * NaN inconsistently with its own ORDER BY — measured — so no sane
+  * cross-engine contract includes it). Values are compared as
+  * doubles; supply a double column (or accept the cast) — the output
+  * schema is `(prob double, value double)`.
   */
 object Quantiles {
 
@@ -64,7 +66,7 @@ object Quantiles {
     val spark = df.sparkSession
     import spark.implicits._
     val vals = df.select(col(valueCol).cast("double").as("v"))
-      .where(col("v").isNotNull)
+      .where(col("v").isNotNull && !isnan(col("v")))
     val stats = vals.agg(count("v"), min("v"), max("v")).head()
     val n = stats.getLong(0)
     if (n == 0L)
@@ -108,6 +110,31 @@ object Quantiles {
         s"quantileDisc: rank $r beyond histogram total $cum")
     }
 
+    /** Equal-width bucket size for [lo, hi], computed as
+      * `hi/buckets - lo/buckets` so the full double range cannot
+      * overflow to infinity (hi - lo can). Zero or non-positive
+      * means the range is too narrow to subdivide in double. */
+    def widthOf(lo: Double, hi: Double): Double =
+      hi / buckets - lo / buckets
+
+    /** Degenerate range — un-subdividable in double yet holding more
+      * than collectCap rows: such a range spans at most ~2*buckets
+      * REPRESENTABLE doubles (its width is under buckets * ulp), so
+      * the per-distinct-value counts are bounded driver state and
+      * the rank is read off the cumulative walk. Long-rank safe. */
+    def selectByValueCounts(rows: DataFrame, r: Long): Double = {
+      val counts = rows.groupBy("v").agg(count(lit(1)).as("c"))
+        .collect().map(x => (x.getDouble(0), x.getLong(1)))
+        .sortBy(_._1)
+      var cum = 0L
+      for ((v, c) <- counts) {
+        if (r <= cum + c) return v
+        cum += c
+      }
+      throw new IllegalStateException(
+        s"quantileDisc: rank $r beyond value-count total $cum")
+    }
+
     /** Skew path: resolve rank `r` within `rows` ⊆ [lo, hi]. Each
       * level re-histograms under the accumulated bucket predicate —
       * a full-width scan but a bucket-sized combine. */
@@ -118,12 +145,9 @@ object Quantiles {
         val sorted = rows.collect().map(_.getDouble(0)).sorted
         return sorted((r - 1).toInt)
       }
-      val w = (hi - lo) / buckets
-      if (w <= 0 || w.isInfinity || (lo + w) == lo)
-        // Too narrow to subdivide in double yet over collectCap:
-        // distributed top-k fallback (TakeOrderedAndProject).
-        return rows.orderBy(col("v"))
-          .limit(r.toInt).orderBy(col("v").desc).head().getDouble(0)
+      val w = widthOf(lo, hi)
+      if (w <= 0 || (lo + w) == lo)
+        return selectByValueCounts(rows, r)
       val (b, c, mn, mx, r2) = locate(histogram(rows, lo, w), r)
       selectSkewed(rows.where(bucketExpr(col("v"), lo, w) === b),
         c, mn, mx, r2)
@@ -135,10 +159,10 @@ object Quantiles {
     val answers: Map[Long, Double] =
       if (lo0 == hi0) ranks.map(_ -> lo0).toMap
       else {
-        val w0 = (hi0 - lo0) / buckets
-        if (w0 <= 0 || w0.isInfinity || (lo0 + w0) == lo0) {
+        val w0 = widthOf(lo0, hi0)
+        if (w0 <= 0 || (lo0 + w0) == lo0) {
           // Degenerate double range: every rank via the skew path's
-          // own guards (collect or top-k).
+          // own guards (collect or bounded value-count walk).
           ranks.map(r => r -> selectSkewed(vals, n, lo0, hi0, r)).toMap
         } else {
           val hist0 = histogram(vals, lo0, w0) // the shared pass

@@ -341,8 +341,13 @@ object LlmQueries {
         .select(col("vec_id").as("qid"),
           col("embedding").cast("array<double>").as("qvec"))
       val (cent, lists) = Similarity.ivfIndex(corpus, nCentroids = 16)
+      // Keyed by the SANITIZED fixture path (not its 32-bit hashCode —
+      // collisions are constructible) plus the process id, so
+      // concurrent Verify/Bench processes on the same fixture never
+      // clobber each other's index between write and read.
       val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
-        Integer.toHexString(dir.hashCode)
+        dir.replaceAll("[^A-Za-z0-9]", "_") +
+        s"_${ProcessHandle.current().pid()}"
       cent.write.mode("overwrite").parquet(s"$idx/centroids")
       lists.write.mode("overwrite").partitionBy("cid")
         .parquet(s"$idx/lists")

@@ -65,6 +65,37 @@ class QuantilesSpec extends SparkSpec {
     assert(got == model(Seq(3.0, 1.0, 2.0, -1e300, 1e300), 0.5))
   }
 
+  test("NaN is excluded like NULL (and cannot wedge the recursion)") {
+    // More rows than collectCap with a NaN present: before the
+    // exclusion, NaN infected max() -> hi = NaN -> every width guard
+    // false -> unbounded recursion.
+    val vs = (1 to 200).map(_.toDouble)
+    val df = (vs.map(java.lang.Double.valueOf) :+
+      java.lang.Double.valueOf(Double.NaN)).toDF("x")
+    val got = Quantiles
+      .quantileDisc(df, "x", Seq(0.5, 1.0), buckets = 8,
+        collectCap = 4)
+      .collect().map(_.getDouble(1)).toSeq
+    assert(got == Seq(model(vs, 0.5), model(vs, 1.0)))
+  }
+
+  test("degenerate double range resolves via bounded value counts") {
+    // Two adjacent doubles, duplicated past collectCap: the range
+    // cannot be subdivided (width underflows), so the per-value
+    // count walk must answer — with Long-rank-safe arithmetic.
+    val a = 1.0
+    val b = math.nextUp(a)
+    val vs = Seq.fill(40)(a) ++ Seq.fill(60)(b)
+    check(vs.toList, Seq(0.1, 0.4, 0.41, 0.9, 1.0), buckets = 8,
+      collectCap = 4)
+    // Full-double-span range: hi - lo overflows to infinity but the
+    // overflow-free width keeps the histogram subdividing.
+    val wide = Seq(-1.7e308, -1.0, 0.0, 1.0, 1.7e308) ++
+      (1 to 100).map(_.toDouble)
+    check(wide.toList, Seq(0.1, 0.5, 0.99), buckets = 8,
+      collectCap = 4)
+  }
+
   test("empty input yields an empty frame with the contract schema") {
     val df = Seq.empty[Double].toDF("x")
     val out = Quantiles.quantileDisc(df, "x", Seq(0.5))

@@ -1252,6 +1252,96 @@ object LlmQueries {
     }.mkString("(CASE ", " ", s"ELSE $maxClusters END)")
   }
 
+  /** Connected-components-by-min-label CTE chain over a symmetric
+    * `edges(a, b)` CTE: relax (each vertex takes the min label in its
+    * closed neighborhood) alternated with pointer jumping
+    * (`l(v) := min(l(v), l(l(v)))`), unrolled `rounds` times. Labels
+    * are monotone non-increasing and bounded below by the component
+    * minimum, and the relax+jump pair doubles the covered distance
+    * per round (classic pointer doubling), so `rounds` = r converges
+    * for any component diameter up to ~2^r. An UNDER-converged
+    * oracle cannot false-pass: labels above the fixpoint disagree
+    * with the Spark output and turn the gate red. Replaces the
+    * former RECURSIVE transitive closure, which materialized every
+    * (vertex, reachable-vertex) pair — quadratic in component size
+    * and intractable on the dup-dense stress fixtures.
+    * Emits CTEs `ccl0`, `s<i>`/`t<i>`/`j<i>`; the final label table
+    * is `j<rounds>(v, l)` with l = component minimum. */
+  private def ccMinLabelSql(rounds: Int): String = {
+    // Every CTE here is MATERIALIZED: each label table is referenced
+    // twice (the pointer jump self-joins t_i; the next round reads
+    // j_i twice), so inlining would double the embedded plan per
+    // round — 2^rounds copies of the edge subtree, unplannable.
+    val l0 =
+      """ccl0 AS MATERIALIZED (SELECT a AS v, min(least(a, b)) AS l
+           FROM edges GROUP BY a)"""
+    val steps = (1 to rounds).map { i =>
+      val prev = if (i == 1) "ccl0" else s"j${i - 1}"
+      s"""s$i AS MATERIALIZED (SELECT e.a AS v, min(lb.l) AS nl
+           FROM edges e JOIN $prev lb ON lb.v = e.b GROUP BY e.a),
+         t$i AS MATERIALIZED (
+           SELECT p.v, least(p.l, coalesce(s$i.nl, p.l)) AS l
+           FROM $prev p LEFT JOIN s$i ON s$i.v = p.v),
+         j$i AS MATERIALIZED (
+           SELECT c.v, least(c.l, coalesce(p2.l, c.l)) AS l
+           FROM t$i c LEFT JOIN t$i p2 ON p2.v = c.l)"""
+    }
+    (l0 +: steps).mkString(",\n           ")
+  }
+
+  /** SemDeDup CTE chain shared by the d12/t19/t20/d18 oracles,
+    * window-free and MATERIALIZED: requires `e(id, v)` and
+    * `cent(cid, cv)` upstream, emits `a1`/`m`/`c1`/`asg`/`p`/
+    * `dropped`. The former per-id `row_number() OVER (ORDER BY cos
+    * DESC, cid ASC)` dragged the 64-dim vector lists through a
+    * |corpus| x k-row windowed sort — ~100 GB of spill at the 100x
+    * fixture, which is what kept these oracles off the 100x frontier.
+    * Here the scored cross join materializes WITHOUT the vectors
+    * (id, cid, cos — ~24 B/row), the argmax restates as
+    * max-then-min-cid (identical tie semantics: the window's cr=1 is
+    * exactly the minimum cid among maximum-cosine centroids, on the
+    * same once-computed doubles), and vectors rejoin by id
+    * afterwards. */
+  private def semChainSql(pairThreshold: String = "0.35"): String =
+    s"""cj1 AS MATERIALIZED (SELECT e.id, c.cid,
+             list_cosine_similarity(e.v, c.cv) AS cos
+             FROM e CROSS JOIN cent c),
+           b1 AS MATERIALIZED (SELECT id, max(cos) AS mc
+             FROM cj1 GROUP BY id),
+           a1c AS MATERIALIZED (SELECT cj1.id, min(cj1.cid) AS cid
+             FROM cj1 JOIN b1 ON b1.id = cj1.id AND cj1.cos = b1.mc
+             GROUP BY cj1.id),
+           a1 AS MATERIALIZED (SELECT e.id, e.v, a1c.cid
+             FROM e JOIN a1c ON a1c.id = e.id),
+           m AS (SELECT cid, i,
+               (sum(val::DECIMAL(38,18))::DOUBLE / count(*)) AS mv
+             FROM (SELECT cid, unnest(v) AS val,
+               unnest(range(len(v))) AS i FROM a1)
+             GROUP BY cid, i),
+           c1 AS MATERIALIZED (SELECT cid, list(mv ORDER BY i) AS cv
+             FROM m GROUP BY cid),
+           cj2 AS MATERIALIZED (SELECT e.id, c.cid,
+             list_cosine_similarity(e.v, c.cv) AS cc
+             FROM e CROSS JOIN c1 c),
+           b2 AS MATERIALIZED (SELECT id, max(cc) AS mc
+             FROM cj2 GROUP BY id),
+           a2c AS MATERIALIZED (SELECT cj2.id, min(cj2.cid) AS cid
+             FROM cj2 JOIN b2 ON b2.id = cj2.id AND cj2.cc = b2.mc
+             GROUP BY cj2.id),
+           asg AS MATERIALIZED (SELECT e.id, e.v, a2c.cid,
+             b2.mc AS cc
+             FROM e JOIN a2c ON a2c.id = e.id
+             JOIN b2 ON b2.id = e.id),
+           p AS (SELECT a.id AS id_a, b.id AS id_b,
+               a.cc AS cc_a, b.cc AS cc_b
+             FROM asg a JOIN asg b
+               ON a.cid = b.cid AND a.id < b.id
+             WHERE list_cosine_similarity(a.v, b.v)
+               >= $pairThreshold),
+           dropped AS MATERIALIZED (SELECT DISTINCT
+               CASE WHEN cc_a > cc_b THEN id_a ELSE id_b END AS id
+             FROM p)"""
+
   /** Adaptive-k centroid-bootstrap CTE pair shared by the d12/t19/t20
     * oracles: `nk` computes the corpus-adaptive cluster count from
     * `e`'s cardinality and `cent` takes the first k rows of the LCG
@@ -1682,11 +1772,15 @@ object LlmQueries {
            SELECT doc_id, lang, n_chars FROM documents
            WHERE doc_id NOT IN (SELECT id_b FROM losers)
            ORDER BY doc_id""",
-      // Exact connected components over the same near-dup graph: a
-      // recursive transitive closure labels each vertex with the
-      // smallest reachable id; non-minimal members are dropped.
+      // Exact connected components over the same near-dup graph:
+      // min-label propagation with pointer doubling (ccMinLabelSql)
+      // labels each vertex with its component minimum; non-minimal
+      // members are dropped. 12 relax+jump rounds cover component
+      // diameters to ~4096 — far past any dup-chain the fixtures
+      // hold — and an under-converged label can only turn the gate
+      // red, never false-pass.
       "d07_survivors_cc" ->
-        s"""WITH RECURSIVE idx AS (
+        s"""WITH idx AS (
              SELECT id, unnest(${polyHashWideListSql("grams")}) AS gram
              FROM (
                SELECT doc_id AS id,
@@ -1708,21 +1802,17 @@ object LlmQueries {
              JOIN sizes sb ON sb.id = id_b
              WHERE inter::DOUBLE
                / (sa.sz + sb.sz - inter)::DOUBLE >= 0.3),
-           edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+           edges AS MATERIALIZED (
+             SELECT id_a AS a, id_b AS b FROM pairs
              UNION ALL SELECT id_b, id_a FROM pairs),
-           reach AS (
-             SELECT a AS v, b AS r FROM edges
-             UNION
-             SELECT re.v, e.b AS r FROM reach re
-             JOIN edges e ON re.r = e.a),
-           cc_losers AS (SELECT v FROM reach
-             GROUP BY v HAVING min(r) < v)
+           ${ccMinLabelSql(12)},
+           cc_losers AS (SELECT v FROM j12 WHERE l < v)
            SELECT doc_id, lang, n_chars FROM documents
            WHERE doc_id NOT IN (SELECT v FROM cc_losers)
            ORDER BY doc_id""",
       // d07's closure on the 10% slice, collapsed to the witness row.
       "d10_cc_witness" ->
-        s"""WITH RECURSIVE idx AS (
+        s"""WITH idx AS (
              SELECT id, unnest(${polyHashWideListSql("grams")}) AS gram
              FROM (
                SELECT doc_id AS id,
@@ -1745,15 +1835,11 @@ object LlmQueries {
              JOIN sizes sb ON sb.id = id_b
              WHERE inter::DOUBLE
                / (sa.sz + sb.sz - inter)::DOUBLE >= 0.3),
-           edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+           edges AS MATERIALIZED (
+             SELECT id_a AS a, id_b AS b FROM pairs
              UNION ALL SELECT id_b, id_a FROM pairs),
-           reach AS (
-             SELECT a AS v, b AS r FROM edges
-             UNION
-             SELECT re.v, e.b AS r FROM reach re
-             JOIN edges e ON re.r = e.a),
-           cc_losers AS (SELECT v FROM reach
-             GROUP BY v HAVING min(r) < v)
+           ${ccMinLabelSql(12)},
+           cc_losers AS (SELECT v FROM j12 WHERE l < v)
            SELECT count(*)::BIGINT AS n_survivors,
              coalesce(sum(doc_id % 1000000007), 0)::BIGINT
                AS id_checksum,
@@ -1818,37 +1904,10 @@ object LlmQueries {
       // at cosine >= 0.35, drop the member nearer its centroid (ties
       // drop the larger id, which is id_b since id_a < id_b).
       "d12_semantic_dedup" ->
-        s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        s"""WITH e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
              FROM embeddings),
            $adaptiveCentSql,
-           a1 AS (SELECT id, v, cid FROM (
-             SELECT e.id, e.v, c.cid,
-               row_number() OVER (PARTITION BY e.id
-                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
-                   c.cid ASC) AS cr
-             FROM e CROSS JOIN cent c) WHERE cr <= 1),
-           m AS (SELECT cid, i,
-               (sum(val::DECIMAL(38,18))::DOUBLE / count(*)) AS mv
-             FROM (SELECT cid, unnest(v) AS val,
-               unnest(range(len(v))) AS i FROM a1)
-             GROUP BY cid, i),
-           c1 AS (SELECT cid, list(mv ORDER BY i) AS cv FROM m
-             GROUP BY cid),
-           asg AS (SELECT id, v, cid, cc FROM (
-             SELECT e.id, e.v, c.cid,
-               list_cosine_similarity(e.v, c.cv) AS cc,
-               row_number() OVER (PARTITION BY e.id
-                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
-                   c.cid ASC) AS cr
-             FROM e CROSS JOIN c1 c) WHERE cr <= 1),
-           p AS (SELECT a.id AS id_a, b.id AS id_b,
-               a.cc AS cc_a, b.cc AS cc_b
-             FROM asg a JOIN asg b
-               ON a.cid = b.cid AND a.id < b.id
-             WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
-           dropped AS (SELECT DISTINCT
-               CASE WHEN cc_a > cc_b THEN id_a ELSE id_b END AS id
-             FROM p)
+           ${semChainSql()}
            SELECT g.id, g.cid, round(g.cc, 6) AS cent_cosine,
              (d.id IS NULL) AS kept
            FROM asg g LEFT JOIN dropped d ON g.id = d.id
@@ -1858,37 +1917,10 @@ object LlmQueries {
       // e's cardinality, so cluster count adapts exactly like the
       // Spark slice run.
       "d18_semantic_witness" ->
-        s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        s"""WITH e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
              FROM embeddings WHERE vec_id % 31 = 7),
            $adaptiveCentSql,
-           a1 AS (SELECT id, v, cid FROM (
-             SELECT e.id, e.v, c.cid,
-               row_number() OVER (PARTITION BY e.id
-                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
-                   c.cid ASC) AS cr
-             FROM e CROSS JOIN cent c) WHERE cr <= 1),
-           m AS (SELECT cid, i,
-               (sum(val::DECIMAL(38,18))::DOUBLE / count(*)) AS mv
-             FROM (SELECT cid, unnest(v) AS val,
-               unnest(range(len(v))) AS i FROM a1)
-             GROUP BY cid, i),
-           c1 AS (SELECT cid, list(mv ORDER BY i) AS cv FROM m
-             GROUP BY cid),
-           asg AS (SELECT id, v, cid, cc FROM (
-             SELECT e.id, e.v, c.cid,
-               list_cosine_similarity(e.v, c.cv) AS cc,
-               row_number() OVER (PARTITION BY e.id
-                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
-                   c.cid ASC) AS cr
-             FROM e CROSS JOIN c1 c) WHERE cr <= 1),
-           p AS (SELECT a.id AS id_a, b.id AS id_b,
-               a.cc AS cc_a, b.cc AS cc_b
-             FROM asg a JOIN asg b
-               ON a.cid = b.cid AND a.id < b.id
-             WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
-           dropped AS (SELECT DISTINCT
-               CASE WHEN cc_a > cc_b THEN id_a ELSE id_b END AS id
-             FROM p),
+           ${semChainSql()},
            verdict AS (SELECT g.id, g.cid,
                round(g.cc, 6) AS cent_cosine, (d.id IS NULL) AS kept
              FROM asg g LEFT JOIN dropped d ON g.id = d.id)
@@ -2300,37 +2332,10 @@ object LlmQueries {
                  ::DECIMAL(38,18))::DOUBLE / count(*) AS ms
              FROM gg JOIN f USING (term) CROSS JOIN tot
              GROUP BY doc_id),
-           e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+           e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
              FROM embeddings),
            $adaptiveCentSql,
-           a1 AS (SELECT id, v, cid FROM (
-             SELECT e.id, e.v, c.cid,
-               row_number() OVER (PARTITION BY e.id
-                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
-                   c.cid ASC) AS cr
-             FROM e CROSS JOIN cent c) WHERE cr <= 1),
-           m AS (SELECT cid, i,
-               (sum(val::DECIMAL(38,18))::DOUBLE / count(*)) AS mv
-             FROM (SELECT cid, unnest(v) AS val,
-               unnest(range(len(v))) AS i FROM a1)
-             GROUP BY cid, i),
-           c1 AS (SELECT cid, list(mv ORDER BY i) AS cv FROM m
-             GROUP BY cid),
-           asg AS (SELECT id, v, cid, cc FROM (
-             SELECT e.id, e.v, c.cid,
-               list_cosine_similarity(e.v, c.cv) AS cc,
-               row_number() OVER (PARTITION BY e.id
-                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
-                   c.cid ASC) AS cr
-             FROM e CROSS JOIN c1 c) WHERE cr <= 1),
-           p AS (SELECT a.id AS id_a, b.id AS id_b,
-               a.cc AS cc_a, b.cc AS cc_b
-             FROM asg a JOIN asg b
-               ON a.cid = b.cid AND a.id < b.id
-             WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
-           dropped AS (SELECT DISTINCT
-               CASE WHEN cc_a > cc_b THEN id_a ELSE id_b END AS id
-             FROM p),
+           ${semChainSql()},
            semk AS (SELECT g.id FROM asg g
              LEFT JOIN dropped dd ON g.id = dd.id
              WHERE dd.id IS NULL)
@@ -2370,37 +2375,10 @@ object LlmQueries {
                'infinity'::DOUBLE) AS ms_thr),
            keep AS (SELECT doc_id, n_tokens FROM lmk CROSS JOIN thr
              WHERE round(ms, 6) <= ms_thr),
-           e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+           e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
              FROM embeddings JOIN keep ON vec_id = keep.doc_id),
            $adaptiveCentSql,
-           a1 AS (SELECT id, v, cid FROM (
-             SELECT e.id, e.v, c.cid,
-               row_number() OVER (PARTITION BY e.id
-                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
-                   c.cid ASC) AS cr
-             FROM e CROSS JOIN cent c) WHERE cr <= 1),
-           m AS (SELECT cid, i,
-               (sum(val::DECIMAL(38,18))::DOUBLE / count(*)) AS mv
-             FROM (SELECT cid, unnest(v) AS val,
-               unnest(range(len(v))) AS i FROM a1)
-             GROUP BY cid, i),
-           c1 AS (SELECT cid, list(mv ORDER BY i) AS cv FROM m
-             GROUP BY cid),
-           asg AS (SELECT id, v, cid, cc FROM (
-             SELECT e.id, e.v, c.cid,
-               list_cosine_similarity(e.v, c.cv) AS cc,
-               row_number() OVER (PARTITION BY e.id
-                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
-                   c.cid ASC) AS cr
-             FROM e CROSS JOIN c1 c) WHERE cr <= 1),
-           p AS (SELECT a.id AS id_a, b.id AS id_b,
-               a.cc AS cc_a, b.cc AS cc_b
-             FROM asg a JOIN asg b
-               ON a.cid = b.cid AND a.id < b.id
-             WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
-           dropped AS (SELECT DISTINCT
-               CASE WHEN cc_a > cc_b THEN id_a ELSE id_b END AS id
-             FROM p),
+           ${semChainSql()},
            semk AS (SELECT g.id FROM asg g
              LEFT JOIN dropped dd ON g.id = dd.id
              WHERE dd.id IS NULL)

@@ -46,9 +46,15 @@ import org.apache.spark.sql.functions._
   * is THE quantile. NaN is EXCLUDED like NULL (order statistics are
   * defined over the comparable domain; DuckDB 1.0's quantile places
   * NaN inconsistently with its own ORDER BY — measured — so no sane
-  * cross-engine contract includes it). Values are compared as
-  * doubles; supply a double column (or accept the cast) — the output
-  * schema is `(prob double, value double)`.
+  * cross-engine contract includes it). Infinities ARE in the domain
+  * (DuckDB orders them normally): they are counted in the stats pass
+  * and a rank falling inside the ±Inf mass is answered directly —
+  * the histogram only ever subdivides the FINITE sub-range, so an
+  * infinite endpoint can never poison the bucket width (`hi - lo` =
+  * Inf ⇒ every row lands in bucket 0 ⇒ unbounded recursion — the
+  * failure mode this guards). Values are compared as doubles; supply
+  * a double column (or accept the cast) — the output schema is
+  * `(prob double, value double)`.
   */
 object Quantiles {
 
@@ -65,12 +71,26 @@ object Quantiles {
       s"quantileDisc: probabilities must lie in (0, 1], got $probs")
     val spark = df.sparkSession
     import spark.implicits._
-    val vals = df.select(col(valueCol).cast("double").as("v"))
+    val domain = df.select(col(valueCol).cast("double").as("v"))
       .where(col("v").isNotNull && !isnan(col("v")))
-    val stats = vals.agg(count("v"), min("v"), max("v")).head()
-    val n = stats.getLong(0)
+    // ±Inf counted separately so the histogram works over a finite
+    // [lo, hi]; the finite slice reuses `isFinite` below as its
+    // filter, so counts and filters can never disagree.
+    val isFinite = col("v") > Double.NegativeInfinity &&
+      col("v") < Double.PositiveInfinity
+    val stats = domain.agg(
+      count(when(col("v") === Double.NegativeInfinity, 1)).as("nneg"),
+      count(when(col("v") === Double.PositiveInfinity, 1)).as("npos"),
+      count(when(isFinite, 1)).as("nfin"),
+      min(when(isFinite, col("v"))).as("mn"),
+      max(when(isFinite, col("v"))).as("mx")).head()
+    val nNeg = stats.getLong(0)
+    val nPos = stats.getLong(1)
+    val nFin = stats.getLong(2)
+    val n = nNeg + nFin + nPos
     if (n == 0L)
       return Seq.empty[(Double, Double)].toDF("prob", "value")
+    val vals = domain.where(isFinite)
 
     // DuckDB's quantile_disc rank (measured, v1.0.0): ceil in DOUBLE —
     // deliberately the same arithmetic an external engine runs.
@@ -153,20 +173,31 @@ object Quantiles {
         c, mn, mx, r2)
     }
 
-    val lo0 = stats.getDouble(1)
-    val hi0 = stats.getDouble(2)
     val ranks = probs.map(rankOf).distinct
-    val answers: Map[Long, Double] =
-      if (lo0 == hi0) ranks.map(_ -> lo0).toMap
+    // A rank inside the ±Inf mass IS that infinity — answered from
+    // the stats pass alone; the rest shift into the finite sub-order
+    // (overall rank r ↦ finite rank r - nNeg).
+    val (infRanks, finRanks) = ranks.partition(r =>
+      r <= nNeg || r > nNeg + nFin)
+    val infAnswers: Map[Long, Double] = infRanks.map(r =>
+      r -> (if (r <= nNeg) Double.NegativeInfinity
+      else Double.PositiveInfinity)).toMap
+    val finRanksShifted = finRanks.map(_ - nNeg).distinct
+    val lo0 = if (nFin == 0) 0.0 else stats.getDouble(3)
+    val hi0 = if (nFin == 0) 0.0 else stats.getDouble(4)
+    val finByShifted: Map[Long, Double] =
+      if (finRanksShifted.isEmpty) Map.empty
+      else if (lo0 == hi0) finRanksShifted.map(_ -> lo0).toMap
       else {
         val w0 = widthOf(lo0, hi0)
         if (w0 <= 0 || (lo0 + w0) == lo0) {
           // Degenerate double range: every rank via the skew path's
           // own guards (collect or bounded value-count walk).
-          ranks.map(r => r -> selectSkewed(vals, n, lo0, hi0, r)).toMap
+          finRanksShifted.map(r =>
+            r -> selectSkewed(vals, nFin, lo0, hi0, r)).toMap
         } else {
           val hist0 = histogram(vals, lo0, w0) // the shared pass
-          val located = ranks.map(r => r -> locate(hist0, r))
+          val located = finRanksShifted.map(r => r -> locate(hist0, r))
           val (small, skewed) =
             located.partition(_._2._2 <= collectCap)
           // One combined collect scan serves every well-behaved rank.
@@ -193,6 +224,8 @@ object Quantiles {
           }.toMap
         }
       }
+    val answers: Map[Long, Double] = infAnswers ++
+      finRanks.map(r => r -> finByShifted(r - nNeg)).toMap
     val byRank = probs.map(p => p -> rankOf(p)).toMap
     probs.map(p => (p, answers(byRank(p)))).toDF("prob", "value")
   }

@@ -96,6 +96,38 @@ class QuantilesSpec extends SparkSpec {
       collectCap = 4)
   }
 
+  test("infinities are ordered normally and cannot wedge the " +
+      "histogram") {
+    // Before the explicit ±Inf handling, an infinite endpoint made
+    // widthOf infinite, every row landed in bucket 0, and
+    // selectSkewed recursed forever with identical state. DuckDB
+    // orders infinities like any value, so the model includes them.
+    val vs = Seq(Double.NegativeInfinity, Double.NegativeInfinity) ++
+      (1 to 200).map(_.toDouble) ++
+      Seq(Double.PositiveInfinity, Double.PositiveInfinity,
+        Double.PositiveInfinity)
+    check(vs, Seq(0.005, 0.01, 0.5, 0.985, 0.99, 1.0), buckets = 8,
+      collectCap = 4)
+  }
+
+  test("all-infinite input answers from the stats pass alone") {
+    check(Seq(Double.NegativeInfinity, Double.PositiveInfinity,
+      Double.PositiveInfinity), Seq(0.1, 0.4, 0.9))
+    check(Seq.fill(10)(Double.PositiveInfinity), Seq(0.5, 1.0))
+  }
+
+  test("infinities mixed with NaN/null: NaN excluded, Inf ranked") {
+    val df = Seq[java.lang.Double](null, Double.NaN,
+      Double.NegativeInfinity, 5.0, 1.0, Double.PositiveInfinity)
+      .toDF("x")
+    val keep = Seq(Double.NegativeInfinity, 5.0, 1.0,
+      Double.PositiveInfinity)
+    val got = Quantiles
+      .quantileDisc(df, "x", Seq(0.25, 0.5, 0.75, 1.0), 8, 2)
+      .collect().map(_.getDouble(1)).toSeq
+    assert(got == Seq(0.25, 0.5, 0.75, 1.0).map(model(keep, _)))
+  }
+
   test("empty input yields an empty frame with the contract schema") {
     val df = Seq.empty[Double].toDF("x")
     val out = Quantiles.quantileDisc(df, "x", Seq(0.5))

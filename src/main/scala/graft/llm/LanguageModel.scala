@@ -72,20 +72,26 @@ object LanguageModel {
     * and the filtered corpus is empty); a quantile tracks the corpus.
     *
     * Exactness discipline: no interpolated percentile — the threshold
-    * is the ceil(keepFraction * n)-th SMALLEST sampled value, one of
-    * the input doubles verbatim, so an external engine sorting the
+    * is the ceil(keepFraction * n)-th SMALLEST sampled value
+    * (`quantile_disc` rank semantics), one of the input doubles
+    * verbatim, so an external engine running `quantile_disc` over the
     * same doubles reproduces it bit-identically (ties at the boundary
     * share the same value, so tie order cannot change the result).
     * The sample is the deterministic slice `id % sampleMod ==
-    * sampleRem`; at 100 TB pick sampleMod so the sample is ~1e6 docs
-    * (the threshold job is a top-k over the sample only — the full
-    * corpus never sorts). An EMPTY sample (corpus smaller than the
-    * modulus) yields threshold +Inf: a corpus too small to sample is
-    * kept whole rather than dropped whole.
+    * sampleRem`. An EMPTY sample (corpus smaller than the modulus)
+    * yields threshold +Inf: a corpus too small to sample is kept
+    * whole rather than dropped whole.
     *
-    * Driver-side: one bounded `count()` of the sample sizes the
-    * top-k (a scalar, same class as the repo's other bounded
-    * collects).
+    * Scale shape: the order statistic is computed by
+    * [[graft.ops.Quantiles.quantileDisc]] — iterative histogram
+    * selection with O(buckets) driver state and a constant number of
+    * map-side-combined scans over the SAMPLE. The former
+    * `orderBy.limit(k).agg(max)` form was a full sort plus a
+    * single-partition GlobalLimit over k ≈ 0.9 · |sample| rows: at
+    * 1B docs that funnels ~130M rows through one task — the classic
+    * driver-funnel shape this repo's own q16 operator exists to
+    * avoid. quantileDisc keeps the identical discrete rank, so the
+    * swap changes no result anywhere.
     *
     * @param scored [[unigramSurprisal]] output (or any frame with
     *               `idCol` + `mean_surprisal`)
@@ -98,14 +104,10 @@ object LanguageModel {
     val samp = scored
       .where(col(idCol) % sampleMod === sampleRem)
       .select(col("mean_surprisal").as("msr"))
-    val n = samp.count()
-    val k = math.ceil(keepFraction * n).toLong.toInt
-    if (k == 0)
-      samp.sparkSession.range(1)
-        .select(lit(Double.PositiveInfinity).as("ms_thr"))
-    else
-      samp.orderBy(col("msr").asc).limit(k)
-        .agg(coalesce(max(col("msr")),
-          lit(Double.PositiveInfinity)).as("ms_thr"))
+    val q = graft.ops.Quantiles.quantileDisc(samp, "msr",
+      Seq(keepFraction)).collect() // ≤ 1 row by construction
+    val thr =
+      if (q.isEmpty) Double.PositiveInfinity else q(0).getDouble(1)
+    samp.sparkSession.range(1).select(lit(thr).as("ms_thr"))
   }
 }

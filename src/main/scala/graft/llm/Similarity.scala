@@ -222,32 +222,49 @@ object Similarity {
     * cid-partitioned lake layout answers by partition pruning — the
     * unprobed cells are never read. Results are identical to the
     * one-shot [[ivfTopK]] (the pruned cells contain no joinable
-    * rows). */
+    * rows). Query batches up to `driverQueryCap` rows assign their
+    * probe cells driver-side (one bounded collect); larger batches
+    * switch to a distributed distinct over the probe assignments, so
+    * batch size can never OOM the driver. */
   def ivfQuery(centroids: DataFrame, lists: DataFrame,
       queries: DataFrame, k: Int, nProbe: Int = 4,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      driverQueryCap: Int = 65536): DataFrame = {
     GraftFunctions.register(lists.sparkSession)
     val (cids, cvs) = collectCentroids(centroids, "ivfQuery")
     val probes = queries.select(queries.columns.map(col) :+
       explode(GraftFunctions.nearestCentroids(col("qvec"), cids,
         cvs, nProbe)).as("cid"): _*)
-    // Probed cells computed DRIVER-SIDE with the exact kernel the
-    // expression dispatches to (same cosine accumulation, same
-    // (cosine desc, cid asc) selection): queries are driver-small by
-    // the family contract (bruteForceTopK broadcasts them), so this
-    // is one tiny collect of the query vectors instead of a second
-    // distributed assignment job ahead of the main probe join.
-    val probedCids = queries.select(col("qvec")).collect()
-      .iterator.filterNot(_.isNullAt(0))
-      .flatMap { r =>
-        // Null elements map to 0.0, exactly as the kernel's
-        // isNullAt branch reads them in the expression path.
-        val vec = r.getSeq[java.lang.Double](0)
-          .map(d => if (d == null) 0.0 else d.doubleValue).toArray
-        graft.functions.NearestCentroids.topN(
-          new org.apache.spark.sql.catalyst.util.GenericArrayData(vec),
-          cvs, cids, nProbe).toLongArray()
-      }.toArray.distinct
+    // Probed cells for the lists-side pruning filter. Fast path:
+    // computed DRIVER-SIDE with the exact kernel the expression
+    // dispatches to (same cosine accumulation, same (cosine desc,
+    // cid asc) selection) — queries are typically driver-small (a
+    // probe batch, not a corpus), so this is one tiny collect of the
+    // query vectors instead of a second distributed job. The collect
+    // is CAPPED: limit(cap+1) bounds driver intake by construction,
+    // and a batch that overflows the cap falls back to a fully
+    // distributed `probes.cid distinct` (bounded by nCentroids rows
+    // collected — never by batch size), re-running the in-row
+    // assignment once more. A corpus-sized query batch therefore
+    // costs one extra assignment pass instead of a driver OOM.
+    val capped = queries.select(col("qvec"))
+      .limit(driverQueryCap + 1).collect()
+    val probedCids: Array[Long] =
+      if (capped.length <= driverQueryCap)
+        capped.iterator.filterNot(_.isNullAt(0))
+          .flatMap { r =>
+            // Null elements map to 0.0, exactly as the kernel's
+            // isNullAt branch reads them in the expression path.
+            val vec = r.getSeq[java.lang.Double](0)
+              .map(d => if (d == null) 0.0 else d.doubleValue).toArray
+            graft.functions.NearestCentroids.topN(
+              new org.apache.spark.sql.catalyst.util
+                .GenericArrayData(vec),
+              cvs, cids, nProbe).toLongArray()
+          }.toArray.distinct
+      else
+        probes.select(col("cid")).distinct()
+          .collect().map(_.getLong(0))
     val joined = lists
       .where(col("cid").isin(probedCids.map(Long.box): _*))
       .join(probes, "cid")

@@ -22,6 +22,23 @@ object LlmQueries {
   private val t20FilterVerdict =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** Registered scratch dirs (s09's persisted index) deleted when the
+    * JVM exits: the dir must outlive the returned (lazy) DataFrame,
+    * so in-query deletion is impossible — but without cleanup every
+    * Verify/Bench process leaks a corpus-sized parquet copy into
+    * java.io.tmpdir (unbounded /tmp growth across runs). */
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def deleteOnExit(dir: String): Unit =
+    if (scratchDirs.add(dir))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+      }))
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -348,6 +365,7 @@ object LlmQueries {
       val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
         dir.replaceAll("[^A-Za-z0-9]", "_") +
         s"_${ProcessHandle.current().pid()}"
+      deleteOnExit(idx)
       cent.write.mode("overwrite").parquet(s"$idx/centroids")
       lists.write.mode("overwrite").partitionBy("cid")
         .parquet(s"$idx/lists")
@@ -1161,12 +1179,16 @@ object LlmQueries {
       // probe rate scales with the corpus, turning the brute-force
       // baseline |corpus| x |probes| quadratic in fixture size (the
       // unbounded form OOM-killed the 100x stress run). The id cap
-      // admits every probe at the gate SFs (ids < 1e5 there) and pins
-      // |probes| <= 1000 on any larger corpus — brute force stays the
-      // linear-per-probe exhaustive baseline; the scale path for
-      // corpus-sized probe sets is the LSH/IVF family.
+      // admits every probe at the gate SFs (ids < 5e4 there) and pins
+      // |probes| = 500 on every larger fixture, so the bench measures
+      // the operator at CONSTANT probe work across the 10x/100x
+      // frontier (the former 1e5 cap doubled the probe count between
+      // those fixtures and the slope conflated probe growth with
+      // scale). Brute force stays the linear-per-probe exhaustive
+      // baseline; the scale path for corpus-sized probe sets is the
+      // LSH/IVF family.
       val qs = corpus.where(col("id") % 100 === 0 &&
-          col("id") < 100000L)
+          col("id") < 50000L)
         .select(col("id").as("qid"), col("vec").as("qvec"))
       Similarity.bruteForceTopK(corpus, qs, k = 5)
         .withColumn("cosine", round(col("cosine"), 6))
@@ -1266,7 +1288,17 @@ object LlmQueries {
     * (vertex, reachable-vertex) pair — quadratic in component size
     * and intractable on the dup-dense stress fixtures.
     * Emits CTEs `ccl0`, `s<i>`/`t<i>`/`j<i>`; the final label table
-    * is `j<rounds>(v, l)` with l = component minimum. */
+    * is `j<rounds>(v, l)` with l = component minimum.
+    *
+    * Convergence is ASSERTED, not assumed: one extra relax+jump
+    * round runs after `j<rounds>` and `ccconv(changed)` counts the
+    * vertices whose label still moved in it. Callers fold
+    * [[ccConvergedSql]] into their final label read, so a fixture
+    * with a longer duplicate chain than 2^rounds fails as an
+    * explicit DuckDB `error('cc under-converged...')` — a
+    * diagnosable oracle-tooling break instead of a confusing red
+    * gate (the fail-safe direction is unchanged; the failure is now
+    * named). */
   private def ccMinLabelSql(rounds: Int): String = {
     // Every CTE here is MATERIALIZED: each label table is referenced
     // twice (the pointer jump self-joins t_i; the next round reads
@@ -1275,7 +1307,7 @@ object LlmQueries {
     val l0 =
       """ccl0 AS MATERIALIZED (SELECT a AS v, min(least(a, b)) AS l
            FROM edges GROUP BY a)"""
-    val steps = (1 to rounds).map { i =>
+    val steps = (1 to rounds + 1).map { i =>
       val prev = if (i == 1) "ccl0" else s"j${i - 1}"
       s"""s$i AS MATERIALIZED (SELECT e.a AS v, min(lb.l) AS nl
            FROM edges e JOIN $prev lb ON lb.v = e.b GROUP BY e.a),
@@ -1286,8 +1318,20 @@ object LlmQueries {
            SELECT c.v, least(c.l, coalesce(p2.l, c.l)) AS l
            FROM t$i c LEFT JOIN t$i p2 ON p2.v = c.l)"""
     }
-    (l0 +: steps).mkString(",\n           ")
+    val conv =
+      s"""ccconv AS MATERIALIZED (SELECT count(*) AS changed
+           FROM j$rounds a JOIN j${rounds + 1} b
+           ON a.v = b.v AND a.l <> b.l)"""
+    ((l0 +: steps) :+ conv).mkString(",\n           ")
   }
+
+  /** Scalar guard over [[ccMinLabelSql]]'s `ccconv`: true when the
+    * verification round moved no label, a named DuckDB error
+    * otherwise. Folded into the caller's final WHERE. */
+  private def ccConvergedSql(rounds: Int): String =
+    s"""(SELECT CASE WHEN changed = 0 THEN true
+         ELSE error('cc under-converged at $rounds rounds: ' ||
+           changed || ' labels still moving') END FROM ccconv)"""
 
   /** SemDeDup CTE chain shared by the d12/t19/t20/d18 oracles,
     * window-free and MATERIALIZED: requires `e(id, v)` and
@@ -1806,7 +1850,8 @@ object LlmQueries {
              SELECT id_a AS a, id_b AS b FROM pairs
              UNION ALL SELECT id_b, id_a FROM pairs),
            ${ccMinLabelSql(12)},
-           cc_losers AS (SELECT v FROM j12 WHERE l < v)
+           cc_losers AS (SELECT v FROM j12
+             WHERE l < v AND ${ccConvergedSql(12)})
            SELECT doc_id, lang, n_chars FROM documents
            WHERE doc_id NOT IN (SELECT v FROM cc_losers)
            ORDER BY doc_id""",
@@ -1839,7 +1884,8 @@ object LlmQueries {
              SELECT id_a AS a, id_b AS b FROM pairs
              UNION ALL SELECT id_b, id_a FROM pairs),
            ${ccMinLabelSql(12)},
-           cc_losers AS (SELECT v FROM j12 WHERE l < v)
+           cc_losers AS (SELECT v FROM j12
+             WHERE l < v AND ${ccConvergedSql(12)})
            SELECT count(*)::BIGINT AS n_survivors,
              coalesce(sum(doc_id % 1000000007), 0)::BIGINT
                AS id_checksum,
@@ -2353,7 +2399,10 @@ object LlmQueries {
       // (ceil(0.9 * n)-th smallest rounded score over the doc_id%7=3
       // sample — a discrete order statistic, no interpolation, so
       // the threshold is one of the shared doubles verbatim), +Inf
-      // when the sample is empty.
+      // when the sample is empty. The Spark side computes it with
+      // Quantiles.quantileDisc (histogram selection, no global
+      // sort); quantile_disc's rank is the same ceil(p*n) — measured
+      // against DuckDB v1.0.0, incl. NULL on empty input.
       "t20_curation_filtered" ->
         s"""WITH gg AS (SELECT doc_id, term FROM (
              SELECT doc_id, unnest(string_split($norm, ' ')) AS term
@@ -2367,12 +2416,8 @@ object LlmQueries {
              GROUP BY doc_id),
            samp AS (SELECT round(ms, 6) AS msr FROM lmk
              WHERE doc_id % 7 = 3),
-           thr AS (SELECT coalesce(
-               (SELECT max(msr) FROM (SELECT msr FROM samp
-                 ORDER BY msr ASC
-                 LIMIT (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT)
-                   FROM samp))),
-               'infinity'::DOUBLE) AS ms_thr),
+           thr AS (SELECT coalesce(quantile_disc(msr, 0.9),
+               'infinity'::DOUBLE) AS ms_thr FROM samp),
            keep AS (SELECT doc_id, n_tokens FROM lmk CROSS JOIN thr
              WHERE round(ms, 6) <= ms_thr),
            e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
@@ -2811,7 +2856,7 @@ object LlmQueries {
              ] AS vec
            FROM px),
            q AS (SELECT id AS qid, vec AS qvec FROM vv
-             WHERE id % 100 = 0 AND id < 100000),
+             WHERE id % 100 = 0 AND id < 50000),
            scored AS (SELECT qid, v.id AS id,
              list_cosine_similarity(qvec::DOUBLE[], v.vec::DOUBLE[])
                AS cos

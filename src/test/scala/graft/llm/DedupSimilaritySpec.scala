@@ -188,6 +188,21 @@ class DedupSimilaritySpec extends SparkSpec {
       s"probe-cell filter not pushed to partition pruning:\n$plan")
   }
 
+  test("ivfQuery over-cap batch takes the distributed probe-cell " +
+      "path and matches the driver-side path exactly") {
+    // driverQueryCap = 1 forces the distributed distinct(cid) branch
+    // on a 3-query batch; results must be identical to the default
+    // (driver-side assignment) path — same probed cells, same rows.
+    val qs = vecs.limit(3)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val (cent, lists) = Similarity.ivfIndex(vecs, nCentroids = 6)
+    val driverSide = Similarity.ivfQuery(cent, lists, qs, k = 5,
+      nProbe = 2).collect().map(_.toSeq).toSeq
+    val distributed = Similarity.ivfQuery(cent, lists, qs, k = 5,
+      nProbe = 2, driverQueryCap = 1).collect().map(_.toSeq).toSeq
+    assert(distributed == driverSide)
+  }
+
   test("PQ ANN recall >= 60% of brute-force top-5 on clusters") {
     val qs = vecs.limit(3)
       .select(col("id").as("qid"), col("vec").as("qvec"))

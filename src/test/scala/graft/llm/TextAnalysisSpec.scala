@@ -104,6 +104,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out(2L)._3 && out(3L)._3)
   }
 
+  test("surprisal keep-threshold: ceil(f*n)-th smallest sampled " +
+      "score, +Inf on an empty sample") {
+    // Model = the sort-based rank the former sort+limit plan
+    // computed; the quantileDisc-backed implementation must agree
+    // exactly (same discrete rank, same doubles).
+    val scored = (1L to 60L).map { id =>
+      (id, id * 3, math.floor(math.sin(id.toDouble) * 1e6) / 1e6 + 2.0)
+    }.toDF("doc_id", "n_tokens", "mean_surprisal")
+    for (frac <- Seq(0.5, 0.9, 1.0)) {
+      val got = LanguageModel
+        .surprisalKeepThreshold(scored, keepFraction = frac)
+        .head().getDouble(0)
+      val samp = (1L to 60L).filter(_ % 7 == 3)
+        .map(id => math.floor(math.sin(id.toDouble) * 1e6) / 1e6 + 2.0)
+        .sorted
+      val k = math.ceil(frac * samp.size).toInt
+      assert(got == samp(k - 1), s"frac=$frac")
+    }
+    // Sample slice empty (no doc_id % 7 == 3 in range): keep-all.
+    val tiny = Seq((1L, 2L, 5.0), (2L, 2L, 6.0))
+      .toDF("doc_id", "n_tokens", "mean_surprisal")
+    assert(LanguageModel.surprisalKeepThreshold(tiny)
+      .head().getDouble(0).isPosInfinity)
+  }
+
   test("quality score: sweet-spot text beats garbage") {
     val good = "the quick brown fox jumps over the lazy dog and " * 8
     val punct = "!!! ??? ... ;;; ::: !!! ??? ... ;;; :::"

@@ -144,6 +144,22 @@ class PlanShapeSpec extends SparkSpec {
       "w10 event_type filters not pushed to the scan")
   }
 
+  test("t20: no corpus-scale single-partition GlobalLimit — the " +
+      "quantile threshold is histogram selection, not sort+limit") {
+    // The former surprisalKeepThreshold plan was orderBy(msr)
+    // .limit(k).agg(max) with k ≈ 0.9·|sample|: a full sort plus a
+    // one-task GlobalLimit over ~13% of the corpus (at 1B docs,
+    // ~130M rows through a single executor). The threshold now comes
+    // from Quantiles.quantileDisc (bounded histogram scans during
+    // construction) and enters the plan as a broadcast literal — the
+    // final plan must carry no GlobalLimit at all.
+    val p = plan("t20_curation_filtered")
+    assert(!p.contains("GlobalLimit"),
+      s"t20 regrew a global limit funnel:\n$p")
+    assert(!p.contains("TakeOrderedAndProject"),
+      s"t20 regrew a sort+limit threshold:\n$p")
+  }
+
   test("no query materializes the plan to an RDD (ScanRDD leaf)") {
     // ExistingRDD / Scan ExistingRDD leaves mean someone called df.rdd
     // mid-plan — the ensureWidth anti-pattern round 1 flagged. Checked

@@ -190,9 +190,9 @@ object Bench {
     val fixtureGb = fixtureBytes / 1e9
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(best(headline))},"value_median":$totalMed,"queries_median":${jsonMap(med(headline))},"ops_value":$opsTotal,"ops_value_median":$opsTotalMed,"ops_queries":${jsonMap(best(ops))},"ops_queries_median":${jsonMap(med(ops))},"failures":$failJson,"sf":"$sfDir","reps":$reps,"stat":"best-of-$reps","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"fixture_gb":$fixtureGb,"warm_read_sec":$warmReadSec,"cpus":$cpus,"shuffle":$shuffle}"""
-    println(line)
     // sbt interleaves [info] prefixes into stdout, so the driver can't
-    // reliably parse the line above — also write it to a bare file.
+    // reliably parse stdout alone — also write the FULL detail line
+    // (ops suite, medians, full-precision times) to a bare file.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
@@ -200,6 +200,18 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    // The driver keeps only the LAST ~2000 chars of stdout, so the
+    // full detail line (>4 KB with the ops suite + medians) truncates
+    // mid-JSON and records `parsed: null` (rounds 9 and 10). Print the
+    // detail first, then end stdout with a COMPACT summary line —
+    // headline scalars + the per-query map rounded to 0.1 ms — sized
+    // to always fit the capture window. bench_out.json stays the
+    // full-precision artifact (README "which file is authoritative").
+    println(line)
+    def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
+    val compact =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":${jsonMap(best(headline).map { case (k, v) => k -> r4(v) })},"value_median":${r4(totalMed)},"ops_value":${r4(opsTotal)},"ops_value_median":${r4(opsTotalMed)},"failures":$failJson,"sf":"$sfDir","reps":$reps,"stat":"best-of-$reps","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"fixture_gb":$fixtureGb,"warm_read_sec":${r4(warmReadSec)},"cpus":$cpus,"shuffle":$shuffle,"detail":"$out"}"""
+    println(compact)
     spark.stop()
   }
 }

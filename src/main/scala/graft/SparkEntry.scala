@@ -68,5 +68,5 @@ object SparkEntry {
     "t17_bm25", "t18_surprisal", "t19_curation_semantic",
     "t20_curation_filtered", "t21_bm25_persisted",
     "q15_zorder_key", "w10_interval_join",
-    "x01_ansi_mix", "x02_adversarial_domain")
+    "x01_ansi_mix", "x02_adversarial_domain", "x03_quantile_inf")
 }

@@ -95,19 +95,35 @@ object LanguageModel {
     *
     * @param scored [[unigramSurprisal]] output (or any frame with
     *               `idCol` + `mean_surprisal`)
+    * @param keepFraction must be in (0, 1] — quantile_disc rank
+    *               semantics have no rank for p = 0, and p > 1 has no
+    *               meaning; out-of-domain values throw (the pre-r10
+    *               form silently yielded +Inf for keepFraction = 0)
     * @return one-row frame `(ms_thr: double)`, +Inf when the sample
     *         is empty
     */
   def surprisalKeepThreshold(scored: DataFrame,
       keepFraction: Double = 0.9, sampleMod: Int = 7,
       sampleRem: Int = 3, idCol: String = "doc_id"): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1,
+      s"surprisalKeepThreshold: keepFraction must be in (0,1], " +
+        s"got $keepFraction")
     val samp = scored
       .where(col(idCol) % sampleMod === sampleRem)
       .select(col("mean_surprisal").as("msr"))
-    val q = graft.ops.Quantiles.quantileDisc(samp, "msr",
-      Seq(keepFraction)).collect() // ≤ 1 row by construction
-    val thr =
-      if (q.isEmpty) Double.PositiveInfinity else q(0).getDouble(1)
-    samp.sparkSession.range(1).select(lit(thr).as("ms_thr"))
+      // quantileDisc runs several actions over the sample (stats
+      // pass, histogram rounds, bucket collect) and each would
+      // otherwise recompute the full surprisal subtree upstream
+      // (tokenize + explode + join, itself a two-pass scan). Persist
+      // the 1/sampleMod slice — one double per sampled doc — so the
+      // multi-pass selection scans a materialized sample.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val q = graft.ops.Quantiles.quantileDisc(samp, "msr",
+        Seq(keepFraction)).collect() // ≤ 1 row by construction
+      val thr =
+        if (q.isEmpty) Double.PositiveInfinity else q(0).getDouble(1)
+      samp.sparkSession.range(1).select(lit(thr).as("ms_thr"))
+    } finally samp.unpersist(blocking = false)
   }
 }

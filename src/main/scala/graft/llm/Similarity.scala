@@ -225,7 +225,17 @@ object Similarity {
     * rows). Query batches up to `driverQueryCap` rows assign their
     * probe cells driver-side (one bounded collect); larger batches
     * switch to a distributed distinct over the probe assignments, so
-    * batch size can never OOM the driver. */
+    * batch size can never OOM the driver.
+    *
+    * `queries` is evaluated more than once (the capped size/probe
+    * collect, then again on the join side) — a NONDETERMINISTIC
+    * query frame (e.g. `limit`/`sample` over unordered data) could
+    * otherwise present different rows to the pruning filter than to
+    * the join and silently drop results. The over-cap fallback
+    * therefore persists the probe assignment and derives BOTH the
+    * distinct-cid filter and the join from that one materialized
+    * frame; for the driver-side fast path, pass a deterministic
+    * `queries` (a filter/selection, not an unordered limit). */
   def ivfQuery(centroids: DataFrame, lists: DataFrame,
       queries: DataFrame, k: Int, nProbe: Int = 4,
       excludeSelf: Boolean = true,
@@ -249,9 +259,9 @@ object Similarity {
     // costs one extra assignment pass instead of a driver OOM.
     val capped = queries.select(col("qvec"))
       .limit(driverQueryCap + 1).collect()
-    val probedCids: Array[Long] =
+    val (probesForJoin, probedCids) =
       if (capped.length <= driverQueryCap)
-        capped.iterator.filterNot(_.isNullAt(0))
+        (probes, capped.iterator.filterNot(_.isNullAt(0))
           .flatMap { r =>
             // Null elements map to 0.0, exactly as the kernel's
             // isNullAt branch reads them in the expression path.
@@ -261,13 +271,23 @@ object Similarity {
               new org.apache.spark.sql.catalyst.util
                 .GenericArrayData(vec),
               cvs, cids, nProbe).toLongArray()
-          }.toArray.distinct
-      else
-        probes.select(col("cid")).distinct()
-          .collect().map(_.getLong(0))
+          }.toArray.distinct)
+      else {
+        // Over-cap fallback: persist the probe assignment so the
+        // distinct-cid pruning filter and the join read the SAME
+        // materialized rows — a nondeterministic `queries` can no
+        // longer assign one cell set to the filter and another to
+        // the join. The persist lives as long as the returned plan
+        // (LRU-evictable); the fallback path is the rare
+        // corpus-sized-batch case, not the probe hot path.
+        val p = probes.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (p, p.select(col("cid")).distinct()
+          .collect().map(_.getLong(0)))
+      }
     val joined = lists
       .where(col("cid").isin(probedCids.map(Long.box): _*))
-      .join(probes, "cid")
+      .join(probesForJoin, "cid")
       .where(if (excludeSelf) col("qid") =!= col("id") else lit(true))
       .withColumn("cosine",
         GraftFunctions.arrayCosine(col("qvec"), col("vec")))

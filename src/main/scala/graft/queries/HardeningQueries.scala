@@ -23,6 +23,11 @@ import graft.llm.{Mixing, TextAnalysis}
   *    the portable mixing hash, astral-plane/unicode-augmented text
   *    through the fused token kernels — each restated exactly in the
   *    DuckDB oracle.
+  *  - `x03_quantile_inf` drives ±Infinity through the exact
+  *    distributed quantile operator's histogram selection
+  *    ([[graft.ops.Quantiles.quantileDisc]]), probing both infinite
+  *    masses and the finite interior against DuckDB's
+  *    `quantile_disc`.
   */
 object HardeningQueries {
 
@@ -33,6 +38,27 @@ object HardeningQueries {
       val ansi = s.newSession()
       ansi.conf.set("spark.sql.ansi.enabled", "true")
       LlmQueries.queries("t14_domain_mix")(ansi, dir)
+    }),
+
+    // quantileDisc's ±Inf domain handling under the driver gate: the
+    // r10 infinity fix is spec-covered (QuantilesSpec) but no gated
+    // query fed infinite values through the histogram selection until
+    // this one. Every 997th order key becomes +Inf, the next key
+    // class -Inf; the probe probabilities hit BOTH infinite masses
+    // (rank 1 → the -Inf mass; rank ceil(0.9999 n) → the +Inf mass)
+    // and the finite interior. DuckDB orders infinities as ordinary
+    // doubles, so the oracle restatement is mechanical.
+    "x03_quantile_inf" -> ((s, dir) => {
+      val v = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(
+          when(col("l_orderkey") % 997 === 0,
+            lit(Double.PositiveInfinity))
+            .when(col("l_orderkey") % 997 === 1,
+              lit(Double.NegativeInfinity))
+            .otherwise(col("l_extendedprice")).as("v"))
+      graft.ops.Quantiles.quantileDisc(v, "v",
+        Seq(0.0001, 0.25, 0.5, 0.75, 0.9999))
+        .orderBy(col("prob"))
     }),
 
     "x02_adversarial_domain" -> ((s, dir) => {
@@ -61,6 +87,17 @@ object HardeningQueries {
   val oracles: Map[String, String] = Map(
     // Same restatement as t14: ANSI mode must not change the result.
     "x01_ansi_mix" -> LlmQueries.oracles("t14_domain_mix"),
+    // quantile_disc picks an element of the input, so infinities pass
+    // through the compare exactly — no rounding needed.
+    "x03_quantile_inf" ->
+      Seq(0.0001, 0.25, 0.5, 0.75, 0.9999).map(p =>
+        s"""SELECT CAST($p AS DOUBLE) AS prob,
+           CAST(quantile_disc(v, $p) AS DOUBLE) AS value
+           FROM (SELECT CASE
+             WHEN l_orderkey % 997 = 0 THEN 'infinity'::DOUBLE
+             WHEN l_orderkey % 997 = 1 THEN '-infinity'::DOUBLE
+             ELSE l_extendedprice END AS v FROM lineitem)""").mkString(
+        "", " UNION ALL ", " ORDER BY prob"),
     "x02_adversarial_domain" ->
       """WITH d AS (SELECT doc_id,
            doc_id * -7919 - 3 AS neg_id,

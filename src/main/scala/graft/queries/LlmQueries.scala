@@ -1327,7 +1327,12 @@ object LlmQueries {
 
   /** Scalar guard over [[ccMinLabelSql]]'s `ccconv`: true when the
     * verification round moved no label, a named DuckDB error
-    * otherwise. Folded into the caller's final WHERE. */
+    * otherwise. Folded into the caller's OUTER WHERE (over the
+    * always-nonempty documents read), not cc_losers' — a guard
+    * inside cc_losers only evaluates when an `l < v` loser row
+    * exists, and an under-converged fixture can momentarily have
+    * all-identity labels (every l = v in j12) while labels are
+    * still moving in the verification round. */
   private def ccConvergedSql(rounds: Int): String =
     s"""(SELECT CASE WHEN changed = 0 THEN true
          ELSE error('cc under-converged at $rounds rounds: ' ||
@@ -1850,10 +1855,10 @@ object LlmQueries {
              SELECT id_a AS a, id_b AS b FROM pairs
              UNION ALL SELECT id_b, id_a FROM pairs),
            ${ccMinLabelSql(12)},
-           cc_losers AS (SELECT v FROM j12
-             WHERE l < v AND ${ccConvergedSql(12)})
+           cc_losers AS (SELECT v FROM j12 WHERE l < v)
            SELECT doc_id, lang, n_chars FROM documents
            WHERE doc_id NOT IN (SELECT v FROM cc_losers)
+             AND ${ccConvergedSql(12)}
            ORDER BY doc_id""",
       // d07's closure on the 10% slice, collapsed to the witness row.
       "d10_cc_witness" ->
@@ -1884,15 +1889,15 @@ object LlmQueries {
              SELECT id_a AS a, id_b AS b FROM pairs
              UNION ALL SELECT id_b, id_a FROM pairs),
            ${ccMinLabelSql(12)},
-           cc_losers AS (SELECT v FROM j12
-             WHERE l < v AND ${ccConvergedSql(12)})
+           cc_losers AS (SELECT v FROM j12 WHERE l < v)
            SELECT count(*)::BIGINT AS n_survivors,
              coalesce(sum(doc_id % 1000000007), 0)::BIGINT
                AS id_checksum,
              coalesce(sum(n_chars), 0)::BIGINT AS chars_sum
            FROM documents
            WHERE doc_id % 10 = 3
-             AND doc_id NOT IN (SELECT v FROM cc_losers)""",
+             AND doc_id NOT IN (SELECT v FROM cc_losers)
+             AND ${ccConvergedSql(12)}""",
       // Instance-level duplicated-gram stats: the rolling-hash kernel
       // restated without list_distinct (instances, not the set), then
       // corpus-wide counts and a per-doc rollup — mirrors

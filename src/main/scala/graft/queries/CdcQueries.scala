@@ -80,6 +80,49 @@ object CdcQueries {
       .as[ChangeEvent]
   }
 
+  /** The change events of [[changeEvents]] rendered as binlog
+    * pseudo-SQL dump text (the `mysqlbinlog -v` row format the C1
+    * parser consumes), chunked by event_id range into
+    * `(chunkNo, text)` "files" — blocks within a chunk in event_id
+    * order, so parse order (and therefore parser-assigned sequence
+    * numbers) reproduces the binlog total order. Shared by
+    * `c10_binlog_roundtrip` (distributed re-parse) and
+    * `c16_stream_lifecycle` (written to disk as the file stream's
+    * input). */
+  private def binlogChunks(s: SparkSession, dir: String,
+      chunkSize: Long): Dataset[(Long, String)] = {
+    import s.implicits._
+    val T = graft.cdc.BinlogParser.DefaultTable
+    val ev = events(s, dir)
+    val valueStr = when(col("value").isNull, lit("NULL"))
+      .otherwise(col("value").cast("string"))
+    val pk = col("event_id") % 500 + 1
+    val dt = date_format(col("ts"), DT)
+    val epoch = col("ts").cast("timestamp").cast("long")
+    val block =
+      when(col("event_type").isin("signup", "purchase"),
+        concat(lit(s"INSERT INTO $T\nSET\n@1="), pk,
+          lit("\n@3='"), dt, lit("'\n@4="), valueStr,
+          lit("\n@6="), epoch))
+      .when(col("event_type").isin("click", "view"),
+        concat(lit(s"UPDATE $T\nWHERE\n@1="), pk,
+          lit("\n@3='"), dt,
+          lit("'\nSET\n@1="), pk,
+          lit("\n@3='"), dt, lit("'\n@4="), valueStr,
+          lit("\n@6="), epoch))
+      .otherwise(
+        concat(lit(s"DELETE FROM $T\nWHERE\n@1="), pk,
+          lit("\n@3='"), dt, lit("'")))
+    ev.select(
+      (col("event_id") / chunkSize).cast("long").as("chunk"),
+      struct(col("event_id"), block.as("block")).as("entry"))
+      .groupBy("chunk")
+      .agg(array_join(
+        transform(array_sort(collect_list(col("entry"))),
+          e => e.getField("block")), "\n").as("text"))
+      .as[(Long, String)]
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S9 + S10: normalization with sentinel fill + derived day.
@@ -195,40 +238,12 @@ object CdcQueries {
     // preserved exactly; the oracle is the same closed form as c07.
     "c10_binlog_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      val T = graft.cdc.BinlogParser.DefaultTable
       val chunkSize = 1250L
-      val ev = events(s, dir)
-      val valueStr = when(col("value").isNull, lit("NULL"))
-        .otherwise(col("value").cast("string"))
-      val pk = col("event_id") % 500 + 1
-      val dt = date_format(col("ts"), DT)
-      val epoch = col("ts").cast("timestamp").cast("long")
-      val block =
-        when(col("event_type").isin("signup", "purchase"),
-          concat(lit(s"INSERT INTO $T\nSET\n@1="), pk,
-            lit("\n@3='"), dt, lit("'\n@4="), valueStr,
-            lit("\n@6="), epoch))
-        .when(col("event_type").isin("click", "view"),
-          concat(lit(s"UPDATE $T\nWHERE\n@1="), pk,
-            lit("\n@3='"), dt,
-            lit("'\nSET\n@1="), pk,
-            lit("\n@3='"), dt, lit("'\n@4="), valueStr,
-            lit("\n@6="), epoch))
-        .otherwise(
-          concat(lit(s"DELETE FROM $T\nWHERE\n@1="), pk,
-            lit("\n@3='"), dt, lit("'")))
-      val chunks = ev.select(
-        (col("event_id") / chunkSize).cast("long").as("chunk"),
-        struct(col("event_id"), block.as("block")).as("entry"))
-        .groupBy("chunk")
-        .agg(array_join(
-          transform(array_sort(collect_list(col("entry"))),
-            e => e.getField("block")), "\n").as("text"))
-        .as[(Long, String)]
-      val parsed = chunks.flatMap { case (chunk, text) =>
-        graft.cdc.BinlogParser.parseText(text,
-          seqStart = chunk * chunkSize)
-      }
+      val parsed = binlogChunks(s, dir, chunkSize)
+        .flatMap { case (chunk, text) =>
+          graft.cdc.BinlogParser.parseText(text,
+            seqStart = chunk * chunkSize)
+        }
       Consolidate.netChanges(parsed).orderBy("day", "id")
     }),
 
@@ -279,6 +294,102 @@ object CdcQueries {
 
       Lake.read(s, lakePath)
         .select("id", "date_time", "value", "ts", "day")
+        .orderBy("day", "id")
+    }),
+
+    // c13's lifecycle re-run as ONE CONTINUOUS STREAMING JOB — the
+    // composed pipeline SURVEY §3.2 scopes from `parse_binlogs.sh:
+    // 118-144`: binlog-dump FILES arriving on disk → `readStream`
+    // (whole-file, per-file seq windows from the mysql-bin.NNNNNN
+    // name) → C1 parse → C5 per-batch consolidate → `foreachBatch`
+    // M1-M4 merge into the persisted lake → M2 empty-day pruning →
+    // S15 repair → R1 reconcile. Every file is dropped AFTER the
+    // previous trigger completes, so the merge genuinely replays as
+    // many micro-batches; sequential last-write-wins application is
+    // what makes the multi-batch stream hash-equal to c13's single
+    // batch (the closed-form algebra in graft.cdc.Consolidate
+    // composes: splitting an event sequence at any boundary and
+    // merging the nets sequentially gives the global net —
+    // property-checked in CdcPipelinePropertySpec/
+    // StreamLifecycleSpec). Oracle: identical restatement to c13.
+    "c16_stream_lifecycle" -> ((s, dir) => {
+      import graft.io.Lake
+      import graft.jobs.Jobs
+      import graft.streaming.StreamOps
+      Lake.configure(s)
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_c16"
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(bp, true)
+      val lakePath = s"$base/lake"
+      val binlogDir = s"$base/binlog"
+      new java.io.File(binlogDir).mkdirs()
+
+      // Cold-start extract: identical to c13 (S12-S14 backfill +
+      // incremental walk against the same raw frame).
+      val ev = events(s, dir)
+      val shifted = when(col("event_id") % 11 === 0,
+        col("ts") - expr("INTERVAL 15 YEARS")).otherwise(col("ts"))
+      val raw = ev.select(
+        col("event_id").as("id"),
+        date_format(shifted, DT).as("date_time"),
+        col("value"),
+        Timeseries.epochToUtc2(col("ts").cast("timestamp").cast("long"))
+          .as("ts"))
+      Jobs.extract(s, new Jobs.FrameSource(raw), lakePath)
+
+      // The change stream as on-disk binlog dump files. The collect
+      // here is the TEST HARNESS materializing what production reads
+      // from disk (mysqlbinlog writes these files in the reference,
+      // `parse_binlogs.sh:118-144`) — fixture synthesis, bounded by
+      // the gate fixture, not an operator data path.
+      val chunkSize = 1250L
+      val chunkTexts = binlogChunks(s, dir, chunkSize).collect()
+      def writeFile(num: Long, text: String): Unit = {
+        val f = new java.io.File(binlogDir, f"mysql-bin.$num%06d")
+        java.nio.file.Files.write(f.toPath, text.getBytes("UTF-8"))
+        // Distinct ascending mtimes: the file source's discovery
+        // order (oldest first) must match binlog order for the
+        // sequential merges to apply last-write-wins correctly.
+        f.setLastModified(1700000000000L + num * 60000L)
+      }
+
+      // ONE continuous job: file stream → parse → consolidate →
+      // foreachBatch merge, driven file-by-file.
+      val q = StreamOps.mergeStream(
+        StreamOps.streamEvents(s, binlogDir), lakePath,
+        s"$base/ckpt")
+      try {
+        chunkTexts.sortBy(_._1).foreach { case (n, text) =>
+          writeFile(n, text)
+          q.processAllAvailable()
+        }
+        // M2 through the SAME stream: a pure-DELETE binlog file that
+        // empties one whole day partition (c13's kill batch rendered
+        // as the DELETE blocks mysqlbinlog would have produced).
+        val killDay = "2024-01-15"
+        val T = graft.cdc.BinlogParser.DefaultTable
+        val kills = Lake.read(s, lakePath)
+          .where(col("day") === killDay)
+          .select(concat(lit(s"DELETE FROM $T\nWHERE\n@1="),
+            col("id"), lit("\n@3='"), col("date_time"), lit("'"))
+            .as("b"))
+          .collect().map(_.getString(0)) // one day — fixture-bounded
+        writeFile(chunkTexts.map(_._1).max + 1, kills.mkString("\n"))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      // S15 repair, then R1 (row_integrity.py's report shape): two
+      // INDEPENDENT counting paths over the streamed lake — a forced
+      // full-scan row count (rdd.count deserializes every row) vs
+      // the optimized columnar count() — must agree, or the stream's
+      // merges left the lake internally inconsistent.
+      Jobs.repairHistorical(s, lakePath)
+      val lake = Lake.read(s, lakePath)
+      val rec = Lake.reconcile(lake.rdd.count(), lake)
+      require(rec.matches, s"c16 reconcile mismatch: $rec")
+      lake.select("id", "date_time", "value", "ts", "day")
         .orderBy("day", "id")
     }),
 
@@ -803,6 +914,28 @@ object CdcQueries {
       // rewrites from the resume day forward with identical content),
       // then the consolidated change batch merges in, then the
       // pure-delete batch removes the killed day wholesale.
+      // c16 streams the SAME change events through readStream +
+      // foreachBatch and must land on the identical final lake —
+      // splitting the event sequence into micro-batches and applying
+      // the net changes sequentially composes to the global net
+      // (the Consolidate closed-form algebra), so one restatement
+      // gates both the batch and the streaming lifecycle.
+      "c16_stream_lifecycle" ->
+        s"""WITH raw AS (SELECT event_id AS id,
+             strftime(CASE WHEN event_id % 11 = 0
+                 THEN ts - INTERVAL 15 YEAR ELSE ts END,
+               '%Y-%m-%d %H:%M:%S') AS date_time,
+             value,
+             strftime(ts + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS ts
+             FROM events),
+           existing AS (SELECT id, date_time, value, ts,
+             substr(date_time, 1, 10) AS day FROM raw),
+           ev AS ($changeEventsSql),
+           changes AS (${consolidateSql("")}),
+           merged AS ($mergeSelectSql)
+           SELECT id, date_time, value, ts, day FROM merged
+           WHERE day <> '2024-01-15'
+           ORDER BY day, id""",
       "c13_lifecycle" ->
         s"""WITH raw AS (SELECT event_id AS id,
              strftime(CASE WHEN event_id % 11 = 0

@@ -22,6 +22,12 @@ object LlmQueries {
   private val t20FilterVerdict =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** t23's own slot — the witness runs concurrently with t20 under
+    * Verify's thread pool, so sharing t20's slot would let one query
+    * unpersist the frame the other is mid-scan on. */
+  private val t23FilterVerdict =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** Registered scratch dirs (s09's persisted index) deleted when the
     * JVM exits: the dir must outlive the returned (lazy) DataFrame,
     * so in-query deletion is impossible — but without cleanup every
@@ -658,6 +664,63 @@ object LlmQueries {
       val keptEmb = emb(s, dir).join(
         lm.select(col("doc_id").as("vec_id")).hint("shuffle_hash"),
         "vec_id")
+      val sem = Dedup.semanticDedup(keptEmb, nClusters = 16,
+        lloydIterations = 1, threshold = 0.35, targetCluster = 512)
+        .where(col("kept"))
+        .select(col("id").as("doc_id"))
+      d.join(lm.hint("shuffle_hash"), "doc_id")
+        .join(sem.hint("shuffle_hash"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("source")
+    }),
+
+    // t19's FULL composition on the id%31 witness slice (the d18
+    // pattern): corpus-MLE surprisal over the sliced corpus, outlier
+    // filter, semantic dedup over the sliced embeddings, per-source
+    // rollup (already an order-free aggregate). At the 100x fixture
+    // t19's full oracle spills DuckDB past the disk (SemDeDup CTEs
+    // over 200k 64-dim vectors); the slice keeps a FULL oracle
+    // tractable there — this witness carries the curation-composition
+    // family's verification frontier to 100x.
+    "t22_curation_semantic_witness" -> ((s, dir) => {
+      val d = docs(s, dir).where(col("doc_id") % 31 === 7)
+      val lm = LanguageModel.unigramSurprisal(d)
+        .where(!col("is_outlier"))
+        .select(col("doc_id"), col("n_tokens"))
+      val sem = Dedup.semanticDedup(
+        emb(s, dir).where(col("vec_id") % 31 === 7), nClusters = 16,
+        lloydIterations = 1, threshold = 0.35, targetCluster = 512)
+        .where(col("kept"))
+        .select(col("id").as("doc_id"))
+      d.join(lm.hint("shuffle_hash"), "doc_id")
+        .join(sem.hint("shuffle_hash"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("source")
+    }),
+
+    // t20's filtered-first composition on the same witness slice:
+    // quantile keep-threshold from the slice's own deterministic
+    // sample, semantic dedup ONLY on the surviving embeddings — every
+    // conditioning effect (centroids, memberships, verdicts all
+    // downstream of the filter) preserved on the slice.
+    "t23_curation_filtered_witness" -> ((s, dir) => {
+      val d = docs(s, dir).where(col("doc_id") % 31 === 7)
+      val scored = Dedup.swapCached(t23FilterVerdict,
+        LanguageModel.unigramSurprisal(d)
+          .select(col("doc_id"), col("n_tokens"),
+            col("mean_surprisal")))
+      val thr = LanguageModel.surprisalKeepThreshold(scored)
+      val lm = scored
+        .crossJoin(broadcast(thr))
+        .where(col("mean_surprisal") <= col("ms_thr"))
+        .select(col("doc_id"), col("n_tokens"))
+      val keptEmb = emb(s, dir).where(col("vec_id") % 31 === 7)
+        .join(lm.select(col("doc_id").as("vec_id"))
+          .hint("shuffle_hash"), "vec_id")
       val sem = Dedup.semanticDedup(keptEmb, nClusters = 16,
         lloydIterations = 1, threshold = 0.35, targetCluster = 512)
         .where(col("kept"))
@@ -2435,6 +2498,71 @@ object LlmQueries {
            SELECT d.source, count(*) AS n_docs,
              sum(keep.n_tokens)::BIGINT AS sum_tokens
            FROM documents d
+           JOIN keep ON d.doc_id = keep.doc_id
+           JOIN semk ON d.doc_id = semk.id
+           GROUP BY d.source ORDER BY d.source""",
+      // t19's chain on the id%31 slice: the surprisal MLE, the
+      // adaptive cluster count, and the SemDeDup verdicts all read
+      // the SLICED corpus — exactly what the Spark witness runs.
+      "t22_curation_semantic_witness" ->
+        s"""WITH d31 AS MATERIALIZED (SELECT * FROM documents
+             WHERE doc_id % 31 = 7),
+           gg AS (SELECT doc_id, term FROM (
+             SELECT doc_id, unnest(string_split($norm, ' ')) AS term
+             FROM d31) WHERE len(term) > 0),
+           f AS (SELECT term, count(*) AS cnt FROM gg GROUP BY term),
+           tot AS (SELECT sum(cnt) AS total FROM f),
+           lmk AS (SELECT doc_id, count(*) AS n_tokens,
+               sum((-ln(cnt::DOUBLE / total::DOUBLE))
+                 ::DECIMAL(38,18))::DOUBLE / count(*) AS ms
+             FROM gg JOIN f USING (term) CROSS JOIN tot
+             GROUP BY doc_id),
+           e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             FROM embeddings WHERE vec_id % 31 = 7),
+           $adaptiveCentSql,
+           ${semChainSql()},
+           semk AS (SELECT g.id FROM asg g
+             LEFT JOIN dropped dd ON g.id = dd.id
+             WHERE dd.id IS NULL)
+           SELECT d.source, count(*) AS n_docs,
+             sum(lmk.n_tokens)::BIGINT AS sum_tokens
+           FROM d31 d
+           JOIN lmk ON d.doc_id = lmk.doc_id AND NOT (lmk.ms > 3.45)
+           JOIN semk ON d.doc_id = semk.id
+           GROUP BY d.source ORDER BY d.source""",
+      // t20's filtered-first chain on the slice: the quantile
+      // threshold reads the slice's own doc_id%7=3 sample, and the
+      // embedding corpus `e` is the slice pre-filtered to survivors.
+      "t23_curation_filtered_witness" ->
+        s"""WITH d31 AS MATERIALIZED (SELECT * FROM documents
+             WHERE doc_id % 31 = 7),
+           gg AS (SELECT doc_id, term FROM (
+             SELECT doc_id, unnest(string_split($norm, ' ')) AS term
+             FROM d31) WHERE len(term) > 0),
+           f AS (SELECT term, count(*) AS cnt FROM gg GROUP BY term),
+           tot AS (SELECT sum(cnt) AS total FROM f),
+           lmk AS (SELECT doc_id, count(*) AS n_tokens,
+               sum((-ln(cnt::DOUBLE / total::DOUBLE))
+                 ::DECIMAL(38,18))::DOUBLE / count(*) AS ms
+             FROM gg JOIN f USING (term) CROSS JOIN tot
+             GROUP BY doc_id),
+           samp AS (SELECT round(ms, 6) AS msr FROM lmk
+             WHERE doc_id % 7 = 3),
+           thr AS (SELECT coalesce(quantile_disc(msr, 0.9),
+               'infinity'::DOUBLE) AS ms_thr FROM samp),
+           keep AS (SELECT doc_id, n_tokens FROM lmk CROSS JOIN thr
+             WHERE round(ms, 6) <= ms_thr),
+           e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             FROM embeddings JOIN keep ON vec_id = keep.doc_id
+             WHERE vec_id % 31 = 7),
+           $adaptiveCentSql,
+           ${semChainSql()},
+           semk AS (SELECT g.id FROM asg g
+             LEFT JOIN dropped dd ON g.id = dd.id
+             WHERE dd.id IS NULL)
+           SELECT d.source, count(*) AS n_docs,
+             sum(keep.n_tokens)::BIGINT AS sum_tokens
+           FROM d31 d
            JOIN keep ON d.doc_id = keep.doc_id
            JOIN semk ON d.doc_id = semk.id
            GROUP BY d.source ORDER BY d.source""",

@@ -385,10 +385,27 @@ object Dedup {
     * occupancy — and with it candidate-pair volume — stays constant
     * per row as the corpus grows. The rule floors at `planes`, so any
     * fixture small enough for the floor (the gate SFs) keeps its
-    * oracle outputs byte-identical to the fixed-plane form. */
+    * oracle outputs byte-identical to the fixed-plane form.
+    *
+    * `maxBucket > 0` additionally caps per-bucket candidate work on
+    * SIGN-DEGENERATE corpora: adaptive planes keep EXPECTED occupancy
+    * constant only while the data has sign-entropy to spend — the
+    * round-11 1000x decade probe measured a synthetic corpus whose 2M
+    * vectors occupy just 23,618 signatures (max bucket 36,760 → 13.2B
+    * candidate pairs, 82x the linear model), because past ~18 planes
+    * the vectors' intrinsic sign diversity saturates and more planes
+    * split nothing. The cap re-keys members of buckets larger than
+    * `maxBucket` by the WIDENED signature (all 64 planes of the same
+    * byteswap family — the low `effPlanes` bits are the original sig,
+    * so a widened key can never collide with another bucket's narrow
+    * key, and bitwise-identical vectors always stay together). This
+    * TRADES RECALL for bounded work: same-narrow-bucket pairs that
+    * differ on the extra planes are no longer candidates. Off (0) by
+    * default — every gated output is computed with the cap off. */
   def embeddingPairs(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", dim: Int, planes: Int = 16,
-      threshold: Double = 0.95, targetBucket: Int = 0): DataFrame = {
+      threshold: Double = 0.95, targetBucket: Int = 0,
+      maxBucket: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val effPlanes =
       if (targetBucket > 0)
@@ -397,9 +414,24 @@ object Dedup {
     // Signature over the double-cast vector: float->double cast is
     // exact and double +/* is what external engines use, so the sign
     // bits are reproducible bit-for-bit outside Spark.
-    val sigs = emb.select(col(idCol).as("id"),
+    val sigs0 = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("sig", hyperplaneSignature(col("v"), dim, effPlanes))
+    val sigs =
+      if (maxBucket <= 0 || effPlanes >= 64) sigs0
+      else {
+        // One count-by-signature pass (ids+sigs only — no vectors
+        // cross this shuffle), then oversized buckets re-key by the
+        // widened signature. The join is sig-keyed and the counts
+        // side is one row per OCCUPIED bucket.
+        val sizes = sigs0.groupBy("sig")
+          .agg(count(lit(1)).as("_bucket_n"))
+        sigs0.join(sizes, "sig")
+          .withColumn("sig", when(col("_bucket_n") > maxBucket,
+            hyperplaneSignature(col("v"), dim, 64))
+            .otherwise(col("sig")))
+          .drop("_bucket_n")
+      }
     val a = sigs.as("a")
     // As in minhashPairs: the vector-carrying self-join must not
     // broadcast a corpus-sized side on a bad static estimate.

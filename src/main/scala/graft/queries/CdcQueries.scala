@@ -343,8 +343,13 @@ object CdcQueries {
       // here is the TEST HARNESS materializing what production reads
       // from disk (mysqlbinlog writes these files in the reference,
       // `parse_binlogs.sh:118-144`) — fixture synthesis, bounded by
-      // the gate fixture, not an operator data path.
-      val chunkSize = 1250L
+      // the gate fixture, not an operator data path. The FILE COUNT
+      // is fixed (8), not the file size: each file is one
+      // micro-batch trigger, and a fixed per-file row count would
+      // turn a 100x fixture into 100x sequential merges — the
+      // trigger cadence is a harness choice, the per-batch merge is
+      // the operator under test.
+      val chunkSize = math.max(1250L, ev.count() / 8L + 1L)
       val chunkTexts = binlogChunks(s, dir, chunkSize).collect()
       def writeFile(num: Long, text: String): Unit = {
         val f = new java.io.File(binlogDir, f"mysql-bin.$num%06d")

@@ -294,6 +294,57 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall with Lloyd refinement: $recall")
   }
 
+  test("maxBucket cap re-keys oversized buckets by the widened " +
+      "signature (model recomputation)") {
+    import graft.functions.HyperplaneSig
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val narrow = 2 // 4 buckets over 41 vectors -> all oversized at 3
+    val cap = 3
+    val base = Seq.tabulate(40)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+    // One exact duplicate of vector 0: bitwise-identical vectors agree
+    // on EVERY plane, so the cap can never split them.
+    val rows = base :+ (100L, base(0)._2.clone())
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+
+    def sigOf(v: Array[Double], planes: Int): Long =
+      (0 until planes).map { p =>
+        val dot = (0 until dim)
+          .map(d => v(d) * HyperplaneSig.planeSign(p, d))
+          .reduce(_ + _)
+        if (dot > 0d) 1L << p else 0L
+      }.sum
+    // Model: bucket by the narrow sig; members of buckets larger than
+    // the cap re-key by the 64-plane sig; candidates = same-key pairs.
+    // threshold = -2 keeps every candidate, so the comparison tests
+    // exactly the bucketing logic.
+    val narrowSigs = rows.map { case (id, v) => id -> sigOf(v, narrow) }
+    val sizes = narrowSigs.groupBy(_._2).view.mapValues(_.size).toMap
+    val keyed = rows.map { case (id, v) =>
+      val ns = sigOf(v, narrow)
+      id -> (if (sizes(ns) > cap) sigOf(v, 64) else ns)
+    }
+    val expected = (for {
+      (a, ka) <- keyed; (b, kb) <- keyed
+      if a < b && ka == kb
+    } yield (a, b)).toSet
+
+    def run(mb: Int) = Dedup.embeddingPairs(df, dim = dim,
+      planes = narrow, threshold = -2.0, maxBucket = mb)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = run(cap)
+    val uncapped = run(0)
+    assert(capped == expected)
+    assert(capped.subsetOf(uncapped))
+    assert(capped.size < uncapped.size,
+      "the cap should have split at least one oversized bucket")
+    assert(capped.contains((0L, 100L)),
+      "bitwise-identical vectors must survive the cap")
+  }
+
   test("embedding near-dup pairs stay within clusters") {
     val pairs = Dedup.embeddingPairs(
       vecs.withColumnRenamed("id", "vec_id")

@@ -186,6 +186,22 @@ object GraftFunctions {
         "graft_top_k_by_score",
         exprs => TopKByScoreAgg(exprs(0), exprs(1),
           exprs(2).eval().asInstanceOf[Int]), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_nearest_centroid_probed",
+        exprs => {
+          val co = exprs(1).eval().asInstanceOf[ArrayData]
+          val coarse = Array.tabulate(co.numElements())(i =>
+            co.getArray(i).toDoubleArray())
+          val cids = exprs(2).eval().asInstanceOf[ArrayData]
+            .toLongArray()
+          val fm = exprs(3).eval().asInstanceOf[ArrayData]
+          val fines = Array.tabulate(fm.numElements())(i =>
+            fm.getArray(i).toDoubleArray())
+          val f2c = exprs(4).eval().asInstanceOf[ArrayData]
+            .toIntArray()
+          NearestCentroidProbed(exprs(0), coarse, cids, fines, f2c,
+            exprs(5).eval().asInstanceOf[Int])
+        }, "built-in")
       registered += key
     }
   }
@@ -291,6 +307,23 @@ object GraftFunctions {
     call_function("graft_nearest_centroids", vec,
       typedLit(cids.toSeq), typedLit(cents.map(_.toSeq).toSeq),
       lit(n))
+  }
+
+  /** Two-level probed nearest-centroid assignment
+    * ([[NearestCentroidProbed]]): rank the coarse set, scan only fine
+    * centroids in the top-`probes` coarse cells. `coarse` must be
+    * ordered by the LCG sample rank (its index order is the coarse
+    * tie-break); `coarseOfFine(i)` is fine i's coarse cell (requires
+    * [[register]] first). */
+  def nearestCentroidProbed(vec: Column, coarse: Array[Array[Double]],
+      fineCids: Array[Long], fineVecs: Array[Array[Double]],
+      coarseOfFine: Array[Int], probes: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedLit}
+    call_function("graft_nearest_centroid_probed", vec,
+      typedLit(coarse.map(_.toSeq).toSeq),
+      typedLit(fineCids.toSeq),
+      typedLit(fineVecs.map(_.toSeq).toSeq),
+      typedLit(coarseOfFine.toSeq), lit(probes))
   }
 
   /** Per-segment PQ codeword assignment; the codebook rides as a

@@ -506,6 +506,21 @@ object Dedup {
     * square fits a task). Only (id, cid, vec) rows reach the join, and
     * the verdict list that prunes the corpus carries ids alone.
     *
+    * With corpus-adaptive k (`targetCluster > 0`) the ASSIGNMENT is
+    * the remaining n x k term — n^2/targetCluster FLOPs, SemDeDup's
+    * own law (measured 52.7x for 10x data at the 1000x fixture). On a
+    * cluster it distributes embarrassingly (pure map-side work, no
+    * shuffle growth); `coarseProbes > 0` is the knob for when it
+    * should not: both the Lloyd rounds and the final assignment use
+    * the two-level probed expression
+    * ([[graft.functions.NearestCentroidProbed]] — coarse set =
+    * ceil(sqrt(k)) LCG-prefix centroids, scan only fine centroids in
+    * the top-`coarseProbes` coarse cells), bounding per-row work at
+    * ~sqrt(k)*(1+probes) cosines for a stated assignment-accuracy
+    * cost. Probed assignment to the argmax cell of a probed coarse
+    * region is still exact WITHIN the probed region, and the
+    * keep-rule/pair semantics downstream are unchanged.
+    *
     * @return one row per input vector: (id, cid, cent_cosine, kept)
     */
   /** Smallest power-of-two multiple of `minClusters` (capped at
@@ -527,7 +542,7 @@ object Dedup {
   def semanticDedup(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", nClusters: Int = 16,
       lloydIterations: Int = 1, threshold: Double = 0.5,
-      targetCluster: Int = 0): DataFrame = {
+      targetCluster: Int = 0, coarseProbes: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val corpus = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
@@ -553,7 +568,8 @@ object Dedup {
     val centroids0 = Similarity.sampleCentroids(corpus, k)
     val centroids =
       if (lloydIterations > 0)
-        Similarity.refineCentroids(corpus, centroids0, lloydIterations)
+        Similarity.refineCentroids(corpus, centroids0, lloydIterations,
+          coarseProbes)
       else centroids0
     val (cids, cvs) =
       Similarity.collectCentroids(centroids, "semanticDedup")
@@ -573,8 +589,8 @@ object Dedup {
     // semanticDedup subtree however many times it runs (gates + bench
     // reps + t19/t20 reuse would otherwise accumulate until eviction).
     val assigned = swapCached(previousAssigned, corpus
-      .withColumn("cid", element_at(graft.functions.GraftFunctions
-        .nearestCentroids(col("vec"), cids, cvs, 1), 1))
+      .withColumn("cid",
+        Similarity.assignColumn(col("vec"), cids, cvs, coarseProbes))
       .join(broadcast(centroids), "cid")
       .withColumn("cc", graft.functions.GraftFunctions
         .arrayCosine(col("vec"), col("cvec")))

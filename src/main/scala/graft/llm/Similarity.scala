@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -47,6 +47,52 @@ object Similarity {
     require(rows.nonEmpty, s"$who: empty centroid set (empty corpus?)")
     (rows.map(_.getLong(0)), rows.map(_.getSeq[Double](1).toArray))
   }
+
+  /** Driver-side two-level structure over a collected fine-centroid
+    * set, for [[graft.functions.NearestCentroidProbed]]: the coarse
+    * set is the first ceil(sqrt(k)) fine centroids in the SAME LCG
+    * sample order as [[sampleCentroids]] (deterministic, restated by
+    * the oracles as `row_number() <= ceil(sqrt(count(*)))`), and each
+    * fine centroid maps to its highest-cosine coarse cell (ties to
+    * the smaller coarse rank). Cost is k x sqrt(k) driver FLOPs over
+    * an already-collected, bounded-by-construction set.
+    *
+    * @return (coarse vectors in LCG-rank order,
+    *          fine-index -> coarse-index map)
+    */
+  private[llm] def probedStructure(cids: Array[Long],
+      cvs: Array[Array[Double]]): (Array[Array[Double]], Array[Int]) = {
+    val m = cids.length
+    val nCoarse = math.ceil(math.sqrt(m.toDouble)).toInt
+    val order = Array.range(0, m).sortBy(i =>
+      ((cids(i) * 1103515245L + 12345L) % 2147483648L, cids(i)))
+    val coarse = order.take(nCoarse).map(cvs)
+    val f2c = Array.tabulate(m) { i =>
+      var best = -1
+      var bestCos = 0.0
+      var j = 0
+      while (j < coarse.length) {
+        val cos = graft.functions.NearestCentroidProbed
+          .cosineArrays(cvs(i), coarse(j))
+        if (best < 0 || cos > bestCos) { best = j; bestCos = cos }
+        j += 1
+      }
+      best
+    }
+    (coarse, f2c)
+  }
+
+  /** The in-row assignment column for a collected centroid set:
+    * exact argmax ([[graft.functions.NearestCentroids]]) by default,
+    * or the two-level probed form when `coarseProbes > 0`. */
+  private[llm] def assignColumn(vec: Column, cids: Array[Long],
+      cvs: Array[Array[Double]], coarseProbes: Int): Column =
+    if (coarseProbes > 0) {
+      val (coarse, f2c) = probedStructure(cids, cvs)
+      GraftFunctions.nearestCentroidProbed(vec, coarse, cids, cvs,
+        f2c, coarseProbes)
+    } else
+      element_at(GraftFunctions.nearestCentroids(vec, cids, cvs, 1), 1)
 
   /** Shared final ranking of a scored (qid, id, cosine) candidate
     * stream: per-query top-k via [[graft.functions.TopKByScoreAgg]].
@@ -120,7 +166,7 @@ object Similarity {
     * one (cid, dim)-keyed aggregation of |input| x dim rows.
     */
   def refineCentroids(corpus: DataFrame, initial: DataFrame,
-      iterations: Int): DataFrame = {
+      iterations: Int, coarseProbes: Int = 0): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     var cents = initial
     for (_ <- 1 to iterations) {
@@ -136,9 +182,13 @@ object Similarity {
       // letting an empty cids array surface later as silent null cids
       // from element_at.
       val (cids, cvs) = collectCentroids(cents, "refineCentroids")
+      // coarseProbes > 0: the corpus-adaptive-k callers' knob — the
+      // per-iteration assignment drops from k to ~sqrt(k)*(1+probes)
+      // cosines per row via the two-level probed expression
+      // ([[assignColumn]]); 0 keeps the exact argmax.
       val assigned = corpus
-        .withColumn("cid", element_at(GraftFunctions
-          .nearestCentroids(col("vec"), cids, cvs, 1), 1))
+        .withColumn("cid",
+          assignColumn(col("vec"), cids, cvs, coarseProbes))
         .select(col("cid"), col("vec"))
       val perDim = assigned
         .select(col("cid"), posexplode(col("vec")).as(Seq("i", "v")))

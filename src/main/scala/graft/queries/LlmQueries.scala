@@ -262,6 +262,40 @@ object LlmQueries {
         .orderBy("id")
     }),
 
+    // SemDeDup with the IVF-probed two-level assignment (the knob
+    // that bounds the algorithm's own n*k assignment law — measured
+    // 52.7x for 10x data at the 1000x fixture with exact
+    // assignment): coarse set = ceil(sqrt(k)) LCG-prefix centroids,
+    // probe the top-2 coarse cells, exact argmax within the probed
+    // region, for BOTH the Lloyd round and the final assignment.
+    // Full oracle: the two-level rule restated CTE-for-CTE
+    // (including the exact-scan fallback for empty probed regions).
+    "d19_semantic_dedup_probed" -> ((s, dir) => {
+      Dedup.semanticDedup(emb(s, dir), nClusters = 16,
+        lloydIterations = 1, threshold = 0.35, targetCluster = 512,
+        coarseProbes = 2)
+        .orderBy("id")
+    }),
+
+    // d19's full pipeline on the id%31 slice, collapsed to the d18
+    // witness aggregates — carries the probed-assignment family at
+    // the stress fixtures where the full oracle's intra-cluster pair
+    // restatement spills DuckDB past the disk.
+    "d20_semantic_probed_witness" -> ((s, dir) => {
+      val sample = emb(s, dir).where(col("vec_id") % 31 === 7)
+      Dedup.semanticDedup(sample, nClusters = 16,
+        lloydIterations = 1, threshold = 0.35, targetCluster = 512,
+        coarseProbes = 2)
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          coalesce(sum(when(col("kept"), 1L).otherwise(0L)),
+            lit(0L)).as("n_kept"),
+          coalesce(sum((col("id") * 1000003L + col("cid"))
+            % 1000000007L), lit(0L)).as("cid_checksum"),
+          coalesce(sum(floor(col("cent_cosine") * 1e6).cast("long")),
+            lit(0L)).as("ccmil_sum"))
+    }),
+
     // Embedding-cosine near-dup through hyperplane LSH buckets. The
     // plane signs are plan-time constants baked identically into the
     // DuckDB oracle, so the query carries a full oracle. Plane count
@@ -1454,6 +1488,95 @@ object LlmQueries {
                CASE WHEN cc_a > cc_b THEN id_a ELSE id_b END AS id
              FROM p)"""
 
+  /** The probed-assignment variant of [[semChainSql]] (d19/d20):
+    * restates [[graft.functions.NearestCentroidProbed]]'s two-level
+    * rule — coarse set = the first ceil(sqrt(k)) fine centroids in
+    * the LCG sample order, fine->coarse by argmax cosine (ties to
+    * the smaller coarse rank), per-row probing of the top-`probes`
+    * coarse cells (cos desc, rank asc), argmax over fine centroids
+    * in probed cells (cos desc, cid asc), and the exact-scan
+    * fallback for rows whose probed cells hold no fine centroid —
+    * applied to BOTH the Lloyd round and the final assignment, then
+    * the shared pair/keep-rule tail. Emits `asg`/`dropped` exactly
+    * like semChainSql; requires `e(id, v)` and `cent(cid, cv)`
+    * upstream. */
+  private def semChainProbedSql(probes: Int,
+      pairThreshold: String = "0.35"): String = {
+    def probedAssign(fine: String, tag: String): String =
+      s"""crk$tag AS (SELECT cid, cv, row_number() OVER (
+             ORDER BY (cid * 1103515245 + 12345) % 2147483648 ASC,
+               cid ASC) AS crn FROM $fine),
+           nc$tag AS (SELECT ceil(sqrt(count(*)))::INT AS c
+             FROM $fine),
+           co$tag AS (SELECT crn, cv FROM crk$tag, nc$tag
+             WHERE crn <= nc$tag.c),
+           fj$tag AS (SELECT f.cid AS fcid, co.crn,
+               list_cosine_similarity(f.cv, co.cv) AS cos
+             FROM $fine f CROSS JOIN co$tag co),
+           fm$tag AS (SELECT fcid, max(cos) AS mc FROM fj$tag
+             GROUP BY fcid),
+           f2c$tag AS (SELECT fj$tag.fcid, min(fj$tag.crn) AS crn
+             FROM fj$tag JOIN fm$tag ON fm$tag.fcid = fj$tag.fcid
+               AND fj$tag.cos = fm$tag.mc
+             GROUP BY fj$tag.fcid),
+           pj$tag AS MATERIALIZED (SELECT e.id, co.crn,
+               list_cosine_similarity(e.v, co.cv) AS cos
+             FROM e CROSS JOIN co$tag co),
+           pr$tag AS (SELECT id, crn FROM (SELECT id, crn,
+               row_number() OVER (PARTITION BY id
+                 ORDER BY cos DESC, crn ASC) AS r FROM pj$tag)
+             WHERE r <= $probes),
+           cf$tag AS MATERIALIZED (SELECT e.id, f.cid,
+               list_cosine_similarity(e.v, f.cv) AS cos
+             FROM e JOIN pr$tag ON pr$tag.id = e.id
+               JOIN f2c$tag ON f2c$tag.crn = pr$tag.crn
+               JOIN $fine f ON f.cid = f2c$tag.fcid),
+           bb$tag AS (SELECT id, max(cos) AS mc FROM cf$tag
+             GROUP BY id),
+           ac$tag AS (SELECT cf$tag.id, min(cf$tag.cid) AS cid
+             FROM cf$tag JOIN bb$tag ON bb$tag.id = cf$tag.id
+               AND cf$tag.cos = bb$tag.mc
+             GROUP BY cf$tag.id),
+           ms$tag AS (SELECT e.id, e.v FROM e LEFT JOIN ac$tag
+               ON ac$tag.id = e.id WHERE ac$tag.id IS NULL),
+           mj$tag AS (SELECT x.id, f.cid,
+               list_cosine_similarity(x.v, f.cv) AS cos
+             FROM ms$tag x CROSS JOIN $fine f),
+           mm$tag AS (SELECT id, max(cos) AS mc FROM mj$tag
+             GROUP BY id),
+           ma$tag AS (SELECT mj$tag.id, min(mj$tag.cid) AS cid
+             FROM mj$tag JOIN mm$tag ON mm$tag.id = mj$tag.id
+               AND mj$tag.cos = mm$tag.mc
+             GROUP BY mj$tag.id),
+           au$tag AS (SELECT ac$tag.id, ac$tag.cid, bb$tag.mc AS cc
+               FROM ac$tag JOIN bb$tag ON bb$tag.id = ac$tag.id
+             UNION ALL
+             SELECT ma$tag.id, ma$tag.cid, mm$tag.mc AS cc
+               FROM ma$tag JOIN mm$tag ON mm$tag.id = ma$tag.id)"""
+    s"""${probedAssign("cent", "1")},
+           a1 AS MATERIALIZED (SELECT e.id, e.v, au1.cid
+             FROM e JOIN au1 ON au1.id = e.id),
+           m AS (SELECT cid, i,
+               (sum(val::DECIMAL(38,18))::DOUBLE / count(*)) AS mv
+             FROM (SELECT cid, unnest(v) AS val,
+               unnest(range(len(v))) AS i FROM a1)
+             GROUP BY cid, i),
+           c1 AS MATERIALIZED (SELECT cid, list(mv ORDER BY i) AS cv
+             FROM m GROUP BY cid),
+           ${probedAssign("c1", "2")},
+           asg AS MATERIALIZED (SELECT e.id, e.v, au2.cid, au2.cc
+             FROM e JOIN au2 ON au2.id = e.id),
+           p AS (SELECT a.id AS id_a, b.id AS id_b,
+               a.cc AS cc_a, b.cc AS cc_b
+             FROM asg a JOIN asg b
+               ON a.cid = b.cid AND a.id < b.id
+             WHERE list_cosine_similarity(a.v, b.v)
+               >= $pairThreshold),
+           dropped AS MATERIALIZED (SELECT DISTINCT
+               CASE WHEN cc_a > cc_b THEN id_a ELSE id_b END AS id
+             FROM p)"""
+  }
+
   /** Adaptive-k centroid-bootstrap CTE pair shared by the d12/t19/t20
     * oracles: `nk` computes the corpus-adaptive cluster count from
     * `e`'s cardinality and `cent` takes the first k rows of the LCG
@@ -2035,6 +2158,35 @@ object LlmQueries {
              FROM embeddings WHERE vec_id % 31 = 7),
            $adaptiveCentSql,
            ${semChainSql()},
+           verdict AS (SELECT g.id, g.cid,
+               round(g.cc, 6) AS cent_cosine, (d.id IS NULL) AS kept
+             FROM asg g LEFT JOIN dropped d ON g.id = d.id)
+           SELECT count(*)::BIGINT AS n_vecs,
+             coalesce(sum(CASE WHEN kept THEN 1 ELSE 0 END),
+               0)::BIGINT AS n_kept,
+             coalesce(sum((id*1000003 + cid) % 1000000007),
+               0)::BIGINT AS cid_checksum,
+             coalesce(sum(floor(cent_cosine * 1e6)::BIGINT),
+               0)::BIGINT AS ccmil_sum
+           FROM verdict""",
+      // SemDeDup with the two-level probed assignment: the same
+      // adaptive-k bootstrap, the probed-rule CTE chain for both
+      // assignments, the shared pair/keep-rule tail.
+      "d19_semantic_dedup_probed" ->
+        s"""WITH e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             FROM embeddings),
+           $adaptiveCentSql,
+           ${semChainProbedSql(2)}
+           SELECT g.id, g.cid, round(g.cc, 6) AS cent_cosine,
+             (d.id IS NULL) AS kept
+           FROM asg g LEFT JOIN dropped d ON g.id = d.id
+           ORDER BY g.id""",
+      // d19 on the id%31 slice, collapsed to the witness aggregates.
+      "d20_semantic_probed_witness" ->
+        s"""WITH e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             FROM embeddings WHERE vec_id % 31 = 7),
+           $adaptiveCentSql,
+           ${semChainProbedSql(2)},
            verdict AS (SELECT g.id, g.cid,
                round(g.cc, 6) AS cent_cosine, (d.id IS NULL) AS kept
              FROM asg g LEFT JOIN dropped d ON g.id = d.id)

@@ -106,6 +106,109 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.map(_._2).distinct.forall(keptPerCluster.contains))
   }
 
+  test("probed assignment: expression matches a model recomputation " +
+      "and, with every cell probed, the exact argmax") {
+    import graft.functions.{GraftFunctions, NearestCentroidProbed}
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val dim = 6
+    val fineVecs = Array.fill(9)(Array.fill(dim)(rnd.nextGaussian()))
+    val fineCids = Array.tabulate(9)(i => (i * 7 + 3).toLong)
+    val (coarse, f2c) = Similarity.probedStructure(fineCids, fineVecs)
+    assert(coarse.length == 3) // ceil(sqrt(9))
+    val probe = (0 until 40).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian()).toSeq))
+      .toDF("id", "vec")
+    def run(p: Int): Map[Long, Long] = probe
+      .select(col("id"), GraftFunctions.nearestCentroidProbed(
+        col("vec"), coarse, fineCids, fineVecs, f2c, p).as("cid"))
+      .as[(Long, Long)].collect().toMap
+    // model: rank coarse (cos desc, index asc), scan fines in top-p
+    def cosA(a: Array[Double], b: Array[Double]): Double =
+      NearestCentroidProbed.cosineArrays(a, b)
+    val vmap = probe.as[(Long, Seq[Double])].collect().toMap
+      .map { case (k, v) => (k, v.toArray) }
+    for (p <- 1 to 3) {
+      val got = run(p)
+      vmap.foreach { case (id, v) =>
+        val order = coarse.indices
+          .sortBy(j => (-cosA(v, coarse(j)), j)).take(p).toSet
+        val cands = fineVecs.indices.filter(i => order(f2c(i)))
+        // mirror the expression's exact-scan fallback when the
+        // probed cells hold no fine centroid
+        val pool = if (cands.nonEmpty) cands else fineVecs.indices
+        val want = pool
+          .minBy(i => (-cosA(v, fineVecs(i)), fineCids(i)))
+        assert(got(id) == fineCids(want), s"id=$id p=$p")
+      }
+    }
+    // probes >= coarse count == exact NearestCentroids argmax
+    val exact = probe.select(col("id"), element_at(GraftFunctions
+        .nearestCentroids(col("vec"), fineCids, fineVecs, 1), 1)
+        .as("cid"))
+      .as[(Long, Long)].collect().toMap
+    assert(run(3) == exact)
+  }
+
+  test("probed assignment: a probed cell with no fine members falls " +
+      "back to the exact full scan") {
+    import graft.functions.{GraftFunctions, NearestCentroidProbed}
+    GraftFunctions.register(spark)
+    // two coarse cells; every fine centroid lives in cell 1, and the
+    // probe vector is aligned with coarse 0 — probing p=1 selects the
+    // empty cell, so the expression must fall back to the full scan.
+    val coarse = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val fineVecs = Array(Array(0.0, 1.0), Array(0.1, 1.0))
+    val fineCids = Array(10L, 20L)
+    val f2c = Array(1, 1)
+    val v = org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(Array(1.0, 0.05))
+    val got = NearestCentroidProbed.assign(v, coarse, fineCids,
+      fineVecs, f2c, 1)
+    // full scan: fine 1 (cid 20) has the higher cosine to (1, 0.05)
+    val best = fineVecs.indices.minBy(i =>
+      (-NearestCentroidProbed.cosine(v, fineVecs(i)), fineCids(i)))
+    assert(got == fineCids(best))
+  }
+
+  test("semantic dedup: coarseProbes covering every cell reproduces " +
+      "the exact-assignment output row for row") {
+    // k=3 clusters -> coarse count ceil(sqrt(3)) = 2; probing 2 cells
+    // probes everything, so the probed plan must equal the exact one.
+    def collect(probes: Int) =
+      Dedup.semanticDedup(vecs, idCol = "id", vecCol = "vec",
+        nClusters = 3, lloydIterations = 1, threshold = 0.9,
+        coarseProbes = probes)
+        .collect().map(r => (r.getAs[Long]("id"),
+          r.getAs[Long]("cid"), r.getAs[Double]("cent_cosine"),
+          r.getAs[Boolean]("kept"))).sortBy(_._1).toSeq
+    assert(collect(2) == collect(0))
+  }
+
+  test("probed semantic dedup: a genuinely approximate assignment " +
+      "(1 probe) still satisfies the SemDeDup keep/drop rule over " +
+      "the operator's own clusters") {
+    val out = Dedup.semanticDedup(vecs, idCol = "id", vecCol = "vec",
+      nClusters = 3, lloydIterations = 1, threshold = 0.9,
+      coarseProbes = 1)
+    val rows = out.collect().map(r => (r.getAs[Long]("id"),
+      r.getAs[Long]("cid"), r.getAs[Double]("cent_cosine"),
+      r.getAs[Boolean]("kept")))
+    assert(rows.length == 60)
+    val vmap = vecs.as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val dropped = (for {
+      a <- rows; b <- rows
+      if a._2 == b._2 && a._1 < b._1
+      if cos(vmap(a._1), vmap(b._1)) >= 0.9
+    } yield if (a._3 > b._3) a._1 else b._1).toSet
+    assert(rows.filterNot(_._4).map(_._1).toSet == dropped)
+  }
+
   test("semantic dedup: empty corpus yields an empty verdict frame " +
       "(not a failure) in both fixed and adaptive cluster modes") {
     val empty = vecs.where(col("id") < 0)

@@ -108,6 +108,21 @@ class PlanShapeSpec extends SparkSpec {
       "d12 intra-cluster self-join is not sort-merge")
     assert(!d12.contains("BroadcastNestedLoopJoin"),
       "d12 crossJoins for assignment")
+    // d19: the probed variant keeps the SAME posture — the two-level
+    // assignment is the in-row nearest_centroid_probed expression
+    // (coarse ranking + probed fine scan inside codegen; no coarse
+    // join, no window, no extra exchange vs d12).
+    val d19 = plan("d19_semantic_dedup_probed")
+    assert(d19.contains("nearest_centroid_probed"),
+      "d19 lost the in-row probed assignment expression")
+    assert(!d19.contains("nearest_centroids("),
+      "d19 fell back to the exact assignment expression")
+    assert(d19.contains("SortMergeJoin"),
+      "d19 intra-cluster self-join is not sort-merge")
+    assert(!d19.contains("BroadcastNestedLoopJoin"),
+      "d19 crossJoins for assignment")
+    assert(!"\\bWindow\\b".r.findAllIn(d19).hasNext,
+      "d19 grew a Window node")
     // t17: the global top-k must short-circuit, the df/stats sides
     // must broadcast (never shuffle the postings against a 5-row df).
     val t17 = plan("t17_bm25")

@@ -260,11 +260,10 @@ object CdcQueries {
       import graft.io.Lake
       import graft.jobs.Jobs
       Lake.configure(s)
-      val lakePath =
-        s"${System.getProperty("java.io.tmpdir")}/graft_c13_lake"
-      val lp = new org.apache.hadoop.fs.Path(lakePath)
-      val fs = lp.getFileSystem(s.sessionState.newHadoopConf())
-      fs.delete(lp, true)
+      // Invocation-unique scratch lake (graft.core.Scratch): a fixed
+      // well-known path lets a concurrent JVM running this gate at a
+      // different fixture interleave deletes/writes with ours.
+      val lakePath = graft.core.Scratch.dir("graft_c13_lake") + "/lake"
 
       // Raw source rows: wall-clock date_time, shifted 15 years back
       // on every 11th row so the pre-MIN_DATE backfill path has data.
@@ -317,11 +316,13 @@ object CdcQueries {
       import graft.jobs.Jobs
       import graft.streaming.StreamOps
       Lake.configure(s)
-      val base =
-        s"${System.getProperty("java.io.tmpdir")}/graft_c16"
-      val bp = new org.apache.hadoop.fs.Path(base)
-      val fs = bp.getFileSystem(s.sessionState.newHadoopConf())
-      fs.delete(bp, true)
+      // Invocation-unique scratch root (graft.core.Scratch): this
+      // gate also runs from test suites (AnsiModeSpec,
+      // SessionIsolationSpec) — with a fixed path, a test JVM at
+      // sf0.001 racing a Verify JVM at a stress fixture interleaved
+      // deletes/writes on the shared lake and the surviving dump was
+      // a silent two-fixture mixture (caught by the 10x hash gate).
+      val base = graft.core.Scratch.dir("graft_c16")
       val lakePath = s"$base/lake"
       val binlogDir = s"$base/binlog"
       new java.io.File(binlogDir).mkdirs()
@@ -351,14 +352,12 @@ object CdcQueries {
       // the operator under test.
       val chunkSize = math.max(1250L, ev.count() / 8L + 1L)
       val chunkTexts = binlogChunks(s, dir, chunkSize).collect()
-      def writeFile(num: Long, text: String): Unit = {
-        val f = new java.io.File(binlogDir, f"mysql-bin.$num%06d")
-        java.nio.file.Files.write(f.toPath, text.getBytes("UTF-8"))
-        // Distinct ascending mtimes: the file source's discovery
-        // order (oldest first) must match binlog order for the
-        // sequential merges to apply last-write-wins correctly.
-        f.setLastModified(1700000000000L + num * 60000L)
-      }
+      // Distinct ascending mtimes (binlog order), dropped via the
+      // atomic stage-then-rename contract (graft.cdc.BinlogFiles) —
+      // an in-place write races the source's mtime-age filter.
+      def writeFile(num: Long, text: String): Unit =
+        graft.cdc.BinlogFiles.drop(binlogDir, num, text,
+          1700000000000L + num * 60000L)
 
       // ONE continuous job: file stream → parse → consolidate →
       // foreachBatch merge, driven file-by-file.
@@ -408,11 +407,8 @@ object CdcQueries {
     "c15_compaction" -> ((s, dir) => {
       import graft.io.Lake
       Lake.configure(s)
-      val lakePath =
-        s"${System.getProperty("java.io.tmpdir")}/graft_c15_lake"
-      val lp = new org.apache.hadoop.fs.Path(lakePath)
-      val fs = lp.getFileSystem(s.sessionState.newHadoopConf())
-      fs.delete(lp, true)
+      // Invocation-unique scratch lake — same rationale as c13/c16.
+      val lakePath = graft.core.Scratch.dir("graft_c15_lake") + "/lake"
       val rows = tsRows(s, dir)
         .withColumn("day", substring(col("date_time"), 1, 10))
       Lake.write(rows.repartition(8), lakePath)

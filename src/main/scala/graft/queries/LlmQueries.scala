@@ -28,23 +28,6 @@ object LlmQueries {
   private val t23FilterVerdict =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
-  /** Registered scratch dirs (s09's persisted index) deleted when the
-    * JVM exits: the dir must outlive the returned (lazy) DataFrame,
-    * so in-query deletion is impossible — but without cleanup every
-    * Verify/Bench process leaks a corpus-sized parquet copy into
-    * java.io.tmpdir (unbounded /tmp growth across runs). */
-  private val scratchDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def deleteOnExit(dir: String): Unit =
-    if (scratchDirs.add(dir))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(dir))
-      }))
-
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -405,7 +388,7 @@ object LlmQueries {
       val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
         dir.replaceAll("[^A-Za-z0-9]", "_") +
         s"_${ProcessHandle.current().pid()}"
-      deleteOnExit(idx)
+      graft.core.Scratch.deleteOnExit(idx)
       cent.write.mode("overwrite").parquet(s"$idx/centroids")
       lists.write.mode("overwrite").partitionBy("cid")
         .parquet(s"$idx/lists")

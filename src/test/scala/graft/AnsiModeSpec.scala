@@ -12,13 +12,11 @@ class AnsiModeSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  // Side-effecting lifecycle queries excluded (they rewrite on-disk
-  // lakes; the driver gate runs them), as in SessionIsolationSpec.
-  private val excluded = Set("c13_lifecycle", "c15_compaction")
-
   test("every query fully evaluates under ANSI mode") {
-    for (n <- SparkEntry.queries.keys.toSeq.sorted
-        if !excluded(n)) {
+    // Lifecycle queries included: their scratch lakes are
+    // invocation-unique (graft.core.Scratch), so running them here
+    // can no longer race a concurrent Verify/Bench JVM.
+    for (n <- SparkEntry.queries.keys.toSeq.sorted) {
       val fresh = spark.newSession()
       fresh.conf.set("spark.sql.ansi.enabled", "true")
       try SparkEntry.queries(n)(fresh, dir)

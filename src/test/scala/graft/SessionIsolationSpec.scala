@@ -10,13 +10,11 @@ class SessionIsolationSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  // Side-effecting lifecycle queries excluded (they rewrite on-disk
-  // lakes and are exercised by the driver gate); everything else runs.
-  private val excluded = Set("c13_lifecycle", "c15_compaction")
-
   test("each query executes in an isolated fresh session") {
-    for (n <- SparkEntry.queries.keys.toSeq.sorted
-        if !excluded(n)) {
+    // Lifecycle queries included: their scratch lakes are
+    // invocation-unique (graft.core.Scratch), so running them here
+    // can no longer race a concurrent Verify/Bench JVM.
+    for (n <- SparkEntry.queries.keys.toSeq.sorted) {
       val fresh = spark.newSession()
       val rows =
         try SparkEntry.queries(n)(fresh, dir).limit(5).count()

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 import graft.SparkSpec
-import graft.cdc.Consolidate
+import graft.cdc.{BinlogFiles, Consolidate}
 import graft.core.Schemas.ChangeEvent
 import graft.io.Lake
 
@@ -74,11 +74,9 @@ class StreamLifecycleSpec extends SparkSpec {
   }
 
   private def writeFile(dir: String, num: Int, evs: Seq[ChangeEvent])
-      : Unit = {
-    val f = Paths.get(dir, f"mysql-bin.$num%06d")
-    Files.writeString(f, evs.map(render).mkString)
-    f.toFile.setLastModified(1700000000000L + num * 60000L)
-  }
+      : Unit =
+    BinlogFiles.drop(dir, num, evs.map(render).mkString,
+      1700000000000L + num * 60000L)
 
   private def lakeRows(s: SparkSession, path: String)
       : Seq[(Long, String, Option[Double], String)] = {

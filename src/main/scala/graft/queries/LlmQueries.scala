@@ -28,6 +28,12 @@ object LlmQueries {
   private val t23FilterVerdict =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** t19/t22's slots, one each — same concurrency rationale. */
+  private val t19FilterVerdict =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private val t22FilterVerdict =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -620,14 +626,28 @@ object LlmQueries {
     }),
 
     // Second-generation curation composition: the round's new stages
-    // prove they COMPOSE — perplexity-proxy outlier filter (t18's
-    // operator) intersected with semantic-dedup survivors (d12's
-    // operator over the aligned embeddings), rolled up per source.
+    // prove they COMPOSE — perplexity-proxy quality filter (t18's
+    // operator, corpus-quantile keep threshold) intersected with
+    // semantic-dedup survivors (d12's operator over the FULL aligned
+    // embeddings — verdicts independent of the filter, t20 is the
+    // conditioned variant), rolled up per source. The filter is the
+    // quantile threshold, not t18's fixed is_outlier cutoff: the
+    // fixed cutoff empties the composition outright when the corpus
+    // distribution shifts (observed at the 100x fixture via the t22
+    // witness — 0 rows at exactly the scale the witness exists for).
     // Full oracle: the t18 and d12 oracle fragments CTE-chained.
     "t19_curation_semantic" -> ((s, dir) => {
       val d = docs(s, dir)
-      val lm = LanguageModel.unigramSurprisal(d)
-        .where(!col("is_outlier"))
+      // Cached once (bounded slot): the quantile threshold and the
+      // final join both read the scored frame — see t20's comment.
+      val scored = Dedup.swapCached(t19FilterVerdict,
+        LanguageModel.unigramSurprisal(d)
+          .select(col("doc_id"), col("n_tokens"),
+            col("mean_surprisal")))
+      val thr = LanguageModel.surprisalKeepThreshold(scored)
+      val lm = scored
+        .crossJoin(broadcast(thr))
+        .where(col("mean_surprisal") <= col("ms_thr"))
         .select(col("doc_id"), col("n_tokens"))
       val sem = Dedup.semanticDedup(emb(s, dir), nClusters = 16,
         lloydIterations = 1, threshold = 0.35, targetCluster = 512)
@@ -694,17 +714,24 @@ object LlmQueries {
     }),
 
     // t19's FULL composition on the id%31 witness slice (the d18
-    // pattern): corpus-MLE surprisal over the sliced corpus, outlier
-    // filter, semantic dedup over the sliced embeddings, per-source
-    // rollup (already an order-free aggregate). At the 100x fixture
+    // pattern): corpus-MLE surprisal over the sliced corpus, the
+    // slice's own quantile keep-threshold, semantic dedup over the
+    // sliced embeddings, per-source rollup (already an order-free
+    // aggregate). At the 100x fixture
     // t19's full oracle spills DuckDB past the disk (SemDeDup CTEs
     // over 200k 64-dim vectors); the slice keeps a FULL oracle
     // tractable there — this witness carries the curation-composition
     // family's verification frontier to 100x.
     "t22_curation_semantic_witness" -> ((s, dir) => {
       val d = docs(s, dir).where(col("doc_id") % 31 === 7)
-      val lm = LanguageModel.unigramSurprisal(d)
-        .where(!col("is_outlier"))
+      val scored = Dedup.swapCached(t22FilterVerdict,
+        LanguageModel.unigramSurprisal(d)
+          .select(col("doc_id"), col("n_tokens"),
+            col("mean_surprisal")))
+      val thr = LanguageModel.surprisalKeepThreshold(scored)
+      val lm = scored
+        .crossJoin(broadcast(thr))
+        .where(col("mean_surprisal") <= col("ms_thr"))
         .select(col("doc_id"), col("n_tokens"))
       val sem = Dedup.semanticDedup(
         emb(s, dir).where(col("vec_id") % 31 === 7), nClusters = 16,
@@ -2581,6 +2608,12 @@ object LlmQueries {
                  ::DECIMAL(38,18))::DOUBLE / count(*) AS ms
              FROM gg JOIN f USING (term) CROSS JOIN tot
              GROUP BY doc_id),
+           samp AS (SELECT round(ms, 6) AS msr FROM lmk
+             WHERE doc_id % 7 = 3),
+           thr AS (SELECT coalesce(quantile_disc(msr, 0.9),
+               'infinity'::DOUBLE) AS ms_thr FROM samp),
+           keep AS (SELECT doc_id, n_tokens FROM lmk CROSS JOIN thr
+             WHERE round(ms, 6) <= ms_thr),
            e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
              FROM embeddings),
            $adaptiveCentSql,
@@ -2589,9 +2622,9 @@ object LlmQueries {
              LEFT JOIN dropped dd ON g.id = dd.id
              WHERE dd.id IS NULL)
            SELECT d.source, count(*) AS n_docs,
-             sum(lmk.n_tokens)::BIGINT AS sum_tokens
+             sum(keep.n_tokens)::BIGINT AS sum_tokens
            FROM documents d
-           JOIN lmk ON d.doc_id = lmk.doc_id AND NOT (lmk.ms > 3.45)
+           JOIN keep ON d.doc_id = keep.doc_id
            JOIN semk ON d.doc_id = semk.id
            GROUP BY d.source ORDER BY d.source""",
       // Filtered-first composition: t19's CTE chain, except the
@@ -2652,6 +2685,12 @@ object LlmQueries {
                  ::DECIMAL(38,18))::DOUBLE / count(*) AS ms
              FROM gg JOIN f USING (term) CROSS JOIN tot
              GROUP BY doc_id),
+           samp AS (SELECT round(ms, 6) AS msr FROM lmk
+             WHERE doc_id % 7 = 3),
+           thr AS (SELECT coalesce(quantile_disc(msr, 0.9),
+               'infinity'::DOUBLE) AS ms_thr FROM samp),
+           keep AS (SELECT doc_id, n_tokens FROM lmk CROSS JOIN thr
+             WHERE round(ms, 6) <= ms_thr),
            e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v
              FROM embeddings WHERE vec_id % 31 = 7),
            $adaptiveCentSql,
@@ -2660,9 +2699,9 @@ object LlmQueries {
              LEFT JOIN dropped dd ON g.id = dd.id
              WHERE dd.id IS NULL)
            SELECT d.source, count(*) AS n_docs,
-             sum(lmk.n_tokens)::BIGINT AS sum_tokens
+             sum(keep.n_tokens)::BIGINT AS sum_tokens
            FROM d31 d
-           JOIN lmk ON d.doc_id = lmk.doc_id AND NOT (lmk.ms > 3.45)
+           JOIN keep ON d.doc_id = keep.doc_id
            JOIN semk ON d.doc_id = semk.id
            GROUP BY d.source ORDER BY d.source""",
       // t20's filtered-first chain on the slice: the quantile

@@ -78,6 +78,14 @@ object Bench {
 
     def runOnce(name: String): Double = {
       ensureSession()
+      // Standalone per-query numbers: drop anything a previous query
+      // (or rep) left cached — the reuse-on-identical-plan slots
+      // (Dedup.swapCached) would otherwise let a later invocation
+      // measure cache reads where the earlier one measured the build.
+      try spark.catalog.clearCache()
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] clearCache failed: ${e.getMessage}")
+      }
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

@@ -455,10 +455,36 @@ object Dedup {
     * operator runs in one session, at most ONE of its cached subtrees
     * is live — the same discipline as [[semanticDedup]]'s assignment
     * cache, factored out for other multi-reference compositions
-    * (e.g. the filtered-first curation's filter-verdict frame). */
+    * (e.g. the filtered-first curation's filter-verdict frame).
+    *
+    * REUSE: when the slot's occupant answers the SAME query
+    * (canonical-plan `sameResult`, same live session) and is still
+    * cached, it is returned as-is — no unpersist, no recompute. This
+    * is what lets compositions that share an expensive verdict frame
+    * (t19/t20's corpus surprisal scores, t22/t23's slice scores)
+    * share one slot AND one materialization: the first of the pair
+    * builds, the rest read, and concurrent invocations can never
+    * unpersist a frame a sibling is mid-scan on (identical plans take
+    * the reuse path, which never swaps). The production analogue is a
+    * persisted filter verdict computed once per corpus version and
+    * consumed by every downstream composition. */
   private[graft] def swapCached(
       slot: java.util.concurrent.atomic.AtomicReference[DataFrame],
       df: DataFrame): DataFrame = {
+    val prev = slot.get()
+    if (prev != null) {
+      val reusable =
+        try prev.sparkSession.eq(df.sparkSession) &&
+          !prev.sparkSession.sparkContext.isStopped &&
+          prev.storageLevel !=
+            org.apache.spark.storage.StorageLevel.NONE &&
+          prev.queryExecution.analyzed
+            .sameResult(df.queryExecution.analyzed)
+        // A dead context (bench session rebuild) must fall through to
+        // the swap path, never poison the invocation.
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (reusable) return prev
+    }
     slot.getAndSet(null) match {
       case null => ()
       // The previous occupant may belong to a session that has since

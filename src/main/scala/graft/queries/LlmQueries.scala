@@ -17,21 +17,21 @@ import graft.llm.{Chunking, Contamination, Dedup, LanguageModel, MediaCodecs, Mu
   */
 object LlmQueries {
 
-  /** One live cache slot for t20's surprisal filter verdict (see the
-    * query's comment; the swap discipline is [[Dedup.swapCached]]'s). */
-  private val t20FilterVerdict =
+  /** One live cache slot for the full-corpus surprisal filter verdict
+    * (t19 + t20 build the IDENTICAL scored frame; with
+    * [[Dedup.swapCached]]'s reuse-on-identical-plan path, whichever
+    * runs first materializes and the other reads the same cache —
+    * including under Verify's concurrent pool, where identical plans
+    * can never unpersist each other mid-scan). */
+  private val corpusScoredVerdict =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
-  /** t23's own slot — the witness runs concurrently with t20 under
-    * Verify's thread pool, so sharing t20's slot would let one query
-    * unpersist the frame the other is mid-scan on. */
-  private val t23FilterVerdict =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-
-  /** t19/t22's slots, one each — same concurrency rationale. */
-  private val t19FilterVerdict =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-  private val t22FilterVerdict =
+  /** The id%31-slice verdict (t22 + t23), its own slot: the slice
+    * plan DIFFERS from the corpus plan, and a differing plan takes
+    * the swap path — sharing one slot across the two plan shapes
+    * would let a witness swap out the frame a full query is
+    * mid-scan on under the concurrent pool. */
+  private val sliceScoredVerdict =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -640,7 +640,7 @@ object LlmQueries {
       val d = docs(s, dir)
       // Cached once (bounded slot): the quantile threshold and the
       // final join both read the scored frame — see t20's comment.
-      val scored = Dedup.swapCached(t19FilterVerdict,
+      val scored = Dedup.swapCached(corpusScoredVerdict,
         LanguageModel.unigramSurprisal(d)
           .select(col("doc_id"), col("n_tokens"),
             col("mean_surprisal")))
@@ -689,7 +689,7 @@ object LlmQueries {
       // absolute cutoff: a fixed cutoff empties the filtered corpus
       // outright when the distribution shifts (observed at the 100x
       // fixture), turning the composition into a no-op.
-      val scored = Dedup.swapCached(t20FilterVerdict,
+      val scored = Dedup.swapCached(corpusScoredVerdict,
         LanguageModel.unigramSurprisal(d)
           .select(col("doc_id"), col("n_tokens"),
             col("mean_surprisal")))
@@ -724,7 +724,7 @@ object LlmQueries {
     // family's verification frontier to 100x.
     "t22_curation_semantic_witness" -> ((s, dir) => {
       val d = docs(s, dir).where(col("doc_id") % 31 === 7)
-      val scored = Dedup.swapCached(t22FilterVerdict,
+      val scored = Dedup.swapCached(sliceScoredVerdict,
         LanguageModel.unigramSurprisal(d)
           .select(col("doc_id"), col("n_tokens"),
             col("mean_surprisal")))
@@ -753,7 +753,7 @@ object LlmQueries {
     // downstream of the filter) preserved on the slice.
     "t23_curation_filtered_witness" -> ((s, dir) => {
       val d = docs(s, dir).where(col("doc_id") % 31 === 7)
-      val scored = Dedup.swapCached(t23FilterVerdict,
+      val scored = Dedup.swapCached(sliceScoredVerdict,
         LanguageModel.unigramSurprisal(d)
           .select(col("doc_id"), col("n_tokens"),
             col("mean_surprisal")))

@@ -617,4 +617,42 @@ class DedupSimilaritySpec extends SparkSpec {
       w / graft.functions.PolyHash.P2 == n
     }, "wide key high part must be the narrow hash")
   }
+
+  test("swapCached reuses an identical-plan occupant and swaps a " +
+      "differing one") {
+    val slot =
+      new java.util.concurrent.atomic.AtomicReference[
+        org.apache.spark.sql.DataFrame](null)
+    def scored = Seq((1L, 2.0), (2L, 3.0), (3L, 5.0))
+      .toDF("doc_id", "ms").where(col("doc_id") % 2 === 1)
+    val first = Dedup.swapCached(slot, scored)
+    // Identical plan (built fresh, new expression ids): the SAME
+    // cached frame comes back — no second materialization, and a
+    // concurrent sibling can never unpersist it mid-scan.
+    val second = Dedup.swapCached(slot, scored)
+    assert(second eq first, "identical plan must reuse the occupant")
+    assert(first.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
+    // A differing plan takes the swap path: old occupant unpersisted,
+    // new one cached and stored.
+    val other = Dedup.swapCached(slot,
+      Seq((9L, 1.0)).toDF("doc_id", "ms"))
+    assert(!(other eq first))
+    assert(first.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "swapped-out occupant must be unpersisted")
+    assert(other.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
+    // An occupant evicted behind the slot's back (bench clearCache)
+    // is NOT reused: the caller gets a freshly cached frame.
+    spark.catalog.clearCache()
+    val rebuilt = Dedup.swapCached(slot,
+      Seq((9L, 1.0)).toDF("doc_id", "ms"))
+    assert(!(rebuilt eq other),
+      "an uncached occupant must be rebuilt, not reused")
+    assert(rebuilt.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
+    Dedup.swapCached(slot, scored): Unit // leave nothing cached…
+    spark.catalog.clearCache()           // …for later suites
+  }
 }

@@ -173,6 +173,13 @@ class PlanShapeSpec extends SparkSpec {
       s"t20 regrew a global limit funnel:\n$p")
     assert(!p.contains("TakeOrderedAndProject"),
       s"t20 regrew a sort+limit threshold:\n$p")
+    // t19 rides the same quantile threshold since the fixed-cutoff
+    // degeneracy fix — same funnel pins.
+    val p19 = plan("t19_curation_semantic")
+    assert(!p19.contains("GlobalLimit"),
+      s"t19 regrew a global limit funnel:\n$p19")
+    assert(!p19.contains("TakeOrderedAndProject"),
+      s"t19 regrew a sort+limit threshold:\n$p19")
   }
 
   test("no query materializes the plan to an RDD (ScanRDD leaf)") {

@@ -20,17 +20,19 @@ object LanguageModel {
   /** Per-document mean unigram surprisal over the corpus MLE.
     *
     * Scale posture: the tokenize+explode subtree feeds two different
-    * shuffles (the vocabulary-sized frequency aggregation and the
-    * scoring join), whose plans diverge above the scan — so the
+    * shuffles (the map-side-combined (doc, term, k) pair aggregation,
+    * off which the vocabulary frequency table hangs, and the scoring
+    * join), whose plans diverge above the scan — so the
     * normalize/split/explode pass runs TWICE per query. At 100 TB the
-    * caller amortizes it by persisting the exploded (doc_id, term)
+    * caller amortizes it by persisting the (doc_id, term, k) pair
     * frame (or materializing the frequency table once per corpus
     * snapshot and reusing it across scoring runs — the production
-    * shape, since the LM changes far less often than the batch). The
-    * per-token `-ln p` terms sum in DECIMAL(38,18) per document so
-    * the mean is partition-order independent and restatable
-    * bit-identically by an external engine. Nothing wider than
-    * (doc_id, term) crosses a shuffle.
+    * shape, since the LM changes far less often than the batch). Both
+    * shuffles carry DISTINCT (doc, term) pairs, never raw token
+    * instances. The per-pair `k * -ln p` terms sum in DECIMAL(38,18)
+    * per document so the mean is partition-order independent and
+    * restatable bit-identically by an external engine. Nothing wider
+    * than (doc_id, term, k) crosses a shuffle.
     *
     * At 100 TB the frequency table is still vocabulary-sized (tens of
     * millions of rows at web scale — a shuffle aggregation, then a
@@ -46,18 +48,33 @@ object LanguageModel {
       .select(col(idCol).as("doc_id"),
         explode(tokens(col(textCol))).as("term"))
       .where(length(col("term")) > 0)
-    val freq = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+    // Collapse to distinct (doc, term) pairs with in-doc multiplicity
+    // k BEFORE the vocabulary join: the join and the per-doc
+    // aggregation then shuffle |distinct pairs| rows instead of
+    // |token instances| (~2.3x fewer on the fixtures; Zipfian text
+    // repeats common terms within a document far more, so the gap
+    // widens with corpus realism). The pair aggregation itself is
+    // map-side combinable on the narrow (doc_id, term) key.
+    val dt = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("k"))
+    val freq = dt.groupBy("term").agg(sum(col("k")).as("cnt"))
     // One row: the exact corpus token total (sum of longs).
     val total = freq.agg(sum(col("cnt")).as("total"))
-    val scored = tok
+    // Exactness discipline: the per-pair contribution k * (-ln p) is
+    // one IEEE product cast to DECIMAL(38,18), and the per-doc sum is
+    // exact decimal addition — partition-order independent and
+    // restated term-for-term by the DuckDB oracles (multiplying the
+    // CAST decimal by k instead would round at Spark's adjusted
+    // product scale and break bit-parity).
+    val scored = dt
       .join(freq, "term")
       .crossJoin(broadcast(total))
       .withColumn("surprisal",
         -log(col("cnt").cast("double") / col("total").cast("double")))
     scored.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        (sum(col("surprisal").cast("decimal(38,18)")).cast("double")
-          / count(lit(1))).as("ms"))
+      .agg(sum(col("k")).as("n_tokens"),
+        (sum((col("k").cast("double") * col("surprisal"))
+            .cast("decimal(38,18)")).cast("double")
+          / sum(col("k"))).as("ms"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("ms"), 6).as("mean_surprisal"),
         (col("ms") > outlierAbove).as("is_outlier"))

@@ -2601,12 +2601,14 @@ object LlmQueries {
         s"""WITH gg AS (SELECT doc_id, term FROM (
              SELECT doc_id, unnest(string_split($norm, ' ')) AS term
              FROM documents) WHERE len(term) > 0),
-           f AS (SELECT term, count(*) AS cnt FROM gg GROUP BY term),
+           dt AS (SELECT doc_id, term, count(*) AS k FROM gg
+             GROUP BY doc_id, term),
+           f AS (SELECT term, sum(k) AS cnt FROM dt GROUP BY term),
            tot AS (SELECT sum(cnt) AS total FROM f),
-           lmk AS (SELECT doc_id, count(*) AS n_tokens,
-               sum((-ln(cnt::DOUBLE / total::DOUBLE))
-                 ::DECIMAL(38,18))::DOUBLE / count(*) AS ms
-             FROM gg JOIN f USING (term) CROSS JOIN tot
+           lmk AS (SELECT doc_id, sum(k)::BIGINT AS n_tokens,
+               sum((k * (-ln(cnt::DOUBLE / total::DOUBLE)))
+                 ::DECIMAL(38,18))::DOUBLE / sum(k) AS ms
+             FROM dt JOIN f USING (term) CROSS JOIN tot
              GROUP BY doc_id),
            samp AS (SELECT round(ms, 6) AS msr FROM lmk
              WHERE doc_id % 7 = 3),
@@ -2643,12 +2645,14 @@ object LlmQueries {
         s"""WITH gg AS (SELECT doc_id, term FROM (
              SELECT doc_id, unnest(string_split($norm, ' ')) AS term
              FROM documents) WHERE len(term) > 0),
-           f AS (SELECT term, count(*) AS cnt FROM gg GROUP BY term),
+           dt AS (SELECT doc_id, term, count(*) AS k FROM gg
+             GROUP BY doc_id, term),
+           f AS (SELECT term, sum(k) AS cnt FROM dt GROUP BY term),
            tot AS (SELECT sum(cnt) AS total FROM f),
-           lmk AS (SELECT doc_id, count(*) AS n_tokens,
-               sum((-ln(cnt::DOUBLE / total::DOUBLE))
-                 ::DECIMAL(38,18))::DOUBLE / count(*) AS ms
-             FROM gg JOIN f USING (term) CROSS JOIN tot
+           lmk AS (SELECT doc_id, sum(k)::BIGINT AS n_tokens,
+               sum((k * (-ln(cnt::DOUBLE / total::DOUBLE)))
+                 ::DECIMAL(38,18))::DOUBLE / sum(k) AS ms
+             FROM dt JOIN f USING (term) CROSS JOIN tot
              GROUP BY doc_id),
            samp AS (SELECT round(ms, 6) AS msr FROM lmk
              WHERE doc_id % 7 = 3),
@@ -2678,12 +2682,14 @@ object LlmQueries {
            gg AS (SELECT doc_id, term FROM (
              SELECT doc_id, unnest(string_split($norm, ' ')) AS term
              FROM d31) WHERE len(term) > 0),
-           f AS (SELECT term, count(*) AS cnt FROM gg GROUP BY term),
+           dt AS (SELECT doc_id, term, count(*) AS k FROM gg
+             GROUP BY doc_id, term),
+           f AS (SELECT term, sum(k) AS cnt FROM dt GROUP BY term),
            tot AS (SELECT sum(cnt) AS total FROM f),
-           lmk AS (SELECT doc_id, count(*) AS n_tokens,
-               sum((-ln(cnt::DOUBLE / total::DOUBLE))
-                 ::DECIMAL(38,18))::DOUBLE / count(*) AS ms
-             FROM gg JOIN f USING (term) CROSS JOIN tot
+           lmk AS (SELECT doc_id, sum(k)::BIGINT AS n_tokens,
+               sum((k * (-ln(cnt::DOUBLE / total::DOUBLE)))
+                 ::DECIMAL(38,18))::DOUBLE / sum(k) AS ms
+             FROM dt JOIN f USING (term) CROSS JOIN tot
              GROUP BY doc_id),
            samp AS (SELECT round(ms, 6) AS msr FROM lmk
              WHERE doc_id % 7 = 3),
@@ -2713,12 +2719,14 @@ object LlmQueries {
            gg AS (SELECT doc_id, term FROM (
              SELECT doc_id, unnest(string_split($norm, ' ')) AS term
              FROM d31) WHERE len(term) > 0),
-           f AS (SELECT term, count(*) AS cnt FROM gg GROUP BY term),
+           dt AS (SELECT doc_id, term, count(*) AS k FROM gg
+             GROUP BY doc_id, term),
+           f AS (SELECT term, sum(k) AS cnt FROM dt GROUP BY term),
            tot AS (SELECT sum(cnt) AS total FROM f),
-           lmk AS (SELECT doc_id, count(*) AS n_tokens,
-               sum((-ln(cnt::DOUBLE / total::DOUBLE))
-                 ::DECIMAL(38,18))::DOUBLE / count(*) AS ms
-             FROM gg JOIN f USING (term) CROSS JOIN tot
+           lmk AS (SELECT doc_id, sum(k)::BIGINT AS n_tokens,
+               sum((k * (-ln(cnt::DOUBLE / total::DOUBLE)))
+                 ::DECIMAL(38,18))::DOUBLE / sum(k) AS ms
+             FROM dt JOIN f USING (term) CROSS JOIN tot
              GROUP BY doc_id),
            samp AS (SELECT round(ms, 6) AS msr FROM lmk
              WHERE doc_id % 7 = 3),
@@ -2747,12 +2755,14 @@ object LlmQueries {
         s"""WITH gg AS (SELECT doc_id, term FROM (
              SELECT doc_id, unnest(string_split($norm, ' ')) AS term
              FROM documents) WHERE len(term) > 0),
-           f AS (SELECT term, count(*) AS cnt FROM gg GROUP BY term),
+           dt AS (SELECT doc_id, term, count(*) AS k FROM gg
+             GROUP BY doc_id, term),
+           f AS (SELECT term, sum(k) AS cnt FROM dt GROUP BY term),
            tot AS (SELECT sum(cnt) AS total FROM f),
-           s AS (SELECT doc_id, count(*) AS n_tokens,
-               sum((-ln(cnt::DOUBLE / total::DOUBLE))
-                 ::DECIMAL(38,18))::DOUBLE / count(*) AS ms
-             FROM gg JOIN f USING (term) CROSS JOIN tot
+           s AS (SELECT doc_id, sum(k)::BIGINT AS n_tokens,
+               sum((k * (-ln(cnt::DOUBLE / total::DOUBLE)))
+                 ::DECIMAL(38,18))::DOUBLE / sum(k) AS ms
+             FROM dt JOIN f USING (term) CROSS JOIN tot
              GROUP BY doc_id)
            SELECT doc_id, n_tokens, round(ms, 6) AS mean_surprisal,
              ms > 3.45 AS is_outlier

@@ -470,7 +470,13 @@ object Dedup {
     * consumed by every downstream composition. */
   private[graft] def swapCached(
       slot: java.util.concurrent.atomic.AtomicReference[DataFrame],
-      df: DataFrame): DataFrame = {
+      df: DataFrame): DataFrame = slot.synchronized {
+    // Serialized per slot: two concurrent identical-plan callers
+    // (t19 + t20 under Verify's thread pool, slot still empty) would
+    // otherwise BOTH materialize, and the loser's corpus-cardinality
+    // cached copy would stay live for the session. The second caller
+    // now waits out the first's build and takes the reuse path.
+    // Different slots never contend.
     val prev = slot.get()
     if (prev != null) {
       val reusable =

@@ -792,4 +792,51 @@ object Dedup {
       .withColumn("dup_fraction", round(col("dup_grams")
         .cast("double") / col("n_grams").cast("double"), 6))
   }
+
+  /** Benchmark decontamination: flag every corpus document that
+    * shares at least one exact character n-gram with a held-out
+    * benchmark/evaluation set — the overlap-scrub training pipelines
+    * run before releasing a corpus (Brown et al., "Language Models
+    * are Few-Shot Learners", NeurIPS 2020, Appendix C, which scrubs
+    * on 13-gram collisions; the gram length is a parameter here).
+    *
+    * Gram keys are the same injective-in-practice two-family 64-bit
+    * pack as [[duplicatedNgramStats]] (hash equality stands in for
+    * gram equality — the d11 contract), over the same normalized
+    * text and the same whole-text short arm for documents shorter
+    * than `gramChars`.
+    *
+    * Scale shape: the benchmark side collapses to DISTINCT gram keys
+    * (one long per gram) and is explicitly broadcast — a benchmark is
+    * orders of magnitude smaller than the corpus, so the corpus gram
+    * stream crosses NO exchange for the probe: scan → explode →
+    * broadcast-hash left join → map-side-combined per-doc rollup.
+    * Only (doc_id, n_grams, hit_grams) partials shuffle. At 100 TB
+    * that is one corpus read, no corpus shuffle.
+    *
+    * @return one row per corpus document: (doc_id, n_grams,
+    *         hit_grams, contaminated) — `hit_grams` counts gram
+    *         INSTANCES whose key appears anywhere in the benchmark,
+    *         `contaminated` = any hit (the scrub predicate)
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      gramChars: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def gramKey(c: org.apache.spark.sql.Column) =
+      graft.functions.GraftFunctions
+        .polyShingleHashesWideAll(c, gramChars)
+    val bGrams = benchmark
+      .select(explode(gramKey(col(textCol))).as("g"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val cGrams = graft.core.Partitioning.ensureWidth(corpus)
+      .select(col(idCol).as("doc_id"),
+        explode(gramKey(col(textCol))).as("g"))
+    cGrams.join(broadcast(bGrams), Seq("g"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("hit_grams"))
+      .withColumn("contaminated", col("hit_grams") > 0L)
+  }
 }

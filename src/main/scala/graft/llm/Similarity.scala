@@ -292,7 +292,7 @@ object Similarity {
       driverQueryCap: Int = 65536): DataFrame = {
     GraftFunctions.register(lists.sparkSession)
     val (cids, cvs) = collectCentroids(centroids, "ivfQuery")
-    val probes = queries.select(queries.columns.map(col) :+
+    val probes = queries.select(queries.columns.toIndexedSeq.map(col) :+
       explode(GraftFunctions.nearestCentroids(col("qvec"), cids,
         cvs, nProbe)).as("cid"): _*)
     // Probed cells for the lists-side pruning filter. Fast path:
@@ -336,7 +336,7 @@ object Similarity {
           .collect().map(_.getLong(0)))
       }
     val joined = lists
-      .where(col("cid").isin(probedCids.map(Long.box): _*))
+      .where(col("cid").isin(probedCids.toIndexedSeq.map(Long.box): _*))
       .join(probesForJoin, "cid")
       .where(if (excludeSelf) col("qid") =!= col("id") else lit(true))
       .withColumn("cosine",

@@ -241,6 +241,24 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination (Brown et al. 2020, Appendix C):
+    // corpus docs sharing any exact 20-gram with a held-out
+    // benchmark set are flagged before the corpus ships. Benchmark
+    // stand-in: the deterministic doc_id%97=13 slice; the scrubbed
+    // corpus is everything else (a fixture benchmark drawn from the
+    // corpus would trivially self-collide). The fixture's duplicate
+    // groups guarantee real cross-slice collisions at every scale.
+    // Full oracle: d11's gram derivation on both sides, LEFT JOIN
+    // against the distinct benchmark keys.
+    "d21_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(
+        d.where(col("doc_id") % 97 =!= 13),
+        d.where(col("doc_id") % 97 === 13),
+        gramChars = 20)
+        .orderBy("doc_id")
+    }),
+
     // Semantic dedup (SemDeDup): k-means clusters (LCG sample + one
     // DECIMAL-mean Lloyd round, as s05), intra-cluster cosine pairs,
     // drop the pair member nearer its centroid. Full oracle: the s05
@@ -2117,6 +2135,35 @@ object LlmQueries {
            SELECT id AS doc_id, n_grams, dup_grams,
              round(dup_grams::DOUBLE / n_grams::DOUBLE, 6)
                AS dup_fraction
+           FROM per ORDER BY doc_id""",
+      // Decontamination: d11's gram derivation on both sides; the
+      // benchmark collapses to distinct keys, the corpus stream left
+      // joins against them. hit_grams counts INSTANCES, contaminated
+      // is the any-hit scrub predicate.
+      "d21_decontaminate" ->
+        s"""WITH bm AS (SELECT DISTINCT
+             unnest(${polyHashWideListSql("grams")}) AS gram
+             FROM (
+               SELECT CASE WHEN len(t) < 20 THEN [t]
+                   ELSE [substr(t, i, 20)
+                     FOR i IN range(1, len(t) - 18)] END AS grams
+               FROM (SELECT $norm AS t FROM documents
+                 WHERE doc_id % 97 = 13))),
+           g AS (
+             SELECT id, unnest(${polyHashWideListSql("grams")}) AS gram
+             FROM (
+               SELECT doc_id AS id,
+                 CASE WHEN len(t) < 20 THEN [t]
+                   ELSE [substr(t, i, 20)
+                     FOR i IN range(1, len(t) - 18)] END AS grams
+               FROM (SELECT doc_id, $norm AS t FROM documents
+                 WHERE doc_id % 97 != 13))),
+           per AS (SELECT id, count(*)::BIGINT AS n_grams,
+               sum(CASE WHEN bm.gram IS NOT NULL THEN 1 ELSE 0
+                 END)::BIGINT AS hit_grams
+             FROM g LEFT JOIN bm USING (gram) GROUP BY id)
+           SELECT id AS doc_id, n_grams, hit_grams,
+             hit_grams > 0 AS contaminated
            FROM per ORDER BY doc_id""",
       "s01_ann_bruteforce" -> s01Sql,
       // Recall@10 of the LSH path vs the brute-force baseline, both

@@ -618,6 +618,49 @@ class DedupSimilaritySpec extends SparkSpec {
     }, "wide key high part must be the narrow hash")
   }
 
+  test("decontaminate == sequential gram-set model (instance hit " +
+      "counts, whole-text short arm, clean docs flagged false)") {
+    // Model: normalize exactly as the kernel does (lowercase,
+    // whitespace runs collapsed, trimmed), extract all 20-char
+    // substrings (whole text when shorter), intersect with the
+    // benchmark's gram SET, count instance hits.
+    def normalize(t: String): String =
+      t.toLowerCase.replaceAll("\\s+", " ").trim
+    def gramsOf(t: String): Seq[String] = {
+      val n = normalize(t)
+      if (n.length < 20) Seq(n)
+      else (0 to n.length - 20).map(i => n.substring(i, i + 20))
+    }
+    val benchTexts = Seq(
+      "The quick brown fox jumps over the lazy dog tonight",
+      "short bench")
+    val corpusRows = Seq(
+      // shares a long run with benchmark doc 0 → contaminated
+      (1L, "xx The quick brown fox jumps over something else"),
+      // no 20-gram overlap → clean
+      (2L, "completely unrelated content with its own phrasing here"),
+      // exact copy of a benchmark doc → every gram hits
+      (3L, "The quick brown fox jumps over the lazy dog tonight"),
+      // short doc, not equal to the short benchmark doc → clean
+      (4L, "short corpus"))
+    val bench = benchTexts.zipWithIndex
+      .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench)
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "hit_grams", "contaminated")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    val benchSet = benchTexts.flatMap(gramsOf).toSet
+    val expected = corpusRows.map { case (id, t) =>
+      val gs = gramsOf(t)
+      val hits = gs.count(benchSet)
+      (id, gs.length.toLong, hits.toLong, hits > 0)
+    }
+    assert(out == expected)
+    // sanity on the fixture-shaped expectations above
+    assert(out.map(_._4) == Seq(true, false, true, false))
+  }
+
   test("swapCached reuses an identical-plan occupant and swaps a " +
       "differing one") {
     val slot =

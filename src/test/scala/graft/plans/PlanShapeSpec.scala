@@ -125,6 +125,13 @@ class PlanShapeSpec extends SparkSpec {
       "d19 grew a Window node")
     // t17: the global top-k must short-circuit, the df/stats sides
     // must broadcast (never shuffle the postings against a 5-row df).
+    // d21: the benchmark gram set broadcasts (the corpus gram stream
+    // must cross NO exchange for the probe — one corpus read, no
+    // corpus shuffle) and the rollup has no window.
+    val d21 = plan("d21_decontaminate")
+    assert(d21.contains("BroadcastHashJoin"),
+      s"d21 benchmark side does not broadcast:\n$d21")
+    assert(!d21.contains("Window"), "d21 grew a Window")
     val t17 = plan("t17_bm25")
     assert(t17.contains("TakeOrderedAndProject"),
       s"t17 top-k fell back to a full sort")

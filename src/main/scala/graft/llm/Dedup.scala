@@ -84,22 +84,72 @@ object Dedup {
     else sigs
   }
 
-  /** (id, band_idx, band_hash) exploded band buckets of signatures. */
+  /** (id, band_idx, band_hash) exploded band buckets of signatures.
+    *
+    * `maxBucket > 0` adds a `band_wide` column that caps per-bucket
+    * candidate work on BAND-DEGENERATE corpora — the minhash analogue
+    * of [[embeddingPairs]]'s signature cap (the d02 1000x probe died
+    * on verify-shuffle spill from exactly this blowup: band buckets
+    * whose occupancy no longer reflects genuine similarity mass).
+    * Members of buckets larger than `maxBucket` carry the FULL-
+    * signature fold as `band_wide` (0 otherwise), and the pair join
+    * matches on it: within an oversized bucket only documents whose
+    * entire k-component signature agrees remain candidates — the
+    * near-exact clones an oversized bucket is made of — while
+    * partial-band coincidences are dropped. Occupancy is a property
+    * of the BUCKET, so every member of a bucket takes the same branch
+    * and a widened key can never collide with a normal bucket's
+    * (`band_wide` 0 vs non-zero matters only within one narrow
+    * (band_idx, band_hash) bucket). This TRADES RECALL for bounded
+    * work; off (0) by default, and every cap-0 output is unchanged
+    * (spec-pinned). The occupancy count shuffles only the narrow
+    * (id, band_idx, band_hash) stream — no signatures, no shingles —
+    * and the sizes side is one row per OCCUPIED bucket, so the cap's
+    * own cost stays linear at any scale. */
   private def bandBuckets(sigs: DataFrame, bands: Int,
-      rowsPerBand: Int, portable: Boolean): DataFrame = {
+      rowsPerBand: Int, portable: Boolean,
+      maxBucket: Int = 0): DataFrame = {
     val bandExpr =
       if (portable) polyBands(col("mh"), bands, rowsPerBand)
       else lshBands(col("mh"), bands, rowsPerBand)
-    sigs
-      .select(col("id"), posexplode(bandExpr))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_hash")
+    if (maxBucket <= 0) {
+      sigs
+        .select(col("id"), posexplode(bandExpr))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_hash")
+    } else {
+      // Widened key = the band fold over ALL k components (the
+      // maximum width the signature family offers, as the embedding
+      // cap widens to all 64 planes): the portable form restates in
+      // DuckDB exactly like polyBands with one band of k rows.
+      val wideExpr =
+        if (portable)
+          aggregate(col("mh"), lit(0L),
+            (acc, v) => (acc * 31L + v) % graft.functions.PolyHash.P)
+        else xxhash64(col("mh"))
+      val base = sigs
+        .select(col("id"), posexplode(bandExpr), wideExpr.as("_wide0"))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_hash")
+      val sizes = base.select("band_idx", "band_hash")
+        .groupBy("band_idx", "band_hash")
+        .agg(count(lit(1)).as("_bucket_n"))
+      base.join(sizes, Seq("band_idx", "band_hash"))
+        .withColumn("band_wide",
+          when(col("_bucket_n") > maxBucket, col("_wide0"))
+            .otherwise(lit(0L)))
+        .drop("_bucket_n", "_wide0")
+    }
   }
 
+  /** `maxBucket > 0` bounds per-band-bucket candidate volume on
+    * band-degenerate corpora by re-keying oversized buckets with the
+    * full-signature fold (see [[bandBuckets]] — bounded recall, off
+    * by default; every gated cap-0 output is unchanged). */
   def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleN: Int = 5, bands: Int = 8,
       rowsPerBand: Int = 4, threshold: Double = 0.5,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false, maxBucket: Int = 0): DataFrame = {
     val k = bands * rowsPerBand
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // The signature subtree feeds the band explode and two pair-side
@@ -118,16 +168,19 @@ object Dedup {
     // comparisons, same oracle-exact semantics (the oracle hashes its
     // distinct gram strings with the identical two-family pack).
     val sigs = minhashSigs(docs, idCol, textCol, shingleN, k, portable)
-    val buckets = bandBuckets(sigs, bands, rowsPerBand, portable)
+    val buckets = bandBuckets(sigs, bands, rowsPerBand, portable,
+      maxBucket)
     // Corpus-sized self-join: force sort-merge (AQE upgrades it back
     // to broadcast at runtime when the fixture is genuinely small).
     // Catalyst's static size estimate for the exploded band rows is
     // far under reality, and broadcasting a corpus-sized side is the
     // one thing this operator must never do at scale.
+    val bucketCond = col("a.band_idx") === col("b.band_idx") &&
+      col("a.band_hash") === col("b.band_hash") &&
+      (if (maxBucket > 0) col("a.band_wide") === col("b.band_wide")
+       else lit(true))
     val pairs = buckets.as("a").join(buckets.as("b").hint("merge"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") < col("b.id"))
+        bucketCond && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // One signature+shingle lookup per pair side (two corpus-keyed

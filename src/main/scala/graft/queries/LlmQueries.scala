@@ -57,6 +57,27 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // d02's pipeline with the opt-in per-band-bucket candidate cap
+    // ACTIVE (maxBucket=2) and a looser threshold (0.1) so the
+    // recall trade is VISIBLE in the gated output: at the sf0.01
+    // fixture the cap re-keys 17 oversized band buckets and drops
+    // two >=0.1-jaccard pairs the uncapped run emits (one at
+    // jaccard 0.978 — a near-clone pair whose every shared bucket is
+    // oversized and whose full signatures differ), so a broken
+    // re-key cannot hide behind an unchanged result. The oracle
+    // restates the occupancy count, the full-signature fold, and the
+    // three-key bucket join in DuckDB list algebra. Production caps
+    // would sit orders of magnitude higher (the knob exists for the
+    // d02 1000x band-degeneracy spill, not for fixtures); cap-0
+    // outputs are pinned unchanged in DedupSimilaritySpec.
+    "d23_minhash_pairs_capped" -> ((s, dir) => {
+      Dedup.minhashPairs(docs(s, dir), shingleN = 8, bands = 16,
+        rowsPerBand = 4, threshold = 0.1, portable = true,
+        maxBucket = 2)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Incremental near-dedup: every 5th doc arrives as the "new
     // batch" and is deduped against the rest as the existing corpus —
     // corpus bands join batch bands, no corpus self-join.
@@ -320,6 +341,25 @@ object LlmQueries {
     "d05_embedding_dups" -> ((s, dir) => {
       Dedup.embeddingPairs(emb(s, dir), dim = 64, planes = 6,
         threshold = 0.2, targetBucket = 8)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // d05's pipeline with the opt-in per-bucket candidate cap ACTIVE
+    // (maxBucket=32) — the round-11 1000x scale mitigation
+    // (sign-degenerate buckets re-keyed by the widened 64-plane
+    // signature), now under a full DuckDB oracle: the oracle
+    // restates the occupancy count and the widened-signature CASE
+    // with the same baked plane-sign literals for all 64 planes. The
+    // cap is demonstrably ACTIVE at every gate scale (measured:
+    // sf0.01 re-keys 244 rows and cuts candidate pairs 16,296 ->
+    // 1,612; 10x re-keys 13,490 and cuts 3.56M -> 303k), so the
+    // gated output genuinely differs from d05's and a broken re-key
+    // cannot hide behind an unchanged result. cap-0 outputs are
+    // pinned unchanged in DedupSimilaritySpec.
+    "d22_embedding_dups_capped" -> ((s, dir) => {
+      Dedup.embeddingPairs(emb(s, dir), dim = 64, planes = 6,
+        threshold = 0.2, targetBucket = 8, maxBucket = 32)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")
     }),
@@ -1356,6 +1396,27 @@ object LlmQueries {
       s"(CASE WHEN ($dot) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")::BIGINT")
 
+  /** Flat-list variant of [[hyperSigSql]] for WIDE plane counts: the
+    * plane terms are list elements summed by `list_sum`, not a nested
+    * `+` chain — at 64 planes the chained form's parse tree (64-deep
+    * plane sum atop a 64-deep dot chain) exceeds DuckDB's 128-level
+    * binder recursion limit, while list elements are siblings. Each
+    * per-plane dot stays the left-associated `+` chain (depth = dim),
+    * preserving the bit-exact FP order; the element values are the
+    * same `1L << p` literals (p=63's is the negative min-long, which
+    * DuckDB sums exactly in its wider accumulator before the final
+    * BIGINT cast). */
+  private def hyperSigSqlList(vecExpr: String, dim: Int,
+      planes: Int): String =
+    (0 until planes).map { p =>
+      val dot = (0 until dim).map { d =>
+        val s =
+          if (graft.llm.Dedup.planeSign(p, d) > 0) "1.0" else "(-1.0)"
+        s"$vecExpr[${d + 1}]*$s"
+      }.mkString(" + ")
+      s"(CASE WHEN ($dot) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("list_sum([", ", ", "])::BIGINT")
+
   /** Adaptive-plane variant: emits all `maxPlanes` plane terms, each
     * gated on `p < npExpr` where `npExpr` is the corpus-adaptive plane
     * count ([[graft.llm.Dedup.adaptivePlanes]] restated by
@@ -1759,6 +1820,58 @@ object LlmQueries {
              SELECT id_a, id_b, CASE WHEN tot - inter = 0 THEN 1.0
                ELSE inter / (tot - inter) END AS jaccard FROM ver)
            WHERE jaccard >= 0.3
+           ORDER BY id_a, id_b""",
+      // Capped-band variant (maxBucket=2, threshold 0.1): d02's CTE
+      // chain plus the occupancy count per (band_idx, band_hash), the
+      // full-signature base-31 fold as the widened key, and the
+      // three-key bucket join — members of oversized buckets pair
+      // only when their entire 64-component signature agrees.
+      "d23_minhash_pairs_capped" ->
+        s"""WITH g AS (SELECT doc_id AS id,
+             list_distinct(CASE WHEN len(t) < 8 THEN [t]
+               ELSE [substr(t, i, 8)
+                 FOR i IN range(1, len(t) - 6)] END) AS grams
+             FROM (SELECT doc_id, $norm AS t FROM documents)),
+           hs AS (SELECT id,
+             ${polyHashWideListSql("grams")} AS hs FROM g),
+           sig AS (SELECT id, hs,
+             [list_min([((((i*1103515245 + 12345) % 1000000006) + 1)
+                  * (h // 1000000009)
+                + (i*69069 + 7) % 1000000007) % 1000000007
+               FOR h IN hs]) FOR i IN range(0, 64)] AS mh
+             FROM hs),
+           fullh AS (SELECT id,
+             list_reduce(list_prepend(0::BIGINT, mh),
+               (a, v) -> (a*31 + v) % 1000000007) AS fh FROM sig),
+           bands AS (SELECT id, b AS band_idx,
+             list_reduce(list_prepend(0::BIGINT, mh[b*4+1 : b*4+4]),
+               (a, v) -> (a*31 + v) % 1000000007) AS band_hash
+             FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bt),
+           bcnt AS (SELECT band_idx, band_hash, count(*) AS n
+             FROM bands GROUP BY band_idx, band_hash),
+           bw AS (SELECT bands.id, bands.band_idx, bands.band_hash,
+             CASE WHEN bcnt.n > 2 THEN fullh.fh ELSE 0 END AS wide
+             FROM bands
+             JOIN bcnt ON bcnt.band_idx = bands.band_idx
+               AND bcnt.band_hash = bands.band_hash
+             JOIN fullh ON fullh.id = bands.id),
+           pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bw a JOIN bw b
+             ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.wide = b.wide AND a.id < b.id),
+           est AS (SELECT id_a, id_b FROM pairs
+             JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+             WHERE len([i FOR i IN range(1, 65)
+               IF sa.mh[i] = sb.mh[i]])::DOUBLE / 64 >= 0.05),
+           ver AS (SELECT id_a, id_b,
+             len(list_intersect(sa.hs, sb.hs))::DOUBLE AS inter,
+             (len(sa.hs) + len(sb.hs))::DOUBLE AS tot
+             FROM est
+             JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b)
+           SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+             SELECT id_a, id_b, CASE WHEN tot - inter = 0 THEN 1.0
+               ELSE inter / (tot - inter) END AS jaccard FROM ver)
+           WHERE jaccard >= 0.1
            ORDER BY id_a, id_b""",
       // Incremental dedup: identical CTE chain to d02 up to the
       // signatures; the pair source crosses the corpus (doc_id%5!=0)
@@ -2189,6 +2302,32 @@ object LlmQueries {
            sig AS (SELECT id, v,
              ${hyperSigSqlAdaptive("v", 64, 6, 20, "np.np")} AS sig
              FROM e, np),
+           cand AS (SELECT a.id AS id_a, b.id AS id_b,
+             list_cosine_similarity(a.v, b.v) AS cos
+             FROM sig a JOIN sig b ON a.sig = b.sig AND a.id < b.id)
+           SELECT id_a, id_b, round(cos, 6) AS cosine FROM cand
+           WHERE cos >= 0.2 ORDER BY id_a, id_b""",
+      // Capped variant (maxBucket=32): d05's signature chain plus the
+      // per-signature occupancy count and the widened-64-plane re-key
+      // CASE — all 64 plane-sign rows baked as the same literals the
+      // Spark expression uses (the low adaptive-plane bits of a
+      // widened key are the original signature, so a widened key can
+      // never collide with another bucket's narrow key).
+      "d22_embedding_dups_capped" ->
+        s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             FROM embeddings),
+           np AS (SELECT
+             ${adaptivePlanesSql("count(*)", 6, 8)} AS np FROM e),
+           sig0 AS (SELECT id, v,
+             ${hyperSigSqlAdaptive("v", 64, 6, 20, "np.np")} AS sig
+             FROM e, np),
+           cnt AS (SELECT sig AS csig, count(*) AS n
+             FROM sig0 GROUP BY sig),
+           sig AS (SELECT sig0.id, sig0.v,
+             CASE WHEN cnt.n > 32
+               THEN ${hyperSigSqlList("sig0.v", 64, 64)}
+               ELSE sig0.sig END AS sig
+             FROM sig0 JOIN cnt ON cnt.csig = sig0.sig),
            cand AS (SELECT a.id AS id_a, b.id AS id_b,
              list_cosine_similarity(a.v, b.v) AS cos
              FROM sig a JOIN sig b ON a.sig = b.sig AND a.id < b.id)

@@ -49,6 +49,42 @@ class DedupSimilaritySpec extends SparkSpec {
       Set(1L, 3L, 4L, 6L)(c) && Set(2L, 5L)(b) })
   }
 
+  test("minhash maxBucket cap: inactive cap leaves output unchanged; " +
+      "active cap keeps only full-signature matches") {
+    def run(mb: Int, thr: Double = 0.5) =
+      Dedup.minhashPairs(corpus, shingleN = 3, bands = 16,
+        rowsPerBand = 2, threshold = thr, maxBucket = mb)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = run(0)
+    // A cap no bucket exceeds takes the widened-key code path but
+    // re-keys nothing: output must be byte-identical to cap-0.
+    assert(run(1000000) == uncapped)
+    // cap=1 marks EVERY multi-member bucket oversized, so only pairs
+    // whose entire k-component signature agrees survive — the
+    // normalized exact dups. The near-dup (x,3) pairs collide on
+    // some bands but differ on the full signature, so the cap drops
+    // them: bounded recall, visibly traded.
+    val capped = run(1)
+    assert(capped.subsetOf(uncapped))
+    assert(capped == Set((1L, 2L), (4L, 5L)),
+      s"full-signature matches only, got $capped")
+    assert(uncapped.exists(p => p._1 == 3L || p._2 == 3L),
+      "uncapped run must include a near-dup pair the cap drops")
+  }
+
+  test("minhash maxBucket cap: portable form matches the same rule") {
+    def run(mb: Int) =
+      Dedup.minhashPairs(corpus, shingleN = 3, bands = 16,
+        rowsPerBand = 2, threshold = 0.5, portable = true,
+        maxBucket = mb)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = run(0)
+    assert(run(1000000) == uncapped)
+    val capped = run(1)
+    assert(capped.subsetOf(uncapped))
+    assert(capped == Set((1L, 2L), (4L, 5L)))
+  }
+
   test("simhash: identical docs distance 0; near-dups small distance") {
     val sigs = corpus.select(col("doc_id"),
       TextFunctions.simHash(TextFunctions.tokens(col("text")))

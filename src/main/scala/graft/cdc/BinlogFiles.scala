@@ -33,7 +33,12 @@ object BinlogFiles {
     val name = f"mysql-bin.$num%06d"
     val tmp = Paths.get(dir, s".$name.tmp")
     Files.write(tmp, text.getBytes("UTF-8"))
-    tmp.toFile.setLastModified(mtime): Unit
+    // Fail loudly if the filesystem rejects the stamp: renaming a
+    // file that kept its creation mtime silently breaks the
+    // ascending-mtime and maxFileAge contracts this class upholds.
+    require(tmp.toFile.setLastModified(mtime),
+      s"setLastModified($mtime) failed for $tmp — " +
+        "filesystem cannot uphold the binlog mtime contract")
     Files.move(tmp, Paths.get(dir, name),
       StandardCopyOption.ATOMIC_MOVE): Unit
   }

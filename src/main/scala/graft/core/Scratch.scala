@@ -4,7 +4,7 @@ package graft.core
   * intermediate state to disk (the lifecycle gates' lakes, s09's
   * persisted ANN index).
   *
-  * Two invariants this utility exists to hold:
+  * Invariants this utility exists to hold:
   *
   *   1. UNIQUENESS — every call gets a fresh directory
   *      (`Files.createTempDirectory`: process + counter unique), so
@@ -16,32 +16,64 @@ package graft.core
   *      surviving dump is a silent mixture of the two fixtures
   *      (observed as a 10x-gate hash mismatch whose 2009 partitions
   *      carried sf0.001-density rows — two JVMs, one path).
-  *   2. CLEANUP — a shutdown hook deletes every registered dir, so
-  *      repeated Verify/Bench runs don't leak corpus-sized parquet
-  *      into java.io.tmpdir. In-query deletion is impossible for
-  *      dirs that must outlive a returned lazy DataFrame; process
-  *      exit is the earliest safe point.
+  *   2. BOUNDED DISK — at most ONE live dir per prefix per JVM: when
+  *      a new invocation of the same gate registers, the previous
+  *      same-prefix dir is deleted immediately (callers guarantee the
+  *      prior invocation's lazy DataFrame is no longer consumed by
+  *      then — each gate materializes its result before the next
+  *      invocation can begin). Without this, every rep of a
+  *      lifecycle gate in one long-lived JVM (bench reps,
+  *      multi-fixture Verify) held a full corpus-sized lake in
+  *      java.io.tmpdir simultaneously.
+  *   3. CLEANUP — one shared shutdown hook (not a thread per dir)
+  *      deletes every still-registered dir at JVM exit. In-query
+  *      deletion is impossible for dirs that must outlive a returned
+  *      lazy DataFrame; process exit is the earliest safe point for
+  *      the LAST dir of each prefix. A SIGKILL/OOM skips the hook
+  *      and leaks the live dirs — unavoidable without cross-process
+  *      coordination (a reaper that swept same-prefix dirs at
+  *      startup would delete a CONCURRENT JVM's live state, the
+  *      exact corruption invariant 1 exists to prevent); stale
+  *      `graft_*` dirs under java.io.tmpdir after a kill must be
+  *      removed manually.
   */
 object Scratch {
 
   private val registered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val lastByPrefix =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  @volatile private var hookInstalled = false
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete(): Unit
+  }
+
+  private def installHook(): Unit =
+    if (!hookInstalled) synchronized {
+      if (!hookInstalled) {
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          registered.forEach(d => rm(new java.io.File(d)))))
+        hookInstalled = true
+      }
+    }
 
   /** Register `dir` for recursive deletion at JVM exit (idempotent). */
-  def deleteOnExit(dir: String): Unit =
-    if (registered.add(dir))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(dir))
-      }))
+  def deleteOnExit(dir: String): Unit = {
+    installHook()
+    registered.add(dir): Unit
+  }
 
-  /** A fresh scratch dir under java.io.tmpdir, deleted at JVM exit. */
+  /** A fresh scratch dir under java.io.tmpdir, deleted at JVM exit.
+    * The PREVIOUS dir created under the same prefix (if any) is
+    * deleted now — see invariant 2. */
   def dir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix).toString
     deleteOnExit(d)
+    val prev = lastByPrefix.put(prefix, d)
+    if (prev != null && registered.remove(prev))
+      rm(new java.io.File(prev))
     d
   }
 }

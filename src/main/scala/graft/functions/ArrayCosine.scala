@@ -199,6 +199,20 @@ object GraftFunctions {
             fm.getArray(i).toDoubleArray())
           val f2c = exprs(4).eval().asInstanceOf[ArrayData]
             .toIntArray()
+          // Internal callers are guarded by collectCentroids'
+          // nonEmpty require; the SQL surface is not — an empty fine
+          // set would otherwise reach assign()'s fineCids(-1) as a
+          // bare ArrayIndexOutOfBoundsException.
+          require(fines.nonEmpty && cids.length == fines.length &&
+            f2c.length == fines.length && coarse.nonEmpty,
+            "graft_nearest_centroid_probed requires non-empty " +
+              "centroid arrays with fine cids/vectors/coarse-map of " +
+              s"equal length; got coarse=${coarse.length} " +
+              s"cids=${cids.length} fine=${fines.length} " +
+              s"map=${f2c.length}")
+          require(f2c.forall(c => c >= 0 && c < coarse.length),
+            "graft_nearest_centroid_probed: coarse-map entries must " +
+              s"index the coarse set (0 until ${coarse.length})")
           NearestCentroidProbed(exprs(0), coarse, cids, fines, f2c,
             exprs(5).eval().asInstanceOf[Int])
         }, "built-in")

@@ -280,6 +280,25 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // d11's pipeline on the id%31 slice, collapsed to order-free
+    // witness aggregates (the d14/d18 pattern): the 1000x-tractable
+    // oracle form for the substring-span family — the full d11
+    // oracle's corpus-wide gram join exceeds DuckDB's disk at the
+    // 5M-doc fixture, while the slice (~160k docs there) restates
+    // the SAME instance-counting pipeline end-to-end. The checksum
+    // keys per-doc dup counts by doc_id, pinning the exact per-doc
+    // result multiset, not just totals.
+    "d24_substring_witness" -> ((s, dir) => {
+      val sample = docs(s, dir).where(col("doc_id") % 31 === 7)
+      Dedup.duplicatedNgramStats(sample, gramChars = 20)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_grams")), lit(0L)).as("grams_sum"),
+          coalesce(sum(col("dup_grams")), lit(0L)).as("dup_sum"),
+          coalesce(sum((col("doc_id") * 1000003L + col("dup_grams"))
+            % 1000000007L), lit(0L)).as("doc_checksum"))
+    }),
+
     // Semantic dedup (SemDeDup): k-means clusters (LCG sample + one
     // DECIMAL-mean Lloyd round, as s05), intra-cluster cosine pairs,
     // drop the pair member nearer its centroid. Full oracle: the s05
@@ -1478,13 +1497,15 @@ object LlmQueries {
     *
     * Convergence is ASSERTED, not assumed: one extra relax+jump
     * round runs after `j<rounds>` and `ccconv(changed)` counts the
-    * vertices whose label still moved in it. Callers fold
-    * [[ccConvergedSql]] into their final label read, so a fixture
-    * with a longer duplicate chain than 2^rounds fails as an
-    * explicit DuckDB `error('cc under-converged...')` — a
-    * diagnosable oracle-tooling break instead of a confusing red
-    * gate (the fail-safe direction is unchanged; the failure is now
-    * named). */
+    * vertices whose label still moved in it. The emitted `ccok` CTE
+    * (MATERIALIZED, one row) evaluates the guard UNCONDITIONALLY —
+    * callers CROSS JOIN it into their final read (`... FROM t CROSS
+    * JOIN ccok WHERE ccok.ok AND ...`), so a fixture with a longer
+    * duplicate chain than 2^rounds fails as an explicit DuckDB
+    * `error('cc under-converged...')` — a diagnosable oracle-tooling
+    * break instead of a confusing red gate — even when the outer
+    * table contributes zero rows (a guard folded into a per-row
+    * WHERE never evaluates over an empty read; the former shape). */
   private def ccMinLabelSql(rounds: Int): String = {
     // Every CTE here is MATERIALIZED: each label table is referenced
     // twice (the pointer jump self-joins t_i; the next round reads
@@ -1507,22 +1528,13 @@ object LlmQueries {
     val conv =
       s"""ccconv AS MATERIALIZED (SELECT count(*) AS changed
            FROM j$rounds a JOIN j${rounds + 1} b
-           ON a.v = b.v AND a.l <> b.l)"""
+           ON a.v = b.v AND a.l <> b.l),
+         ccok AS MATERIALIZED (SELECT CASE WHEN changed = 0 THEN true
+           ELSE error('cc under-converged at $rounds rounds: ' ||
+             changed || ' labels still moving') END AS ok
+           FROM ccconv)"""
     ((l0 +: steps) :+ conv).mkString(",\n           ")
   }
-
-  /** Scalar guard over [[ccMinLabelSql]]'s `ccconv`: true when the
-    * verification round moved no label, a named DuckDB error
-    * otherwise. Folded into the caller's OUTER WHERE (over the
-    * always-nonempty documents read), not cc_losers' — a guard
-    * inside cc_losers only evaluates when an `l < v` loser row
-    * exists, and an under-converged fixture can momentarily have
-    * all-identity labels (every l = v in j12) while labels are
-    * still moving in the verification round. */
-  private def ccConvergedSql(rounds: Int): String =
-    s"""(SELECT CASE WHEN changed = 0 THEN true
-         ELSE error('cc under-converged at $rounds rounds: ' ||
-           changed || ' labels still moving') END FROM ccconv)"""
 
   /** SemDeDup CTE chain shared by the d12/t19/t20/d18 oracles,
     * window-free and MATERIALIZED: requires `e(id, v)` and
@@ -2183,9 +2195,10 @@ object LlmQueries {
              UNION ALL SELECT id_b, id_a FROM pairs),
            ${ccMinLabelSql(12)},
            cc_losers AS (SELECT v FROM j12 WHERE l < v)
-           SELECT doc_id, lang, n_chars FROM documents
-           WHERE doc_id NOT IN (SELECT v FROM cc_losers)
-             AND ${ccConvergedSql(12)}
+           SELECT doc_id, lang, n_chars
+           FROM documents CROSS JOIN ccok
+           WHERE ccok.ok
+             AND doc_id NOT IN (SELECT v FROM cc_losers)
            ORDER BY doc_id""",
       // d07's closure on the 10% slice, collapsed to the witness row.
       "d10_cc_witness" ->
@@ -2221,10 +2234,10 @@ object LlmQueries {
              coalesce(sum(doc_id % 1000000007), 0)::BIGINT
                AS id_checksum,
              coalesce(sum(n_chars), 0)::BIGINT AS chars_sum
-           FROM documents
-           WHERE doc_id % 10 = 3
-             AND doc_id NOT IN (SELECT v FROM cc_losers)
-             AND ${ccConvergedSql(12)}""",
+           FROM documents CROSS JOIN ccok
+           WHERE ccok.ok
+             AND doc_id % 10 = 3
+             AND doc_id NOT IN (SELECT v FROM cc_losers)""",
       // Instance-level duplicated-gram stats: the rolling-hash kernel
       // restated without list_distinct (instances, not the set), then
       // corpus-wide counts and a per-doc rollup — mirrors
@@ -2249,6 +2262,28 @@ object LlmQueries {
              round(dup_grams::DOUBLE / n_grams::DOUBLE, 6)
                AS dup_fraction
            FROM per ORDER BY doc_id""",
+      // d11 on the id%31 slice, collapsed to the witness aggregates.
+      "d24_substring_witness" ->
+        s"""WITH g AS (
+             SELECT id, unnest(${polyHashWideListSql("grams")}) AS gram
+             FROM (
+               SELECT doc_id AS id,
+                 CASE WHEN len(t) < 20 THEN [t]
+                   ELSE [substr(t, i, 20)
+                     FOR i IN range(1, len(t) - 18)] END AS grams
+               FROM (SELECT doc_id, $norm AS t FROM documents
+                 WHERE doc_id % 31 = 7))),
+           cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+           per AS (SELECT id, count(*)::BIGINT AS n_grams,
+               sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::BIGINT
+                 AS dup_grams
+             FROM g JOIN cnt USING (gram) GROUP BY id)
+           SELECT count(*)::BIGINT AS n_docs,
+             coalesce(sum(n_grams), 0)::BIGINT AS grams_sum,
+             coalesce(sum(dup_grams), 0)::BIGINT AS dup_sum,
+             coalesce(sum((id * 1000003 + dup_grams) % 1000000007),
+               0)::BIGINT AS doc_checksum
+           FROM per""",
       // Decontamination: d11's gram derivation on both sides; the
       // benchmark collapses to distinct keys, the corpus stream left
       // joins against them. hit_grams counts INSTANCES, contaminated

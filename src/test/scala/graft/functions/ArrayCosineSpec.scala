@@ -54,4 +54,31 @@ class ArrayCosineSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(v == 1.0)
   }
+
+  test("graft_nearest_centroid_probed rejects empty centroid arrays " +
+      "with a descriptive error, not an index crash") {
+    GraftFunctions.register(spark)
+    // Empty fine set through the SQL surface: internal callers are
+    // guarded by collectCentroids, but SQL literals are not — this
+    // used to surface as fineCids(-1) -> ArrayIndexOutOfBounds deep
+    // in the kernel.
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT graft_nearest_centroid_probed(array(1.0d),
+             array(array(1.0d)), CAST(array() AS ARRAY<BIGINT>),
+             CAST(array() AS ARRAY<ARRAY<DOUBLE>>),
+             CAST(array() AS ARRAY<INT>), 1)""").collect()
+    }
+    assert(e.getMessage.contains("non-empty"),
+      s"expected a descriptive require message, got: ${e.getMessage}")
+    // Out-of-range coarse map entries are rejected at plan time too.
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """SELECT graft_nearest_centroid_probed(array(1.0d),
+             array(array(1.0d)), array(0L),
+             array(array(1.0d)), array(3), 1)""").collect()
+    }
+    assert(e2.getMessage.contains("coarse-map"),
+      s"expected the coarse-map range message, got: ${e2.getMessage}")
+  }
 }

@@ -342,6 +342,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(distributed == driverSide)
   }
 
+  test("ivfQuery fast path: deterministic-but-unordered query frames " +
+      "prune and join the same rows") {
+    // The under-cap fast path evaluates `queries` twice — the capped
+    // driver collect that assigns probe cells, then the distributed
+    // join side. Its determinism contract requires stable CONTENT,
+    // not stable ORDER: a multi-partition frame presents rows in
+    // arbitrary order to each evaluation, and the result must still
+    // equal the stable single-partition run (the set of probed cells
+    // is order-free, so both evaluations see the same cell filter).
+    val qs0 = vecs.where(col("id") % 4 === 1)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val unordered = qs0.repartition(5)
+    val (cent, lists) = Similarity.ivfIndex(vecs, nCentroids = 6)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(norm(Similarity.ivfQuery(cent, lists, unordered, k = 5,
+        nProbe = 2)).sameElements(
+      norm(Similarity.ivfQuery(cent, lists, qs0.coalesce(1), k = 5,
+        nProbe = 2))))
+  }
+
   test("PQ ANN recall >= 60% of brute-force top-5 on clusters") {
     val qs = vecs.limit(3)
       .select(col("id").as("qid"), col("vec").as("qvec"))

@@ -166,6 +166,31 @@ class PlanShapeSpec extends SparkSpec {
       "w10 event_type filters not pushed to the scan")
   }
 
+  test("capped dedup paths: sort-merge candidate joins survive the " +
+      "occupancy re-key; no window, no nested-loop join") {
+    // The maxBucket machinery adds one narrow count-by-bucket
+    // aggregation and a bucket-keyed join — it must NOT change the
+    // corpus-side join posture (the pair self-join stays sort-merge;
+    // nothing nested-loops; no window appears). The in-row signature
+    // expressions survive in both.
+    val d22 = plan("d22_embedding_dups_capped")
+    assert(d22.contains("hyperplane_sig"),
+      "d22 lost the in-row signature expression")
+    assert(d22.contains("SortMergeJoin"),
+      "d22 candidate self-join is not sort-merge")
+    assert(!d22.contains("BroadcastNestedLoopJoin"),
+      s"d22 grew a nested-loop join:\n$d22")
+    assert(!"\\bWindow\\b".r.findAllIn(d22).hasNext,
+      "d22 grew a Window node")
+    val d23 = plan("d23_minhash_pairs_capped")
+    assert(d23.contains("SortMergeJoin"),
+      "d23 band self-join is not sort-merge")
+    assert(!d23.contains("BroadcastNestedLoopJoin"),
+      s"d23 grew a nested-loop join:\n$d23")
+    assert(!"\\bWindow\\b".r.findAllIn(d23).hasNext,
+      "d23 grew a Window node")
+  }
+
   test("t20: no corpus-scale single-partition GlobalLimit — the " +
       "quantile threshold is histogram selection, not sort+limit") {
     // The former surprisalKeepThreshold plan was orderBy(msr)

@@ -2347,18 +2347,23 @@ object LlmQueries {
       // CASE — all 64 plane-sign rows baked as the same literals the
       // Spark expression uses (the low adaptive-plane bits of a
       // widened key are the original signature, so a widened key can
-      // never collide with another bucket's narrow key).
+      // never collide with another bucket's narrow key). The two
+      // signature CTEs are MATERIALIZED: inlined, each reference
+      // re-evaluates the multi-thousand-term plane expressions, whose
+      // per-thread evaluation state OOM'd DuckDB in seconds at the
+      // 100x fixture; materialized, the pipeline runs the 200k-vector
+      // oracle in ~44 s.
       "d22_embedding_dups_capped" ->
         s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
              FROM embeddings),
            np AS (SELECT
              ${adaptivePlanesSql("count(*)", 6, 8)} AS np FROM e),
-           sig0 AS (SELECT id, v,
+           sig0 AS MATERIALIZED (SELECT id, v,
              ${hyperSigSqlAdaptive("v", 64, 6, 20, "np.np")} AS sig
              FROM e, np),
            cnt AS (SELECT sig AS csig, count(*) AS n
              FROM sig0 GROUP BY sig),
-           sig AS (SELECT sig0.id, sig0.v,
+           sig AS MATERIALIZED (SELECT sig0.id, sig0.v,
              CASE WHEN cnt.n > 32
                THEN ${hyperSigSqlList("sig0.v", 64, 64)}
                ELSE sig0.sig END AS sig

@@ -78,6 +78,35 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // The production near-dedup ORDER: exact dedup first, then
+    // minhash near-dedup over the exact survivors only — the t16
+    // curation composition's stage order, gated as a standalone
+    // pair-producing operator. On a byte-identical-clone-dense
+    // corpus this collapses every clone cluster to one
+    // representative BEFORE the quadratic stage; pair output then
+    // carries only the genuine near-dup mass. (The stress fixtures
+    // are perturbation-heavy rather than exact-clone-heavy — 8k of
+    // 5M docs at 1000x — so THERE the near-dup mass itself remains
+    // the dominant output; see bench_scale.json's round-12 note on
+    // where that pushes a single box vs a cluster.) The production
+    // bucket cap rides along (maxBucket=64 — inactive at the gate
+    // fixtures, where d23 carries cap-activity; the oracle restates
+    // the occupancy rule regardless).
+    "d25_minhash_after_exact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val keepers = Dedup.exact(d).select(col("keep_id").as("doc_id"))
+      // Survivor join: keyed on doc_id; the keeper set is bounded by
+      // the distinct-content count — shuffle_hash builds from it per
+      // partition (never broadcast a corpus-sized side on a bad
+      // estimate).
+      val survivors = d.join(keepers.hint("shuffle_hash"), "doc_id")
+      Dedup.minhashPairs(survivors, shingleN = 8, bands = 16,
+        rowsPerBand = 4, threshold = 0.3, portable = true,
+        maxBucket = 64)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Incremental near-dedup: every 5th doc arrives as the "new
     // batch" and is deduped against the rest as the existing corpus —
     // corpus bands join batch bands, no corpus self-join.
@@ -1884,6 +1913,59 @@ object LlmQueries {
              SELECT id_a, id_b, CASE WHEN tot - inter = 0 THEN 1.0
                ELSE inter / (tot - inter) END AS jaccard FROM ver)
            WHERE jaccard >= 0.1
+           ORDER BY id_a, id_b""",
+      // Exact-first near-dedup: d01's min-id-per-content-hash keeper
+      // set feeds d23's capped chain (cap 64, threshold 0.3).
+      "d25_minhash_after_exact" ->
+        s"""WITH k AS (SELECT min(doc_id) AS id FROM (
+               SELECT doc_id, md5($norm) AS h FROM documents)
+             GROUP BY h),
+           g AS (SELECT doc_id AS id,
+             list_distinct(CASE WHEN len(t) < 8 THEN [t]
+               ELSE [substr(t, i, 8)
+                 FOR i IN range(1, len(t) - 6)] END) AS grams
+             FROM (SELECT doc_id, $norm AS t FROM documents
+               WHERE doc_id IN (SELECT id FROM k))),
+           hs AS (SELECT id,
+             ${polyHashWideListSql("grams")} AS hs FROM g),
+           sig AS (SELECT id, hs,
+             [list_min([((((i*1103515245 + 12345) % 1000000006) + 1)
+                  * (h // 1000000009)
+                + (i*69069 + 7) % 1000000007) % 1000000007
+               FOR h IN hs]) FOR i IN range(0, 64)] AS mh
+             FROM hs),
+           fullh AS (SELECT id,
+             list_reduce(list_prepend(0::BIGINT, mh),
+               (a, v) -> (a*31 + v) % 1000000007) AS fh FROM sig),
+           bands AS (SELECT id, b AS band_idx,
+             list_reduce(list_prepend(0::BIGINT, mh[b*4+1 : b*4+4]),
+               (a, v) -> (a*31 + v) % 1000000007) AS band_hash
+             FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bt),
+           bcnt AS (SELECT band_idx, band_hash, count(*) AS n
+             FROM bands GROUP BY band_idx, band_hash),
+           bw AS (SELECT bands.id, bands.band_idx, bands.band_hash,
+             CASE WHEN bcnt.n > 64 THEN fullh.fh ELSE 0 END AS wide
+             FROM bands
+             JOIN bcnt ON bcnt.band_idx = bands.band_idx
+               AND bcnt.band_hash = bands.band_hash
+             JOIN fullh ON fullh.id = bands.id),
+           pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bw a JOIN bw b
+             ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.wide = b.wide AND a.id < b.id),
+           est AS (SELECT id_a, id_b FROM pairs
+             JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+             WHERE len([i FOR i IN range(1, 65)
+               IF sa.mh[i] = sb.mh[i]])::DOUBLE / 64 >= 0.15),
+           ver AS (SELECT id_a, id_b,
+             len(list_intersect(sa.hs, sb.hs))::DOUBLE AS inter,
+             (len(sa.hs) + len(sb.hs))::DOUBLE AS tot
+             FROM est
+             JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b)
+           SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+             SELECT id_a, id_b, CASE WHEN tot - inter = 0 THEN 1.0
+               ELSE inter / (tot - inter) END AS jaccard FROM ver)
+           WHERE jaccard >= 0.3
            ORDER BY id_a, id_b""",
       // Incremental dedup: identical CTE chain to d02 up to the
       // signatures; the pair source crosses the corpus (doc_id%5!=0)

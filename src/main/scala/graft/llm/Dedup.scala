@@ -118,28 +118,55 @@ object Dedup {
         .withColumnRenamed("pos", "band_idx")
         .withColumnRenamed("col", "band_hash")
     } else {
-      // Widened key = the band fold over ALL k components (the
-      // maximum width the signature family offers, as the embedding
-      // cap widens to all 64 planes): the portable form restates in
-      // DuckDB exactly like polyBands with one band of k rows.
-      val wideExpr =
-        if (portable)
-          aggregate(col("mh"), lit(0L),
-            (acc, v) => (acc * 31L + v) % graft.functions.PolyHash.P)
-        else xxhash64(col("mh"))
-      val base = sigs
-        .select(col("id"), posexplode(bandExpr), wideExpr.as("_wide0"))
-        .withColumnRenamed("pos", "band_idx")
-        .withColumnRenamed("col", "band_hash")
-      val sizes = base.select("band_idx", "band_hash")
-        .groupBy("band_idx", "band_hash")
-        .agg(count(lit(1)).as("_bucket_n"))
-      base.join(sizes, Seq("band_idx", "band_hash"))
-        .withColumn("band_wide",
-          when(col("_bucket_n") > maxBucket, col("_wide0"))
-            .otherwise(lit(0L)))
-        .drop("_bucket_n", "_wide0")
+      val base = bandBucketsWide(sigs, bands, rowsPerBand, portable)
+      rekeyOversized(base,
+        base.select("band_idx", "band_hash"), maxBucket)
     }
+  }
+
+  /** [[bandBuckets]]' exploded band rows with the widened
+    * full-signature key attached as `_wide0` (pre-occupancy form —
+    * shared by the self-join cap and the cross-set incremental cap,
+    * whose occupancy is counted over the UNION of both sides).
+    * Widened key = the band fold over ALL k components (the maximum
+    * width the signature family offers, as the embedding cap widens
+    * to all 64 planes): the portable form restates in DuckDB exactly
+    * like polyBands with one band of k rows. */
+  private def bandBucketsWide(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int, portable: Boolean): DataFrame = {
+    val bandExpr =
+      if (portable) polyBands(col("mh"), bands, rowsPerBand)
+      else lshBands(col("mh"), bands, rowsPerBand)
+    val wideExpr =
+      if (portable)
+        aggregate(col("mh"), lit(0L),
+          (acc, v) => (acc * 31L + v) % graft.functions.PolyHash.P)
+      else xxhash64(col("mh"))
+    sigs
+      .select(col("id"), posexplode(bandExpr), wideExpr.as("_wide0"))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** Re-key members of oversized buckets: count occupancy over
+    * `occupancyRows` (the band keys of EVERY frame that will meet in
+    * the bucket join — the frame itself for a self-join, the union
+    * of both sides for the incremental cross-join, so every joining
+    * side takes the same re-key decision for a bucket), then swap in
+    * the widened `_wide0` key as `band_wide` where the bucket
+    * exceeds `maxBucket`. The occupancy shuffle carries only the
+    * narrow key stream — no signatures, no shingles — and the sizes
+    * side is one row per OCCUPIED bucket. */
+  private def rekeyOversized(base: DataFrame,
+      occupancyRows: DataFrame, maxBucket: Int): DataFrame = {
+    val sizes = occupancyRows
+      .groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("_bucket_n"))
+    base.join(sizes, Seq("band_idx", "band_hash"))
+      .withColumn("band_wide",
+        when(col("_bucket_n") > maxBucket, col("_wide0"))
+          .otherwise(lit(0L)))
+      .drop("_bucket_n", "_wide0")
   }
 
   /** `maxBucket > 0` bounds per-band-bucket candidate volume on
@@ -243,27 +270,47 @@ object Dedup {
     * two sides are distinct sets, and a shared id never pairs with
     * itself).
     *
+    * `maxBucket > 0` applies the bounded-recall bucket cap
+    * ([[bandBuckets]]) with occupancy counted over the UNION of the
+    * corpus and batch band streams — both sides must take the same
+    * re-key decision for a bucket, and the union is exactly the
+    * population the bucket join would otherwise mix. Off (0) by
+    * default; cap-0 outputs unchanged (spec-pinned).
+    *
     * Returns (id_corpus, id_batch, jaccard).
     */
   def minhashPairsIncremental(corpus: DataFrame, batch: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       shingleN: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.5, portable: Boolean = false): DataFrame = {
+      threshold: Double = 0.5, portable: Boolean = false,
+      maxBucket: Int = 0): DataFrame = {
     val k = bands * rowsPerBand
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val cSigs = minhashSigs(corpus, idCol, textCol, shingleN, k,
       portable)
     val bSigs = minhashSigs(batch, idCol, textCol, shingleN, k,
       portable)
-    val cBands = bandBuckets(cSigs, bands, rowsPerBand, portable)
-    val bBands = bandBuckets(bSigs, bands, rowsPerBand, portable)
+    val (cBands, bBands) =
+      if (maxBucket <= 0)
+        (bandBuckets(cSigs, bands, rowsPerBand, portable),
+          bandBuckets(bSigs, bands, rowsPerBand, portable))
+      else {
+        val c0 = bandBucketsWide(cSigs, bands, rowsPerBand, portable)
+        val b0 = bandBucketsWide(bSigs, bands, rowsPerBand, portable)
+        val occupancy = c0.select("band_idx", "band_hash")
+          .unionByName(b0.select("band_idx", "band_hash"))
+        (rekeyOversized(c0, occupancy, maxBucket),
+          rekeyOversized(b0, occupancy, maxBucket))
+      }
+    val bucketCond = col("a.band_idx") === col("b.band_idx") &&
+      col("a.band_hash") === col("b.band_hash") &&
+      (if (maxBucket > 0) col("a.band_wide") === col("b.band_wide")
+       else lit(true))
     // Corpus-sized join side: same merge discipline as the self-join
     // (never broadcast the corpus on a bad array-column estimate; AQE
     // still upgrades a genuinely small batch side at runtime).
     val pairs = cBands.as("a").join(bBands.as("b").hint("merge"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") =!= col("b.id"))
+        bucketCond && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id_corpus"), col("b.id").as("id_batch"))
       .distinct()
     val est =

@@ -72,6 +72,26 @@ class DedupSimilaritySpec extends SparkSpec {
       "uncapped run must include a near-dup pair the cap drops")
   }
 
+  test("incremental maxBucket cap: union occupancy, inactive cap " +
+      "unchanged, active cap keeps full-signature cross-pairs only") {
+    val corpus = this.corpus.where(col("doc_id").isin(1L, 3L, 4L, 6L))
+    val batch = this.corpus.where(col("doc_id").isin(2L, 5L))
+    def run(mb: Int) =
+      Dedup.minhashPairsIncremental(corpus, batch, shingleN = 3,
+        bands = 16, rowsPerBand = 2, threshold = 0.5, maxBucket = mb)
+        .select("id_corpus", "id_batch").as[(Long, Long)]
+        .collect().toSet
+    val uncapped = run(0)
+    assert(run(1000000) == uncapped)
+    // cap=1: occupancy over corpus+batch marks every shared bucket
+    // oversized; only cross-set pairs with identical full signatures
+    // survive — the normalized exact dups (1<-2) and (4<-5).
+    val capped = run(1)
+    assert(capped.subsetOf(uncapped))
+    assert(capped == Set((1L, 2L), (4L, 5L)),
+      s"full-signature cross-pairs only, got $capped")
+  }
+
   test("minhash maxBucket cap: portable form matches the same rule") {
     def run(mb: Int) =
       Dedup.minhashPairs(corpus, shingleN = 3, bands = 16,

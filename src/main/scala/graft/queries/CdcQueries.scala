@@ -340,18 +340,24 @@ object CdcQueries {
           .as("ts"))
       Jobs.extract(s, new Jobs.FrameSource(raw), lakePath)
 
-      // The change stream as on-disk binlog dump files. The collect
-      // here is the TEST HARNESS materializing what production reads
-      // from disk (mysqlbinlog writes these files in the reference,
-      // `parse_binlogs.sh:118-144`) — fixture synthesis, bounded by
-      // the gate fixture, not an operator data path. The FILE COUNT
-      // is fixed (8), not the file size: each file is one
-      // micro-batch trigger, and a fixed per-file row count would
-      // turn a 100x fixture into 100x sequential merges — the
-      // trigger cadence is a harness choice, the per-batch merge is
-      // the operator under test.
-      val chunkSize = math.max(1250L, ev.count() / 8L + 1L)
-      val chunkTexts = binlogChunks(s, dir, chunkSize).collect()
+      // The change stream as on-disk binlog dump files — TEST HARNESS
+      // synthesis of what production reads from disk (mysqlbinlog
+      // writes these files in the reference, `parse_binlogs.sh:
+      // 118-144`), not an operator data path. The TRIGGER count is
+      // fixed (8) — each processAllAvailable is one micro-batch
+      // round, and a fixed per-trigger row count would turn a 100x
+      // fixture into 100x sequential merges — but the per-FILE row
+      // count is CAPPED (250k): one file is one collect_list group
+      // and one driver-fetched row, and an uncapped count/8 file made
+      // both a >2 GB single allocation at the 1000x fixture (100M
+      // events). Bounded files also match the delivery contract the
+      // harness reproduces: mysqlbinlog rotates dumps by size, it
+      // never hands over one 12.5M-statement file.
+      val total = ev.count()
+      val fileRows =
+        math.max(1250L, math.min(total / 8L + 1L, 250000L))
+      val nFiles = (total + fileRows - 1L) / fileRows
+      val perTrigger = math.max(1L, (nFiles + 7L) / 8L)
       // Distinct ascending mtimes (binlog order), dropped via the
       // atomic stage-then-rename contract (graft.cdc.BinlogFiles) —
       // an in-place write races the source's mtime-age filter.
@@ -360,15 +366,26 @@ object CdcQueries {
           1700000000000L + num * 60000L)
 
       // ONE continuous job: file stream → parse → consolidate →
-      // foreachBatch merge, driven file-by-file.
+      // foreachBatch merge, driven file-by-file. The sorted
+      // toLocalIterator streams one shuffle partition of file texts
+      // to the driver at a time — the harness never holds the whole
+      // rendered binlog corpus in driver heap.
       val q = StreamOps.mergeStream(
         StreamOps.streamEvents(s, binlogDir), lakePath,
         s"$base/ckpt")
+      var maxFileNo = -1L
       try {
-        chunkTexts.sortBy(_._1).foreach { case (n, text) =>
+        val it = binlogChunks(s, dir, fileRows).orderBy("chunk")
+          .toLocalIterator()
+        var written = 0L
+        while (it.hasNext) {
+          val (n, text) = it.next()
           writeFile(n, text)
-          q.processAllAvailable()
+          maxFileNo = math.max(maxFileNo, n)
+          written += 1
+          if (written % perTrigger == 0L) q.processAllAvailable()
         }
+        q.processAllAvailable()
         // M2 through the SAME stream: a pure-DELETE binlog file that
         // empties one whole day partition (c13's kill batch rendered
         // as the DELETE blocks mysqlbinlog would have produced).
@@ -380,7 +397,7 @@ object CdcQueries {
             col("id"), lit("\n@3='"), col("date_time"), lit("'"))
             .as("b"))
           .collect().map(_.getString(0)) // one day — fixture-bounded
-        writeFile(chunkTexts.map(_._1).max + 1, kills.mkString("\n"))
+        writeFile(maxFileNo + 1, kills.mkString("\n"))
         q.processAllAvailable()
       } finally q.stop()
 

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Chunking, Contamination, Dedup, LanguageModel, MediaCodecs, Multimodal, Retrieval, Scrub, Similarity, Sketches, TextAnalysis, TextFunctions}
+import graft.llm.{Bpe, Chunking, Contamination, Dedup, LanguageModel, MediaCodecs, Multimodal, Retrieval, Scrub, Similarity, Sketches, TextAnalysis, TextFunctions}
 
 /** LLM-data-pipeline operator surface (north star,
   * `BASELINE.json`): dedup family, similarity search, text analysis,
@@ -929,6 +929,27 @@ object LlmQueries {
         terms = Seq("spark", "vector", "customer", "merge"), k = 20)
     }),
 
+    // BPE vocabulary training (Sennrich et al. 2016): 12 merge rounds
+    // over the word-frequency dictionary, minFreq=2 so hapax words
+    // don't steer late merges. Full oracle: the 12 rounds unroll as
+    // CTE triples (pair count -> argmax -> literal-replace rewrite),
+    // each step restating the exact double-space-delimited string
+    // algebra the Spark side runs.
+    "t24_bpe_merges" -> ((s, dir) => {
+      Bpe.bpeMerges(docs(s, dir), rounds = 12, minFreq = 2)
+        .orderBy("step")
+    }),
+
+    // The trained vocabulary applied: per-document BPE token counts
+    // under the t24 merge table (dictionary-join segmentation with
+    // the on-the-fly fallback for sub-minFreq words — the fallback
+    // path is ACTIVE here because minFreq=2 leaves hapax instances
+    // out of the dictionary).
+    "t25_bpe_token_counts" -> ((s, dir) => {
+      Bpe.bpeTokenCounts(docs(s, dir), rounds = 12, minFreq = 2)
+        .orderBy("doc_id")
+    }),
+
     // Heavy hitters: corpus-wide top terms (explode + count + top-k —
     // the wordcount shape whose 100 TB variant swaps the exact count
     // for count_min_sketch; exact here so the oracle can hash-match).
@@ -1444,6 +1465,63 @@ object LlmQueries {
      + list_reduce(list_prepend(0::BIGINT,
        [ascii(c)::BIGINT FOR c IN string_split(g, '')]),
        (a, c) -> (a*131 + c) % 1000000009) FOR g IN $src]"""
+
+  /** DuckDB restatement of [[graft.llm.Bpe]]'s merge loop: `rounds`
+    * unrolled CTE triples (pair count → argmax → literal-replace
+    * rewrite) over the word-frequency dictionary. `wN` is the
+    * dictionary after N merges in the double-space-delimited symbol
+    * form; `bN` is round N's winning pair under the (count DESC, lhs,
+    * rhs) tie-break. Every `wN`/`bN` is referenced more than once, so
+    * both are MATERIALIZED (a re-evaluated CTE would re-run the whole
+    * prefix per reference). */
+  private def bpeCtesSql(norm: String, rounds: Int,
+      minFreq: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""w0 AS MATERIALIZED (SELECT
+        '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '</w>  '
+          AS seq, freq
+      FROM (SELECT word, count(*)::BIGINT AS freq FROM (
+          SELECT unnest(list_filter(string_split($norm, ' '),
+            t -> len(t) > 0)) AS word FROM documents)
+        GROUP BY word HAVING count(*) >= $minFreq))"""
+    for (i <- 0 until rounds) {
+      sb ++= s""",
+      p$i AS (SELECT pr.lhs AS lhs, pr.rhs AS rhs,
+          sum(freq)::BIGINT AS cnt
+        FROM (SELECT freq,
+            unnest([{'lhs': syms[i], 'rhs': syms[i+1]}
+              FOR i IN range(1, len(syms))]) AS pr
+          FROM (SELECT string_split(trim(seq), '  ') AS syms, freq
+            FROM w$i))
+        GROUP BY 1, 2),
+      b$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$i
+        ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      w${i + 1} AS MATERIALIZED (SELECT replace(seq,
+          ' ' || (SELECT lhs FROM b$i) || '  '
+            || (SELECT rhs FROM b$i) || ' ',
+          ' ' || (SELECT lhs FROM b$i)
+            || (SELECT rhs FROM b$i) || ' ') AS seq, freq
+        FROM w$i)"""
+    }
+    sb.result()
+  }
+
+  /** The [[bpeCtesSql]] merges applied to a `word` column: the nested
+    * literal-replace segmentation expression (identical for
+    * dictionary and out-of-dictionary words — which is why the oracle
+    * needs no dictionary join to restate the Spark side's
+    * join-plus-fallback split). */
+  private def bpeSegmentSql(rounds: Int): String = {
+    var e =
+      """'  ' || regexp_replace(word, '(.)', '\1  ', 'g') || '</w>  '"""
+    for (i <- 0 until rounds)
+      e = s"""replace($e,
+        ' ' || (SELECT lhs FROM b$i) || '  '
+          || (SELECT rhs FROM b$i) || ' ',
+        ' ' || (SELECT lhs FROM b$i)
+          || (SELECT rhs FROM b$i) || ' ')"""
+    e
+  }
 
   /** DuckDB restatement of [[graft.llm.Dedup.hyperplaneSignature]]:
     * the plane signs are plan-time constants, emitted here as the SAME
@@ -3151,6 +3229,28 @@ object LlmQueries {
       // double), avgdl as an integer quotient, DECIMAL per-term sum —
       // the same expression tree as the Spark plan, term for term.
       "t17_bm25" -> t17Sql,
+      // BPE training: 12 unrolled merge rounds; the final read stamps
+      // each round's argmax with its step number.
+      "t24_bpe_merges" ->
+        s"""WITH ${bpeCtesSql(norm, 12, 2)}
+           SELECT step, lhs, rhs, lhs || rhs AS merged,
+             cnt AS pair_count
+           FROM (${(1 to 12).map(n =>
+               s"SELECT $n AS step, lhs, rhs, cnt FROM b${n - 1}")
+             .mkString(" UNION ALL ")})
+           ORDER BY step""",
+      // BPE segmentation: every word instance runs the same nested
+      // replace chain (== the Spark dictionary-join + fallback split,
+      // which takes the identical expression through two routes).
+      "t25_bpe_token_counts" ->
+        s"""WITH ${bpeCtesSql(norm, 12, 2)},
+           inst AS (SELECT doc_id,
+             unnest(list_filter(string_split($norm, ' '),
+               t -> len(t) > 0)) AS word FROM documents)
+           SELECT doc_id, count(*)::BIGINT AS n_words,
+             sum(len(string_split(trim(${bpeSegmentSql(12)}),
+               '  ')))::BIGINT AS n_bpe_tokens
+           FROM inst GROUP BY doc_id ORDER BY doc_id""",
       // The persisted-stats path must be bit-identical to the one-shot
       // path, so its oracle IS t17's restatement.
       "t21_bm25_persisted" -> t17Sql,

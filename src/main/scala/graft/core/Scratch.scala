@@ -16,15 +16,20 @@ package graft.core
   *      surviving dump is a silent mixture of the two fixtures
   *      (observed as a 10x-gate hash mismatch whose 2009 partitions
   *      carried sf0.001-density rows — two JVMs, one path).
-  *   2. BOUNDED DISK — at most ONE live dir per prefix per JVM: when
-  *      a new invocation of the same gate registers, the previous
-  *      same-prefix dir is deleted immediately (callers guarantee the
-  *      prior invocation's lazy DataFrame is no longer consumed by
-  *      then — each gate materializes its result before the next
-  *      invocation can begin). Without this, every rep of a
-  *      lifecycle gate in one long-lived JVM (bench reps,
-  *      multi-fixture Verify) held a full corpus-sized lake in
-  *      java.io.tmpdir simultaneously.
+  *   2. BOUNDED DISK — at most ONE live dir per prefix per THREAD:
+  *      when a new invocation of the same gate registers from the
+  *      same thread, the previous same-prefix dir is deleted
+  *      immediately. Same-thread sequential re-invocation is the ONLY
+  *      case where eager deletion is provably safe without a caller
+  *      contract: the thread has returned from the prior invocation,
+  *      and every gate materializes its result before returning — so
+  *      the prior dir cannot still feed a live frame. A previous dir
+  *      registered by a DIFFERENT thread may belong to a concurrently
+  *      running suite (exactly the data-mixing class invariant 1
+  *      guards against), so it is left alone and swept by the exit
+  *      hook instead. The bounded-disk case that motivated this —
+  *      bench reps and multi-fixture Verify re-running one gate in a
+  *      long-lived JVM — is single-threaded, so it still holds.
   *   3. CLEANUP — one shared shutdown hook (not a thread per dir)
   *      deletes every still-registered dir at JVM exit. In-query
   *      deletion is impossible for dirs that must outlive a returned
@@ -41,8 +46,9 @@ object Scratch {
 
   private val registered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private final case class Last(dir: String, thread: Long)
   private val lastByPrefix =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Last]()
   @volatile private var hookInstalled = false
 
   private def rm(f: java.io.File): Unit = {
@@ -66,14 +72,18 @@ object Scratch {
   }
 
   /** A fresh scratch dir under java.io.tmpdir, deleted at JVM exit.
-    * The PREVIOUS dir created under the same prefix (if any) is
-    * deleted now — see invariant 2. */
+    * The previous dir created under the same prefix BY THIS THREAD
+    * (if any) is deleted now — see invariant 2; a same-prefix dir
+    * from another thread is never touched (it may be live). The
+    * `registered.remove` guard makes the delete single-shot even if
+    * two threads race the same `prev`. */
   def dir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix).toString
     deleteOnExit(d)
-    val prev = lastByPrefix.put(prefix, d)
-    if (prev != null && registered.remove(prev))
-      rm(new java.io.File(prev))
+    val me = Thread.currentThread().getId
+    val prev = lastByPrefix.put(prefix, Last(d, me))
+    if (prev != null && prev.thread == me && registered.remove(prev.dir))
+      rm(new java.io.File(prev.dir))
     d
   }
 }

@@ -53,8 +53,14 @@ object Bpe {
 
   /** Word-end marker appended to every word's symbol sequence, per the
     * published algorithm (distinguishes "est " in "newest" from
-    * "estimate"). */
-  val EndMark = "</w>"
+    * "estimate"). Uppercase 'W' on purpose: training words come out of
+    * [[TextFunctions.normalizeText]], which lowercases, so no sequence
+    * of word-internal symbols can ever concatenate to this marker —
+    * the reserved-symbol property of the published algorithm holds
+    * even on text containing a literal "&lt;/w&gt;". (A control char
+    * would also work but an uppercase letter stays printable and
+    * SQL-literal-safe for the oracle restatement.) */
+  val EndMark = "</W>"
 
   /** `"  h  e  l  l  o  </w>  "` — the spaced-symbol seed form of a
     * word. Symbols are separated by DOUBLE spaces and the merge

@@ -1473,13 +1473,17 @@ object LlmQueries {
     * form; `bN` is round N's winning pair under the (count DESC, lhs,
     * rhs) tie-break. Every `wN`/`bN` is referenced more than once, so
     * both are MATERIALIZED (a re-evaluated CTE would re-run the whole
-    * prefix per reference). */
+    * prefix per reference). If training exhausts before `rounds`
+    * (some `bN` empty), the scalar subqueries go NULL; the
+    * `coalesce(..., chr(1))` keeps the round a WELL-DEFINED no-op
+    * (pattern == replacement == chr(1)) instead of nulling the whole
+    * dictionary and relying on NULL-propagation accidents. */
   private def bpeCtesSql(norm: String, rounds: Int,
       minFreq: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""w0 AS MATERIALIZED (SELECT
-        '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') || '</w>  '
-          AS seq, freq
+        '  ' || regexp_replace(word, '(.)', '\\1  ', 'g')
+          || '${Bpe.EndMark}  ' AS seq, freq
       FROM (SELECT word, count(*)::BIGINT AS freq FROM (
           SELECT unnest(list_filter(string_split($norm, ' '),
             t -> len(t) > 0)) AS word FROM documents)
@@ -1497,10 +1501,10 @@ object LlmQueries {
       b$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$i
         ORDER BY cnt DESC, lhs, rhs LIMIT 1),
       w${i + 1} AS MATERIALIZED (SELECT replace(seq,
-          ' ' || (SELECT lhs FROM b$i) || '  '
-            || (SELECT rhs FROM b$i) || ' ',
-          ' ' || (SELECT lhs FROM b$i)
-            || (SELECT rhs FROM b$i) || ' ') AS seq, freq
+          coalesce(' ' || (SELECT lhs FROM b$i) || '  '
+            || (SELECT rhs FROM b$i) || ' ', chr(1)),
+          coalesce(' ' || (SELECT lhs FROM b$i)
+            || (SELECT rhs FROM b$i) || ' ', chr(1))) AS seq, freq
         FROM w$i)"""
     }
     sb.result()
@@ -1512,14 +1516,14 @@ object LlmQueries {
     * needs no dictionary join to restate the Spark side's
     * join-plus-fallback split). */
   private def bpeSegmentSql(rounds: Int): String = {
-    var e =
-      """'  ' || regexp_replace(word, '(.)', '\1  ', 'g') || '</w>  '"""
+    var e = s"""'  ' || regexp_replace(word, '(.)', '\\1  ', 'g')
+      || '${Bpe.EndMark}  '"""
     for (i <- 0 until rounds)
       e = s"""replace($e,
-        ' ' || (SELECT lhs FROM b$i) || '  '
-          || (SELECT rhs FROM b$i) || ' ',
-        ' ' || (SELECT lhs FROM b$i)
-          || (SELECT rhs FROM b$i) || ' ')"""
+        coalesce(' ' || (SELECT lhs FROM b$i) || '  '
+          || (SELECT rhs FROM b$i) || ' ', chr(1)),
+        coalesce(' ' || (SELECT lhs FROM b$i)
+          || (SELECT rhs FROM b$i) || ' ', chr(1)))"""
     e
   }
 

@@ -3,7 +3,8 @@ package graft.core
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Disk-bounding contract of [[Scratch]]: fresh unique dirs, at most
-  * one live dir per prefix per JVM, independent prefixes untouched. */
+  * one live dir per prefix per thread, independent prefixes and other
+  * threads' dirs untouched. */
 class ScratchSpec extends AnyFunSuite {
 
   test("a new same-prefix dir deletes the previous one; other " +
@@ -29,5 +30,25 @@ class ScratchSpec extends AnyFunSuite {
       nested.toPath.resolve("f.txt"), "data".getBytes)
     Scratch.dir("graft_scratch_spec_rec")
     assert(!new java.io.File(d1).exists())
+  }
+
+  test("a same-prefix dir registered by ANOTHER thread is never " +
+      "eagerly deleted (it may be live — parallel suites)") {
+    val prefix = "graft_scratch_spec_xthread"
+    var other: String = null
+    val t = new Thread(() => { other = Scratch.dir(prefix) })
+    t.start(); t.join()
+    assert(new java.io.File(other).isDirectory)
+    val mine = Scratch.dir(prefix)
+    assert(new java.io.File(other).isDirectory,
+      "another thread's same-prefix dir must survive registration")
+    // Same-thread re-registration still bounds disk: it deletes the
+    // dir THIS thread registered, not the other thread's.
+    val mine2 = Scratch.dir(prefix)
+    assert(!new java.io.File(mine).exists(),
+      "own previous same-prefix dir must be deleted")
+    assert(new java.io.File(mine2).isDirectory)
+    assert(new java.io.File(other).isDirectory,
+      "the other thread's dir must still survive")
   }
 }

@@ -9,13 +9,27 @@ import graft.SparkSpec
   * merge, (count desc, lhs asc, rhs asc) tie-break). */
 class BpeSpec extends SparkSpec {
 
+  /** Code-point split — the symbol contract both engine sides use
+    * (Java regex `.` and DuckDB/RE2 `.` each match one code point, so
+    * an astral-plane char is ONE seed symbol, not a surrogate pair). */
+  private def codePoints(w: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      b += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    b.result()
+  }
+
   /** Reference model: trains on a word->freq map, symbols as
     * Vector[String], no string-replace shortcut — an independent
     * derivation of the same contract. */
   private def modelTrain(wordFreq: Map[String, Long],
       rounds: Int): Seq[Bpe.Merge] = {
     var dict: Map[Vector[String], Long] = wordFreq.map { case (w, f) =>
-      (w.map(_.toString).toVector :+ Bpe.EndMark) -> f
+      (codePoints(w) :+ Bpe.EndMark) -> f
     }.groupMapReduce(_._1)(_._2)(_ + _)
     val out = Seq.newBuilder[Bpe.Merge]
     var step = 0
@@ -47,7 +61,7 @@ class BpeSpec extends SparkSpec {
 
   private def modelSegment(word: String,
       merges: Seq[Bpe.Merge]): Vector[String] = {
-    var syms = word.map(_.toString).toVector :+ Bpe.EndMark
+    var syms = codePoints(word) :+ Bpe.EndMark
     for (m <- merges) {
       val b = Vector.newBuilder[String]
       var i = 0
@@ -66,7 +80,13 @@ class BpeSpec extends SparkSpec {
     (2L, "newest newest newest newest newest newest"),
     (3L, "widest widest widest  NEWEST newest"),
     (4L, "a aa aaa aaaa lowly widest low"),
-    (5L, "est est west best rest newest lowest"))
+    (5L, "est est west best rest newest lowest"),
+    // Astral-plane chars (U+1F600, caseless So) exercise the
+    // code-point symbol contract: "lo😀w" must seed as 4 symbols +
+    // EndMark, not 5 (a split-by-UTF-16-unit model would break the
+    // emoji into surrogate halves and diverge). "</w>" as a literal
+    // word proves the uppercase EndMark stays reserved.
+    (6L, "lo😀w lo😀w lo😀w 😀😀 </w> </w>"))
 
   private def docs = {
     val s = spark

@@ -202,8 +202,21 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fixtureGb = fixtureBytes / 1e9
+    // Self-adjudication verdict, not just raw fields: a run that
+    // STARTS on a contended box (loadavg_before > cpus/4) cannot pose
+    // as a regression datum — round 12's driver artifact (loadavg
+    // 7.2, warm_read 4.2x the floor) read as a 1.14x regression that
+    // an idle-box rerun measured at 1.01x. The threshold is cpus/4:
+    // at local[32] a loadavg of 8 means a quarter of the cores are
+    // already busy before the first measured rep.
+    val contended = loadBefore > cpus.toDouble / 4
+    if (contended) System.err.println(
+      f"[bench] WARNING: loadavg_before $loadBefore%.1f exceeds " +
+        f"cpus/4 = ${cpus.toDouble / 4}%.1f — this run is marked " +
+        "\"contended\":true; treat regressions vs an idle-box " +
+        "baseline as unadjudicated")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(best(headline))},"value_median":$totalMed,"queries_median":${jsonMap(med(headline))},"ops_value":$opsTotal,"ops_value_median":$opsTotalMed,"ops_queries":${jsonMap(best(ops))},"ops_queries_median":${jsonMap(med(ops))},"failures":$failJson,"sf":"$sfDir","reps":$reps,"stat":"best-of-$reps","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"fixture_gb":$fixtureGb,"warm_read_sec":$warmReadSec,"cpus":$cpus,"shuffle":$shuffle}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(best(headline))},"value_median":$totalMed,"queries_median":${jsonMap(med(headline))},"ops_value":$opsTotal,"ops_value_median":$opsTotalMed,"ops_queries":${jsonMap(best(ops))},"ops_queries_median":${jsonMap(med(ops))},"failures":$failJson,"sf":"$sfDir","reps":$reps,"stat":"best-of-$reps","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"contended":$contended,"fixture_gb":$fixtureGb,"warm_read_sec":$warmReadSec,"cpus":$cpus,"shuffle":$shuffle}"""
     // sbt interleaves [info] prefixes into stdout, so the driver can't
     // reliably parse stdout alone — also write the FULL detail line
     // (ops suite, medians, full-precision times) to a bare file.
@@ -224,7 +237,7 @@ object Bench {
     println(line)
     def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
     val compact =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":${jsonMap(best(headline).map { case (k, v) => k -> r4(v) })},"value_median":${r4(totalMed)},"ops_value":${r4(opsTotal)},"ops_value_median":${r4(opsTotalMed)},"failures":$failJson,"sf":"$sfDir","reps":$reps,"stat":"best-of-$reps","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"fixture_gb":$fixtureGb,"warm_read_sec":${r4(warmReadSec)},"cpus":$cpus,"shuffle":$shuffle,"detail":"$out"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":${jsonMap(best(headline).map { case (k, v) => k -> r4(v) })},"value_median":${r4(totalMed)},"ops_value":${r4(opsTotal)},"ops_value_median":${r4(opsTotalMed)},"failures":$failJson,"sf":"$sfDir","reps":$reps,"stat":"best-of-$reps","loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"contended":$contended,"fixture_gb":$fixtureGb,"warm_read_sec":${r4(warmReadSec)},"cpus":$cpus,"shuffle":$shuffle,"detail":"$out"}"""
     println(compact)
     spark.stop()
   }

@@ -64,10 +64,12 @@ object SparkEntry {
     "d11_substring_dup", "d12_semantic_dedup",
     "d19_semantic_dedup_probed", "d21_decontaminate",
     "d25_minhash_after_exact", "d26_incremental_capped",
+    "d27_minhash_survivors_capped",
     "s02_ann_lsh", "s03_ann_ivf", "s06_ann_pq", "s07_ann_ivfpq",
     "s08_featurized_ann", "s09_ann_ivf_persisted",
     "q16_quantile_disc",
-    "t17_bm25", "t18_surprisal", "t19_curation_semantic",
+    "t17_bm25", "t18_surprisal", "t26_bigram_surprisal",
+    "t19_curation_semantic",
     "t20_curation_filtered", "t21_bm25_persisted",
     "q15_zorder_key", "w10_interval_join",
     "x01_ansi_mix", "x02_adversarial_domain", "x03_quantile_inf")

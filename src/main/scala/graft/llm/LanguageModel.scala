@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import TextFunctions._
@@ -78,6 +78,117 @@ object LanguageModel {
       .select(col("doc_id"), col("n_tokens"),
         round(col("ms"), 6).as("mean_surprisal"),
         (col("ms") > outlierAbove).as("is_outlier"))
+  }
+
+  /** Per-document mean BIGRAM surprisal under Stupid Backoff (Brants
+    * et al., "Large Language Models in Machine Translation",
+    * EMNLP 2007 — the backoff score designed FOR distributed n-gram
+    * training, which is why it is the right higher-order form here:
+    * no discount normalization pass, every statistic a plain count).
+    *
+    * Model estimation is split from scoring the way the published
+    * pipelines do it (CCNet trains the LM on a reference corpus and
+    * scores the crawl): statistics come from the deterministic
+    * TRAINING SLICE `id % trainMod == trainRem`, and every document
+    * is scored against them — so the backoff path is REAL (unseen
+    * bigrams/terms genuinely occur) instead of dead weight that
+    * self-scoring can never reach.
+    *
+    * Per-token score, in backoff order:
+    *   - token 1 of a doc (no context), or an unseen context/bigram:
+    *     the add-one unigram base `p1(w) = (cnt(w)+1)/(N+V)` (add-one
+    *     makes OOV exact instead of -ln 0), times `alpha` on the
+    *     backoff path per Stupid Backoff;
+    *   - seen bigram: `S(w|prev) = cnt2(prev,w)/cnt(prev)`.
+    *   surprisal = -ln of the score; the per-doc mean sums the
+    *   per-instance terms in DECIMAL(38,18) exactly like
+    *   [[unigramSurprisal]], so the result is partition-order
+    *   independent and restates bit-identically in external SQL.
+    *
+    * Scale posture: both stats tables are corpus-bounded aggregations
+    * (unigrams vocabulary-sized; bigrams bounded by distinct adjacent
+    * pairs, sharded by hash like any groupBy — never a cross
+    * product), and scoring collapses to DISTINCT (doc, prev, cur)
+    * triples with multiplicity before the stats joins, so the join
+    * shuffles pair-distinct rows, not token instances. The stats
+    * joins are plain equi-joins AQE broadcasts when the tables fit.
+    * Nothing driver-side; the model "snapshot" (uni/bigram frames)
+    * is exactly what a production pipeline would persist once per
+    * reference-corpus release and reuse across scoring runs.
+    *
+    * @return (doc_id, n_tokens, mean_surprisal) — one row per
+    *         document with at least one non-empty token
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", alpha: Double = 0.4,
+      trainMod: Int = 3, trainRem: Int = 1): DataFrame = {
+    val tk = docs
+      .select(col(idCol).as("doc_id"),
+        filter(tokens(col(textCol)), t => length(t) > 0).as("tk"))
+      .where(size(col("tk")) > 0)
+    // Adjacent-pair extraction as one narrow expression (no
+    // self-join): i-th struct pairs tk[i] with tk[i+1]. A one-token
+    // doc must yield an EMPTY pair array — sequence(1, 0) would emit
+    // a DESCENDING range (the Bpe guard, same trap).
+    val pairsOf = when(size(col("tk")) >= 2,
+      transform(sequence(lit(1), size(col("tk")) - 1),
+        i => struct(element_at(col("tk"), i).as("prev"),
+          element_at(col("tk"), i + 1).as("cur"))))
+      .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
+    val train = tk.where(col("doc_id") % trainMod === trainRem)
+    val uni = train.select(explode(col("tk")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    // One row: exact token total N and vocabulary size V (longs).
+    val tot = uni.agg(sum(col("cnt")).as("n"),
+      count(lit(1)).as("v"))
+    val bfreq = train.select(explode(pairsOf).as("b"))
+      .select(col("b.prev").as("prev"), col("b.cur").as("cur"))
+      .groupBy("prev", "cur").agg(count(lit(1)).as("cnt2"))
+    // Add-one unigram base over the training slice; `c` is the
+    // (possibly missing) training count of the scored term.
+    def p1(c: Column): Column =
+      (coalesce(c, lit(0L)) + lit(1L)).cast("double") /
+        (col("n") + col("v")).cast("double")
+    // First token of every doc: unigram base, no alpha (it is the
+    // base case, not a backoff).
+    val first = tk
+      .select(col("doc_id"), element_at(col("tk"), 1).as("term"))
+      .join(uni.withColumnRenamed("cnt", "cnt_cur"), Seq("term"),
+        "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), lit(1L).as("k"),
+        (-log(p1(col("cnt_cur")))).as("surprisal"))
+    // Remaining tokens: distinct (doc, prev, cur) with multiplicity,
+    // then the two stats joins. cnt2 non-null implies prev was seen
+    // in training (the bigram came from there), so the seen branch
+    // never divides by a missing context count.
+    val bg = tk.select(col("doc_id"), explode(pairsOf).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"),
+        col("b.cur").as("cur"))
+      .groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("k"))
+    val rest = bg
+      .join(bfreq, Seq("prev", "cur"), "left")
+      .join(uni.select(col("term").as("prev"),
+        col("cnt").as("cnt_prev")), Seq("prev"), "left")
+      .join(uni.select(col("term").as("cur"),
+        col("cnt").as("cnt_cur")), Seq("cur"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("k"),
+        when(col("cnt2").isNotNull,
+          -log(col("cnt2").cast("double")
+            / col("cnt_prev").cast("double")))
+          .otherwise(-log(lit(alpha) * p1(col("cnt_cur"))))
+          .as("surprisal"))
+    // n_tokens = 1 (first) + (size-1) (pairs) = size, recovered as
+    // sum(k) — no extra join back to the token arrays.
+    first.unionByName(rest)
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_tokens"),
+        (sum((col("k").cast("double") * col("surprisal"))
+            .cast("decimal(38,18)")).cast("double")
+          / sum(col("k"))).as("ms"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("ms"), 6).as("mean_surprisal"))
   }
 
   /** Corpus-derived surprisal keep-threshold: the `mean_surprisal`

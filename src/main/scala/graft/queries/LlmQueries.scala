@@ -78,6 +78,27 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // d23's capped pipeline consumed the way production consumes it:
+    // straight into the GREEDY SURVIVOR view, never materializing
+    // (or sorting) the pair list. The pair mass still flows through
+    // the jaccard verify stage, but it reduces IMMEDIATELY to
+    // `distinct id_b` — map-side-combinable, so what crosses the
+    // wire and lands on disk is corpus-sized (one row per surviving
+    // doc), not pair-mass-sized. This is the 1000x-tractable form of
+    // the minhash family: d23's full pair OUTPUT is ~1e8 rows at
+    // that decade (the measured wall, per bench_scale.json), while
+    // this gate's output is the 5M-row survivor set — the d17-vs-d05
+    // pattern applied to the minhash chain.
+    "d27_minhash_survivors_capped" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashPairs(d, shingleN = 8, bands = 16,
+        rowsPerBand = 4, threshold = 0.1, portable = true,
+        maxBucket = 2)
+      Dedup.survivors(d, pairs)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // The production near-dedup ORDER: exact dedup first, then
     // minhash near-dedup over the exact survivors only — the t16
     // curation composition's stage order, gated as a standalone
@@ -99,6 +120,18 @@ object LlmQueries {
       // the distinct-content count — shuffle_hash builds from it per
       // partition (never broadcast a corpus-sized side on a bad
       // estimate).
+      // MEASURED: recompute beats caching this frame even though the
+      // minhash stage's plan re-reads the keeper-join subtree six
+      // times (scan+aggregate per reference, PLANS.md d25 snapshot).
+      // A/B at the stress fixtures (best-of-3 / median-of-3, idle
+      // box, 32 cores): 10x recompute 6.58/6.97 s vs MEMORY_AND_DISK
+      // persist 8.90/9.49 s; 100x recompute 51.9/57.1 s vs persist
+      // 56.4/76.7 s. Same verdict as minhashPairs' signature
+      // subtree: the subtree is scan+hash work that fuses into
+      // whole-stage codegen per consumer, while a cache inserts an
+      // InMemoryRelation barrier (build cost + row materialization +
+      // memory pressure on the very stage that needs the heap for
+      // its hash joins). Revisit only if the consumer count grows.
       val survivors = d.join(keepers.hint("shuffle_hash"), "doc_id")
       Dedup.minhashPairs(survivors, shingleN = 8, bands = 16,
         rowsPerBand = 4, threshold = 0.3, portable = true,
@@ -905,6 +938,17 @@ object LlmQueries {
     // exact token total, and the DECIMAL surprisal sum restated.
     "t18_surprisal" -> ((s, dir) => {
       LanguageModel.unigramSurprisal(docs(s, dir))
+        .orderBy("doc_id")
+    }),
+
+    // Higher-order LM filter: per-doc mean bigram surprisal under
+    // Stupid Backoff, model estimated on the doc_id%3==1 training
+    // slice and scored over the WHOLE corpus — the backoff path is
+    // live (unseen bigrams/terms exist by construction). Full
+    // oracle: both stats tables, the add-one base, and the DECIMAL
+    // surprisal sum restated.
+    "t26_bigram_surprisal" -> ((s, dir) => {
+      LanguageModel.bigramSurprisal(docs(s, dir))
         .orderBy("doc_id")
     }),
 
@@ -1818,6 +1862,63 @@ object LlmQueries {
                ORDER BY (id * 1103515245 + 12345) % 2147483648 ASC,
                  id ASC) AS rn FROM e), nk WHERE rn <= nk.k)"""
 
+  /** Shared CTE chain of the CAPPED minhash near-dup oracles
+    * (d23/d25/d27): portable polynomial shingle hashes -> 64 affine
+    * permutations mod 1e9+7 -> per-band base-31 folds -> per-(band,
+    * hash) occupancy count -> the `wide` re-key (members of buckets
+    * larger than `cap` pair only when their full-signature fold
+    * agrees) -> distinct candidates -> component-estimate prefilter
+    * at `estFrac` -> exact Jaccard in `scored(id_a, id_b, jaccard)`.
+    * `src` is the inner document source (d25 pre-filters it to the
+    * exact-dedup keeper set). Every constant restates the Spark
+    * expressions verbatim. */
+  private def cappedMinhashScoredSql(norm: String, src: String,
+      cap: Int, estFrac: String): String =
+    s"""g AS (SELECT doc_id AS id,
+             list_distinct(CASE WHEN len(t) < 8 THEN [t]
+               ELSE [substr(t, i, 8)
+                 FOR i IN range(1, len(t) - 6)] END) AS grams
+             FROM (SELECT doc_id, $norm AS t FROM $src)),
+           hs AS (SELECT id,
+             ${polyHashWideListSql("grams")} AS hs FROM g),
+           sig AS (SELECT id, hs,
+             [list_min([((((i*1103515245 + 12345) % 1000000006) + 1)
+                  * (h // 1000000009)
+                + (i*69069 + 7) % 1000000007) % 1000000007
+               FOR h IN hs]) FOR i IN range(0, 64)] AS mh
+             FROM hs),
+           fullh AS (SELECT id,
+             list_reduce(list_prepend(0::BIGINT, mh),
+               (a, v) -> (a*31 + v) % 1000000007) AS fh FROM sig),
+           bands AS (SELECT id, b AS band_idx,
+             list_reduce(list_prepend(0::BIGINT, mh[b*4+1 : b*4+4]),
+               (a, v) -> (a*31 + v) % 1000000007) AS band_hash
+             FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bt),
+           bcnt AS (SELECT band_idx, band_hash, count(*) AS n
+             FROM bands GROUP BY band_idx, band_hash),
+           bw AS (SELECT bands.id, bands.band_idx, bands.band_hash,
+             CASE WHEN bcnt.n > $cap THEN fullh.fh ELSE 0 END AS wide
+             FROM bands
+             JOIN bcnt ON bcnt.band_idx = bands.band_idx
+               AND bcnt.band_hash = bands.band_hash
+             JOIN fullh ON fullh.id = bands.id),
+           pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bw a JOIN bw b
+             ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.wide = b.wide AND a.id < b.id),
+           est AS (SELECT id_a, id_b FROM pairs
+             JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+             WHERE len([i FOR i IN range(1, 65)
+               IF sa.mh[i] = sb.mh[i]])::DOUBLE / 64 >= $estFrac),
+           ver AS (SELECT id_a, id_b,
+             len(list_intersect(sa.hs, sb.hs))::DOUBLE AS inter,
+             (len(sa.hs) + len(sb.hs))::DOUBLE AS tot
+             FROM est
+             JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b),
+           scored AS (SELECT id_a, id_b, CASE WHEN tot - inter = 0
+             THEN 1.0 ELSE inter / (tot - inter) END AS jaccard
+             FROM ver)"""
+
   val oracles: Map[String, String] = {
     val norm =
       "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1966,104 +2067,35 @@ object LlmQueries {
       // three-key bucket join — members of oversized buckets pair
       // only when their entire 64-component signature agrees.
       "d23_minhash_pairs_capped" ->
-        s"""WITH g AS (SELECT doc_id AS id,
-             list_distinct(CASE WHEN len(t) < 8 THEN [t]
-               ELSE [substr(t, i, 8)
-                 FOR i IN range(1, len(t) - 6)] END) AS grams
-             FROM (SELECT doc_id, $norm AS t FROM documents)),
-           hs AS (SELECT id,
-             ${polyHashWideListSql("grams")} AS hs FROM g),
-           sig AS (SELECT id, hs,
-             [list_min([((((i*1103515245 + 12345) % 1000000006) + 1)
-                  * (h // 1000000009)
-                + (i*69069 + 7) % 1000000007) % 1000000007
-               FOR h IN hs]) FOR i IN range(0, 64)] AS mh
-             FROM hs),
-           fullh AS (SELECT id,
-             list_reduce(list_prepend(0::BIGINT, mh),
-               (a, v) -> (a*31 + v) % 1000000007) AS fh FROM sig),
-           bands AS (SELECT id, b AS band_idx,
-             list_reduce(list_prepend(0::BIGINT, mh[b*4+1 : b*4+4]),
-               (a, v) -> (a*31 + v) % 1000000007) AS band_hash
-             FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bt),
-           bcnt AS (SELECT band_idx, band_hash, count(*) AS n
-             FROM bands GROUP BY band_idx, band_hash),
-           bw AS (SELECT bands.id, bands.band_idx, bands.band_hash,
-             CASE WHEN bcnt.n > 2 THEN fullh.fh ELSE 0 END AS wide
-             FROM bands
-             JOIN bcnt ON bcnt.band_idx = bands.band_idx
-               AND bcnt.band_hash = bands.band_hash
-             JOIN fullh ON fullh.id = bands.id),
-           pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-             FROM bw a JOIN bw b
-             ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-               AND a.wide = b.wide AND a.id < b.id),
-           est AS (SELECT id_a, id_b FROM pairs
-             JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
-             WHERE len([i FOR i IN range(1, 65)
-               IF sa.mh[i] = sb.mh[i]])::DOUBLE / 64 >= 0.05),
-           ver AS (SELECT id_a, id_b,
-             len(list_intersect(sa.hs, sb.hs))::DOUBLE AS inter,
-             (len(sa.hs) + len(sb.hs))::DOUBLE AS tot
-             FROM est
-             JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b)
-           SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
-             SELECT id_a, id_b, CASE WHEN tot - inter = 0 THEN 1.0
-               ELSE inter / (tot - inter) END AS jaccard FROM ver)
-           WHERE jaccard >= 0.1
+        s"""WITH ${cappedMinhashScoredSql(norm, "documents", 2,
+             "0.05")}
+           SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+           FROM scored WHERE jaccard >= 0.1
            ORDER BY id_a, id_b""",
+      // d23's capped chain reduced to the GREEDY SURVIVOR view (drop
+      // the larger id of every pair) — the consumer shape whose
+      // output is corpus-sized, not pair-mass-sized: the 1000x form
+      // of the minhash family (d23's full pair output is ~1e8 rows
+      // there; the survivor set is 5M).
+      "d27_minhash_survivors_capped" ->
+        s"""WITH ${cappedMinhashScoredSql(norm, "documents", 2,
+             "0.05")},
+           losers AS (SELECT DISTINCT id_b FROM scored
+             WHERE jaccard >= 0.1)
+           SELECT doc_id, lang, n_chars FROM documents
+           WHERE doc_id NOT IN (SELECT id_b FROM losers)
+           ORDER BY doc_id""",
       // Exact-first near-dedup: d01's min-id-per-content-hash keeper
       // set feeds d23's capped chain (cap 64, threshold 0.3).
       "d25_minhash_after_exact" ->
         s"""WITH k AS (SELECT min(doc_id) AS id FROM (
                SELECT doc_id, md5($norm) AS h FROM documents)
              GROUP BY h),
-           g AS (SELECT doc_id AS id,
-             list_distinct(CASE WHEN len(t) < 8 THEN [t]
-               ELSE [substr(t, i, 8)
-                 FOR i IN range(1, len(t) - 6)] END) AS grams
-             FROM (SELECT doc_id, $norm AS t FROM documents
-               WHERE doc_id IN (SELECT id FROM k))),
-           hs AS (SELECT id,
-             ${polyHashWideListSql("grams")} AS hs FROM g),
-           sig AS (SELECT id, hs,
-             [list_min([((((i*1103515245 + 12345) % 1000000006) + 1)
-                  * (h // 1000000009)
-                + (i*69069 + 7) % 1000000007) % 1000000007
-               FOR h IN hs]) FOR i IN range(0, 64)] AS mh
-             FROM hs),
-           fullh AS (SELECT id,
-             list_reduce(list_prepend(0::BIGINT, mh),
-               (a, v) -> (a*31 + v) % 1000000007) AS fh FROM sig),
-           bands AS (SELECT id, b AS band_idx,
-             list_reduce(list_prepend(0::BIGINT, mh[b*4+1 : b*4+4]),
-               (a, v) -> (a*31 + v) % 1000000007) AS band_hash
-             FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bt),
-           bcnt AS (SELECT band_idx, band_hash, count(*) AS n
-             FROM bands GROUP BY band_idx, band_hash),
-           bw AS (SELECT bands.id, bands.band_idx, bands.band_hash,
-             CASE WHEN bcnt.n > 64 THEN fullh.fh ELSE 0 END AS wide
-             FROM bands
-             JOIN bcnt ON bcnt.band_idx = bands.band_idx
-               AND bcnt.band_hash = bands.band_hash
-             JOIN fullh ON fullh.id = bands.id),
-           pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-             FROM bw a JOIN bw b
-             ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-               AND a.wide = b.wide AND a.id < b.id),
-           est AS (SELECT id_a, id_b FROM pairs
-             JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
-             WHERE len([i FOR i IN range(1, 65)
-               IF sa.mh[i] = sb.mh[i]])::DOUBLE / 64 >= 0.15),
-           ver AS (SELECT id_a, id_b,
-             len(list_intersect(sa.hs, sb.hs))::DOUBLE AS inter,
-             (len(sa.hs) + len(sb.hs))::DOUBLE AS tot
-             FROM est
-             JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b)
-           SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
-             SELECT id_a, id_b, CASE WHEN tot - inter = 0 THEN 1.0
-               ELSE inter / (tot - inter) END AS jaccard FROM ver)
-           WHERE jaccard >= 0.3
+           ${cappedMinhashScoredSql(norm,
+             "documents WHERE doc_id IN (SELECT id FROM k)", 64,
+             "0.15")}
+           SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+           FROM scored WHERE jaccard >= 0.3
            ORDER BY id_a, id_b""",
       // Incremental dedup: identical CTE chain to d02 up to the
       // signatures; the pair source crosses the corpus (doc_id%5!=0)
@@ -3229,6 +3261,54 @@ object LlmQueries {
            SELECT doc_id, n_tokens, round(ms, 6) AS mean_surprisal,
              ms > 3.45 AS is_outlier
            FROM s ORDER BY doc_id""",
+      // Bigram Stupid Backoff: unigram/bigram counts from the
+      // doc_id%3==1 training slice; first token and unseen
+      // bigrams/terms take the add-one unigram base (x0.4 on the
+      // backoff path), seen bigrams the cnt2/cnt(prev) MLE; DECIMAL
+      // per-instance sum — every expression the Spark plan's twin.
+      "t26_bigram_surprisal" ->
+        s"""WITH tkk AS (SELECT doc_id, tk FROM (
+             SELECT doc_id, list_filter(string_split($norm, ' '),
+               t -> len(t) > 0) AS tk FROM documents)
+             WHERE len(tk) > 0),
+           uni AS (SELECT term, count(*)::BIGINT AS cnt FROM (
+               SELECT unnest(tk) AS term FROM tkk WHERE doc_id % 3 = 1)
+             GROUP BY term),
+           tot AS (SELECT sum(cnt)::BIGINT AS n,
+             count(*)::BIGINT AS v FROM uni),
+           bfreq AS (SELECT prev, cur, count(*)::BIGINT AS cnt2
+             FROM (SELECT b.prev AS prev, b.cur AS cur FROM (
+               SELECT unnest([{'prev': tk[i], 'cur': tk[i+1]}
+                 FOR i IN range(1, len(tk))]) AS b
+               FROM tkk WHERE doc_id % 3 = 1))
+             GROUP BY prev, cur),
+           fst AS (SELECT doc_id, 1::BIGINT AS k,
+             -ln((coalesce(uni.cnt, 0) + 1)::DOUBLE
+               / (n + v)::DOUBLE) AS s
+             FROM (SELECT doc_id, tk[1] AS term FROM tkk) f
+             LEFT JOIN uni ON uni.term = f.term CROSS JOIN tot),
+           bg AS (SELECT doc_id, prev, cur, count(*)::BIGINT AS k
+             FROM (SELECT doc_id, b.prev AS prev, b.cur AS cur FROM (
+               SELECT doc_id,
+                 unnest([{'prev': tk[i], 'cur': tk[i+1]}
+                   FOR i IN range(1, len(tk))]) AS b FROM tkk))
+             GROUP BY doc_id, prev, cur),
+           rst AS (SELECT doc_id, k,
+             CASE WHEN bfreq.cnt2 IS NOT NULL
+               THEN -ln(bfreq.cnt2::DOUBLE / up.cnt::DOUBLE)
+               ELSE -ln(0.4 * ((coalesce(uc.cnt, 0) + 1)::DOUBLE
+                 / (n + v)::DOUBLE)) END AS s
+             FROM bg
+             LEFT JOIN bfreq ON bfreq.prev = bg.prev
+               AND bfreq.cur = bg.cur
+             LEFT JOIN uni up ON up.term = bg.prev
+             LEFT JOIN uni uc ON uc.term = bg.cur
+             CROSS JOIN tot)
+           SELECT doc_id, sum(k)::BIGINT AS n_tokens,
+             round(sum((k::DOUBLE * s)::DECIMAL(38,18))::DOUBLE
+               / sum(k), 6) AS mean_surprisal
+           FROM (SELECT * FROM fst UNION ALL SELECT * FROM rst)
+           GROUP BY doc_id ORDER BY doc_id""",
       // BM25: Lucene-style idf, k1=1.5 b=0.75 (every constant an exact
       // double), avgdl as an integer quotient, DECIMAL per-term sum —
       // the same expression tree as the Spark plan, term for term.

@@ -104,6 +104,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out(2L)._3 && out(3L)._3)
   }
 
+  test("bigram surprisal matches an independent Stupid Backoff " +
+      "model; every score path (seen bigram, backoff, OOV, first " +
+      "token, single-token doc) is exercised") {
+    // trainMod=3, trainRem=1 => docs 1 and 4 train, ALL score:
+    // doc 2 has bigrams unseen in training (backoff on seen terms),
+    // doc 3 has OOV terms (backoff to the add-one floor), doc 5 is a
+    // single token (first-token path only).
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "cat the mat on"),
+      (3L, "zyx qwv the cat"),
+      (4L, "the cat ran"),
+      (5L, "the")).toDF("doc_id", "text")
+    val out = LanguageModel.bigramSurprisal(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("mean_surprisal")))
+      .toMap
+    // Independent model.
+    val toks = Map(
+      1L -> Seq("the", "cat", "sat", "on", "the", "mat"),
+      2L -> Seq("cat", "the", "mat", "on"),
+      3L -> Seq("zyx", "qwv", "the", "cat"),
+      4L -> Seq("the", "cat", "ran"),
+      5L -> Seq("the"))
+    val train = Seq(1L, 4L)
+    val uni = train.flatMap(toks).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val n = uni.values.sum.toDouble
+    val v = uni.size.toDouble
+    val bg = train.flatMap(d => toks(d).sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1)))).groupBy(identity)
+      .map { case (p, xs) => p -> xs.size.toLong }
+    def p1(w: String): Double = (uni.getOrElse(w, 0L) + 1) / (n + v)
+    for ((d, tk) <- toks) {
+      val first = -math.log(p1(tk.head))
+      val rest = tk.sliding(2).filter(_.size == 2).map { p =>
+        bg.get((p(0), p(1))) match {
+          case Some(c2) => -math.log(c2.toDouble / uni(p(0)))
+          case None => -math.log(0.4 * p1(p(1)))
+        }
+      }.sum
+      val ms = (first + rest) / tk.size
+      assert(out(d)._1 == tk.size, s"doc $d n_tokens")
+      assert(math.abs(out(d)._2 - ms) < 1e-6, s"doc $d surprisal")
+    }
+    // A doc made of trained bigrams scores lower than one forcing
+    // backoff, which scores lower than one with OOV terms.
+    assert(out(1L)._2 < out(2L)._2 && out(2L)._2 < out(3L)._2)
+  }
+
   test("surprisal keep-threshold: ceil(f*n)-th smallest sampled " +
       "score, +Inf on an empty sample") {
     // Model = the sort-based rank the former sort+limit plan

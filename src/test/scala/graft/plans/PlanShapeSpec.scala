@@ -189,6 +189,19 @@ class PlanShapeSpec extends SparkSpec {
       s"d23 grew a nested-loop join:\n$d23")
     assert(!"\\bWindow\\b".r.findAllIn(d23).hasNext,
       "d23 grew a Window node")
+    // d27 consumes d23's chain through the greedy survivor anti-join:
+    // same posture pins, plus the pair list must reduce to distinct
+    // losers (an aggregate) and reach the corpus as an anti-join —
+    // never a materialized+sorted pair set.
+    val d27 = plan("d27_minhash_survivors_capped")
+    assert(d27.contains("SortMergeJoin"),
+      "d27 band self-join is not sort-merge")
+    assert(!d27.contains("BroadcastNestedLoopJoin"),
+      s"d27 grew a nested-loop join:\n$d27")
+    assert(!"\\bWindow\\b".r.findAllIn(d27).hasNext,
+      "d27 grew a Window node")
+    assert(d27.contains("LeftAnti"),
+      s"d27 lost the survivor anti-join:\n$d27")
   }
 
   test("t20: no corpus-scale single-partition GlobalLimit — the " +

@@ -173,10 +173,25 @@ object Dedup {
     * band-degenerate corpora by re-keying oversized buckets with the
     * full-signature fold (see [[bandBuckets]] — bounded recall, off
     * by default; every gated cap-0 output is unchanged). */
+  /** `estimateOnly = true` makes the pair criterion the UNBIASED
+    * minhash estimate `|{i : mh_a[i] = mh_b[i]}| / k` (Broder,
+    * "On the resemblance and containment of documents", SEQUENCES
+    * 1997) instead of the exact shingle-set Jaccard — the published
+    * production shape for web-scale dedup, where the signature IS the
+    * similarity oracle and the shingle sets are never consulted again
+    * after signature construction. The returned `jaccard` column then
+    * carries the estimate (a multiple of 1/k; k a power of two, so
+    * the division and the threshold comparison are FP-exact and
+    * restate bit-identically in external SQL). The scale win is the
+    * verify join's row WIDTH: pairs carry two k-int32 signatures
+    * (~0.5 KB at k=64) instead of two gram-key arrays (KBs for
+    * ~1k-shingle documents) — the intermediate that binds the exact
+    * form's 1000x single-box probe (bench_scale.json round 13). */
   def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleN: Int = 5, bands: Int = 8,
       rowsPerBand: Int = 4, threshold: Double = 0.5,
-      portable: Boolean = false, maxBucket: Int = 0): DataFrame = {
+      portable: Boolean = false, maxBucket: Int = 0,
+      estimateOnly: Boolean = false): DataFrame = {
     val k = bands * rowsPerBand
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // The signature subtree feeds the band explode and two pair-side
@@ -239,6 +254,18 @@ object Dedup {
     val est =
       size(filter(zip_with(col("mh_a"), col("mh_b"),
         (x, y) => x === y), e => e)).cast("double") / k
+    if (estimateOnly) {
+      // Signatures only — the gram-key arrays never join the pair
+      // stream (the whole point; see the scaladoc).
+      return pairs.hint("shuffle_hash")
+        .join(sigs.select(col("id").as("id_a"),
+          col("mh").as("mh_a")), "id_a")
+        .join(sigs.select(col("id").as("id_b"),
+          col("mh").as("mh_b")).hint("shuffle_hash"), "id_b")
+        .withColumn("jaccard", est)
+        .where(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
     val verified =
       if (portable)
         graft.functions.GraftFunctions.minhashJaccardVerify(

@@ -99,6 +99,24 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // d27 with the ESTIMATE-ONLY pair criterion (Broder's minhash
+    // estimate; matching-components/64 >= 0.1, a multiple of 1/64 so
+    // the threshold comparison is FP-exact): the gram arrays are
+    // never consulted after signature construction, so the pair
+    // stream carries two int32[64] signatures instead of KB-scale
+    // gram sets — the published web-scale dedup shape, and the form
+    // whose verify intermediate fits where d27's exact-jaccard one
+    // binds a single box at 1000x (bench_scale.json round 13).
+    "d28_minhash_survivors_estimated" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashPairs(d, shingleN = 8, bands = 16,
+        rowsPerBand = 4, threshold = 0.1, portable = true,
+        maxBucket = 2, estimateOnly = true)
+      Dedup.survivors(d, pairs)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // The production near-dedup ORDER: exact dedup first, then
     // minhash near-dedup over the exact survivors only — the t16
     // curation composition's stage order, gated as a standalone
@@ -1871,9 +1889,14 @@ object LlmQueries {
     * at `estFrac` -> exact Jaccard in `scored(id_a, id_b, jaccard)`.
     * `src` is the inner document source (d25 pre-filters it to the
     * exact-dedup keeper set). Every constant restates the Spark
-    * expressions verbatim. */
+    * expressions verbatim. With `estimateOnly` the chain ends at the
+    * signature estimate itself — `scored.jaccard` is the matching
+    * fraction (a multiple of 1/64; exact in FP) and the gram arrays
+    * are never consulted past signature construction, mirroring
+    * `Dedup.minhashPairs(estimateOnly = true)`. */
   private def cappedMinhashScoredSql(norm: String, src: String,
-      cap: Int, estFrac: String): String =
+      cap: Int, estFrac: String,
+      estimateOnly: Boolean = false): String =
     s"""g AS (SELECT doc_id AS id,
              list_distinct(CASE WHEN len(t) < 8 THEN [t]
                ELSE [substr(t, i, 8)
@@ -1906,7 +1929,14 @@ object LlmQueries {
              FROM bw a JOIN bw b
              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
                AND a.wide = b.wide AND a.id < b.id),
-           est AS (SELECT id_a, id_b FROM pairs
+           """ + (if (estimateOnly)
+      s"""scored AS (SELECT id_a, id_b,
+             len([i FOR i IN range(1, 65)
+               IF sa.mh[i] = sb.mh[i]])::DOUBLE / 64 AS jaccard
+             FROM pairs
+             JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b)"""
+    else
+      s"""est AS (SELECT id_a, id_b FROM pairs
              JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
              WHERE len([i FOR i IN range(1, 65)
                IF sa.mh[i] = sb.mh[i]])::DOUBLE / 64 >= $estFrac),
@@ -1917,7 +1947,7 @@ object LlmQueries {
              JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b),
            scored AS (SELECT id_a, id_b, CASE WHEN tot - inter = 0
              THEN 1.0 ELSE inter / (tot - inter) END AS jaccard
-             FROM ver)"""
+             FROM ver)""")
 
   val oracles: Map[String, String] = {
     val norm =
@@ -2080,6 +2110,16 @@ object LlmQueries {
       "d27_minhash_survivors_capped" ->
         s"""WITH ${cappedMinhashScoredSql(norm, "documents", 2,
              "0.05")},
+           losers AS (SELECT DISTINCT id_b FROM scored
+             WHERE jaccard >= 0.1)
+           SELECT doc_id, lang, n_chars FROM documents
+           WHERE doc_id NOT IN (SELECT id_b FROM losers)
+           ORDER BY doc_id""",
+      // Estimate-only survivor view: the same chain ended at the
+      // signature estimate (matching/64), no exact-Jaccard stage.
+      "d28_minhash_survivors_estimated" ->
+        s"""WITH ${cappedMinhashScoredSql(norm, "documents", 2,
+             "0.05", estimateOnly = true)},
            losers AS (SELECT DISTINCT id_b FROM scored
              WHERE jaccard >= 0.1)
            SELECT doc_id, lang, n_chars FROM documents

@@ -36,6 +36,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("estimate-only minhash: same candidate set as the exact form " +
+      "at threshold 0, estimates exact multiples of 1/k, exact dups " +
+      "at 1.0, near-dups surface at 0.5") {
+    val k = 32 // 16 bands x 2 rows
+    def run(thr: Double, estOnly: Boolean) =
+      Dedup.minhashPairs(corpus, shingleN = 3, bands = 16,
+        rowsPerBand = 2, threshold = thr, estimateOnly = estOnly)
+        .collect().map(r => (r.getAs[Long]("id_a"),
+          r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    val est0 = run(0.0, estOnly = true)
+    val exact0 = run(0.0, estOnly = false)
+    // The banding (and therefore the candidate set) is shared; only
+    // the scoring differs.
+    assert(est0.keySet == exact0.keySet)
+    // Every estimate is a multiple of 1/k — the FP-exactness the
+    // threshold comparison and the oracle restatement rely on.
+    assert(est0.values.forall(v => (v * k) == math.rint(v * k)))
+    // A byte-identical pair has ALL signature components equal.
+    assert(est0((4L, 5L)) == 1.0)
+    val est5 = run(0.5, estOnly = true)
+    assert(est5.contains((1L, 2L)) && est5.contains((4L, 5L)))
+    assert(est5.values.forall(_ >= 0.5))
+  }
+
   test("incremental dedup pairs a new batch against the corpus only") {
     val corpus = this.corpus.where(col("doc_id").isin(1L, 3L, 4L, 6L))
     val batch = this.corpus.where(col("doc_id").isin(2L, 5L))

@@ -202,6 +202,21 @@ class PlanShapeSpec extends SparkSpec {
       "d27 grew a Window node")
     assert(d27.contains("LeftAnti"),
       s"d27 lost the survivor anti-join:\n$d27")
+    // d28 (estimate-only): same posture, and the pair stream must not
+    // carry the gram-key arrays — no `sh` columns past the signature
+    // projection (the row-width win is the operator's reason to
+    // exist).
+    val d28 = plan("d28_minhash_survivors_estimated")
+    assert(d28.contains("SortMergeJoin"),
+      "d28 band self-join is not sort-merge")
+    assert(!d28.contains("BroadcastNestedLoopJoin"),
+      s"d28 grew a nested-loop join:\n$d28")
+    assert(!"\\bWindow\\b".r.findAllIn(d28).hasNext,
+      "d28 grew a Window node")
+    assert(d28.contains("LeftAnti"),
+      s"d28 lost the survivor anti-join:\n$d28")
+    assert(!d28.contains("sh_a") && !d28.contains("sh_b"),
+      s"d28's pair stream carries gram arrays:\n$d28")
   }
 
   test("t20: no corpus-scale single-partition GlobalLimit — the " +

@@ -170,6 +170,60 @@ object Bpe {
     *
     * Pass `learned` to reuse a merge table from a previous
     * [[bpeMerges]]-style training run instead of retraining. */
+  /** Per-document BPE token-id encoding — the tokenizer OUTPUT stage
+    * (what a training-data pipeline actually emits): each document's
+    * ordered token-id sequence under a vocabulary of `rounds` learned
+    * merges.
+    *
+    * Vocabulary contract (deterministic, engine-restatable): the
+    * distinct final symbols of the trained dictionary in byte-wise
+    * lexicographic order, id = 0-based rank. Symbols outside the
+    * vocabulary (possible only in the segmentations of sub-`minFreq`
+    * words) encode as -1 (UNK). `token_ids` is emitted as the
+    * space-joined id string in (word position, symbol position)
+    * order — flat and hashable, so the oracle compare needs no
+    * array-cell support.
+    *
+    * Scale posture: the segmentation chain is the same nested
+    * literal-replace EXPRESSION as [[bpeTokenCounts]] (whole-stage
+    * codegen, no UDF); the vocabulary join is a vocabulary-sized
+    * broadcast; the only corpus-sized shuffle is the per-document
+    * reassembly keyed on `idCol` — and its input is the token-id
+    * stream, which IS the operator's output, so that shuffle is
+    * irreducible. The vocabulary rank runs a Window over the
+    * VOCABULARY frame only (bounded like the collected centroid
+    * tables elsewhere — never over corpus-sized data). */
+  def bpeEncode(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", rounds: Int = 12, minFreq: Long = 1L,
+      learned: Option[Seq[Merge]] = None): DataFrame = {
+    val merges = learned.getOrElse(train(docs, textCol, rounds, minFreq))
+    def segOf(w: Column): Column =
+      split(trim(applyMerges(seedSeq(w), merges)), "  ")
+    val vocab = wordCounts(docs, textCol, minFreq)
+      .select(explode(segOf(col("word"))).as("sym"))
+      .distinct()
+      .withColumn("tid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("sym")) - 1)
+    val syms = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(filter(tokens(col(textCol)), t => length(t) > 0))
+          .as(Seq("wpos", "word")))
+      .select(col("doc_id"), col("wpos"),
+        posexplode(segOf(col("word"))).as(Seq("spos", "sym")))
+    syms
+      .join(broadcast(vocab), Seq("sym"), "left")
+      .select(col("doc_id"), col("wpos"), col("spos"),
+        coalesce(col("tid"), lit(-1)).as("tid"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bpe_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("wpos"), col("spos"), col("tid")))),
+            s => s.getField("tid").cast("string")),
+          " ").as("token_ids"))
+  }
+
   def bpeTokenCounts(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", rounds: Int = 12, minFreq: Long = 1L,
       learned: Option[Seq[Merge]] = None): DataFrame = {

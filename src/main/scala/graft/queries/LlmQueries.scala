@@ -1007,6 +1007,17 @@ object LlmQueries {
     // the on-the-fly fallback for sub-minFreq words — the fallback
     // path is ACTIVE here because minFreq=2 leaves hapax instances
     // out of the dictionary).
+    // The tokenizer OUTPUT stage: ordered token-id sequences under
+    // the trained vocabulary (distinct final dictionary symbols,
+    // lexicographic rank; OOV symbols -1). token_ids is the
+    // space-joined id string — flat and hashable. Full oracle: the
+    // unrolled merge rounds, the vocabulary rank, and the ordered
+    // per-instance reassembly restated.
+    "t27_bpe_encode" -> ((s, dir) => {
+      Bpe.bpeEncode(docs(s, dir), rounds = 12, minFreq = 2)
+        .orderBy("doc_id")
+    }),
+
     "t25_bpe_token_counts" -> ((s, dir) => {
       Bpe.bpeTokenCounts(docs(s, dir), rounds = 12, minFreq = 2)
         .orderBy("doc_id")
@@ -3366,6 +3377,44 @@ object LlmQueries {
       // BPE segmentation: every word instance runs the same nested
       // replace chain (== the Spark dictionary-join + fallback split,
       // which takes the identical expression through two routes).
+      // BPE encoding: w12's distinct symbols ranked lexicographically
+      // (binary collation = UTF-8 byte order = Spark's UTF8String
+      // order) are the vocabulary; DISTINCT words run the nested
+      // replace segmentation once (per-instance evaluation OOM'd
+      // DuckDB at the 100x fixture — vocabulary-sized work, exactly
+      // like the Spark side's dictionary join), symbols look their
+      // ids up (OOV -> -1), each word's id string reassembles in
+      // symbol order, and instances concatenate per doc in word
+      // order. Spark's positions are 0-based and DuckDB's 1-based —
+      // order-only quantities, so the ORDER BYs agree.
+      "t27_bpe_encode" ->
+        s"""WITH ${bpeCtesSql(norm, 12, 2)},
+           vocab AS (SELECT sym,
+             row_number() OVER (ORDER BY sym) - 1 AS tid FROM (
+             SELECT DISTINCT unnest(string_split(trim(seq), '  '))
+               AS sym FROM w12)),
+           inst AS (SELECT doc_id, wp.i AS wpos, wp.w AS word FROM (
+             SELECT doc_id, unnest([{'i': i, 'w': tk[i]}
+               FOR i IN range(1, len(tk) + 1)]) AS wp
+             FROM (SELECT doc_id,
+               list_filter(string_split($norm, ' '),
+                 t -> len(t) > 0) AS tk FROM documents))),
+           wseg AS MATERIALIZED (SELECT word,
+             string_split(trim(${bpeSegmentSql(12)}), '  ') AS ss
+             FROM (SELECT DISTINCT word FROM inst)),
+           wsym AS (SELECT word, sp.i AS spos, sp.s AS sym FROM (
+             SELECT word, unnest([{'i': i, 's': ss[i]}
+               FOR i IN range(1, len(ss) + 1)]) AS sp FROM wseg)),
+           wtok AS MATERIALIZED (SELECT word,
+             count(*)::BIGINT AS n,
+             string_agg(coalesce(vocab.tid, -1)::VARCHAR, ' '
+               ORDER BY spos) AS ids
+             FROM wsym LEFT JOIN vocab ON vocab.sym = wsym.sym
+             GROUP BY word)
+           SELECT doc_id, sum(n)::BIGINT AS n_bpe_tokens,
+             string_agg(ids, ' ' ORDER BY wpos) AS token_ids
+           FROM inst JOIN wtok USING (word)
+           GROUP BY doc_id ORDER BY doc_id""",
       "t25_bpe_token_counts" ->
         s"""WITH ${bpeCtesSql(norm, 12, 2)},
            inst AS (SELECT doc_id,

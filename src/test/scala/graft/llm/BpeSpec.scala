@@ -157,6 +157,37 @@ class BpeSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("encode: token-id sequences match the model (vocabulary rank, " +
+      "instance order, OOV as -1)") {
+    val rounds = 8
+    val minFreq = 2L
+    val merges = modelTrain(wordFreq.filter(_._2 >= minFreq), rounds)
+    val trainedWords = wordFreq.filter(_._2 >= minFreq).keys
+    // Vocabulary rank is UTF-8 BYTE order (what Spark's UTF8String
+    // comparison and DuckDB's binary collation both implement) — NOT
+    // Scala's UTF-16 code-unit order, which ranks astral-plane
+    // symbols below high-BMP ones. The fixture's emoji symbols keep
+    // this distinction live.
+    import scala.math.Ordering.Implicits._
+    val byUtf8 = Ordering.by((s: String) =>
+      s.getBytes("UTF-8").toSeq.map(b => b & 0xff))
+    val vocab = trainedWords.flatMap(w => modelSegment(w, merges))
+      .toSeq.distinct.sorted(byUtf8).zipWithIndex.toMap
+    val expected = texts.map { case (id, t) =>
+      val ws = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val ids = ws.flatMap(w => modelSegment(w, merges))
+        .map(s => vocab.getOrElse(s, -1))
+      (id, (ids.size.toLong, ids.mkString(" ")))
+    }.toMap
+    val got = Bpe.bpeEncode(docs, rounds = rounds, minFreq = minFreq)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bpe_tokens"), r.getAs[String]("token_ids")))
+      .toMap
+    assert(got == expected)
+    // The fixture's hapax words guarantee at least one OOV symbol.
+    assert(got.values.exists(_._2.split(" ").contains("-1")))
+  }
+
   test("learned merges can be reused without retraining") {
     val merges = modelTrain(wordFreq, 8)
     val a = Bpe.bpeTokenCounts(docs, rounds = 8).collect().toSeq

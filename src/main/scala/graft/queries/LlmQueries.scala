@@ -1018,6 +1018,15 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // t27 on the deterministic id%31 slice — the 1000x-tractable
+    // witness form (training AND encoding run on the slice, so the
+    // whole operator is exercised end-to-end at the sliced corpus).
+    "t28_bpe_encode_witness" -> ((s, dir) => {
+      Bpe.bpeEncode(docs(s, dir).where(col("doc_id") % 31 === 3),
+        rounds = 12, minFreq = 2)
+        .orderBy("doc_id")
+    }),
+
     "t25_bpe_token_counts" -> ((s, dir) => {
       Bpe.bpeTokenCounts(docs(s, dir), rounds = 12, minFreq = 2)
         .orderBy("doc_id")
@@ -1552,14 +1561,14 @@ object LlmQueries {
     * (pattern == replacement == chr(1)) instead of nulling the whole
     * dictionary and relying on NULL-propagation accidents. */
   private def bpeCtesSql(norm: String, rounds: Int,
-      minFreq: Int): String = {
+      minFreq: Int, src: String = "documents"): String = {
     val sb = new StringBuilder
     sb ++= s"""w0 AS MATERIALIZED (SELECT
         '  ' || regexp_replace(word, '(.)', '\\1  ', 'g')
           || '${Bpe.EndMark}  ' AS seq, freq
       FROM (SELECT word, count(*)::BIGINT AS freq FROM (
           SELECT unnest(list_filter(string_split($norm, ' '),
-            t -> len(t) > 0)) AS word FROM documents)
+            t -> len(t) > 0)) AS word FROM $src)
         GROUP BY word HAVING count(*) >= $minFreq))"""
     for (i <- 0 until rounds) {
       sb ++= s""",
@@ -3399,6 +3408,41 @@ object LlmQueries {
              FROM (SELECT doc_id,
                list_filter(string_split($norm, ' '),
                  t -> len(t) > 0) AS tk FROM documents))),
+           wseg AS MATERIALIZED (SELECT word,
+             string_split(trim(${bpeSegmentSql(12)}), '  ') AS ss
+             FROM (SELECT DISTINCT word FROM inst)),
+           wsym AS (SELECT word, sp.i AS spos, sp.s AS sym FROM (
+             SELECT word, unnest([{'i': i, 's': ss[i]}
+               FOR i IN range(1, len(ss) + 1)]) AS sp FROM wseg)),
+           wtok AS MATERIALIZED (SELECT word,
+             count(*)::BIGINT AS n,
+             string_agg(coalesce(vocab.tid, -1)::VARCHAR, ' '
+               ORDER BY spos) AS ids
+             FROM wsym LEFT JOIN vocab ON vocab.sym = wsym.sym
+             GROUP BY word)
+           SELECT doc_id, sum(n)::BIGINT AS n_bpe_tokens,
+             string_agg(ids, ' ' ORDER BY wpos) AS token_ids
+           FROM inst JOIN wtok USING (word)
+           GROUP BY doc_id ORDER BY doc_id""",
+      // t27's full pipeline on the deterministic id%31 slice — the
+      // sliced-full-oracle witness (t22/t23 pattern) that carries the
+      // encode stage at the 1000x decade, where the full oracle's
+      // ordered string_agg over ~5e8 word instances is
+      // DuckDB-resource-bound (the Spark side completes and dumps).
+      "t28_bpe_encode_witness" ->
+        s"""WITH ${bpeCtesSql(norm, 12, 2,
+             "documents WHERE doc_id % 31 = 3")},
+           vocab AS (SELECT sym,
+             row_number() OVER (ORDER BY sym) - 1 AS tid FROM (
+             SELECT DISTINCT unnest(string_split(trim(seq), '  '))
+               AS sym FROM w12)),
+           inst AS (SELECT doc_id, wp.i AS wpos, wp.w AS word FROM (
+             SELECT doc_id, unnest([{'i': i, 'w': tk[i]}
+               FOR i IN range(1, len(tk) + 1)]) AS wp
+             FROM (SELECT doc_id,
+               list_filter(string_split($norm, ' '),
+                 t -> len(t) > 0) AS tk FROM documents
+               WHERE doc_id % 31 = 3))),
            wseg AS MATERIALIZED (SELECT word,
              string_split(trim(${bpeSegmentSql(12)}), '  ') AS ss
              FROM (SELECT DISTINCT word FROM inst)),

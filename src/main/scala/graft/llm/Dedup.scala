@@ -304,13 +304,19 @@ object Dedup {
     * population the bucket join would otherwise mix. Off (0) by
     * default; cap-0 outputs unchanged (spec-pinned).
     *
+    * `estimateOnly` mirrors [[minhashPairs]]'s flag: the pair
+    * criterion becomes the signature estimate, gram arrays never
+    * join the pair stream — the per-ingest shape at extreme scale,
+    * where even the batch-vs-corpus verify join should carry only
+    * int32 signatures.
+    *
     * Returns (id_corpus, id_batch, jaccard).
     */
   def minhashPairsIncremental(corpus: DataFrame, batch: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       shingleN: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5, portable: Boolean = false,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 0, estimateOnly: Boolean = false): DataFrame = {
     val k = bands * rowsPerBand
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val cSigs = minhashSigs(corpus, idCol, textCol, shingleN, k,
@@ -343,6 +349,16 @@ object Dedup {
     val est =
       size(filter(zip_with(col("mh_a"), col("mh_b"),
         (x, y) => x === y), e => e)).cast("double") / k
+    if (estimateOnly) {
+      return pairs.hint("shuffle_hash")
+        .join(cSigs.select(col("id").as("id_corpus"),
+          col("mh").as("mh_a")), "id_corpus")
+        .join(bSigs.select(col("id").as("id_batch"),
+          col("mh").as("mh_b")).hint("shuffle_hash"), "id_batch")
+        .withColumn("jaccard", est)
+        .where(col("jaccard") >= threshold)
+        .select("id_corpus", "id_batch", "jaccard")
+    }
     val verified =
       if (portable)
         graft.functions.GraftFunctions.minhashJaccardVerify(

@@ -176,6 +176,20 @@ object LlmQueries {
     // the sf0.01 fixture the cap drops one >=0.3-jaccard cross-set
     // pair the uncapped run emits — the recall trade visible in the
     // gated output, as d23 pins for the self-join form.
+    // d26's capped incremental shape under the ESTIMATE-ONLY
+    // criterion (d28's flag applied to the per-ingest join):
+    // signatures are the similarity oracle, gram arrays never join
+    // the pair stream — the per-ingest form at extreme scale.
+    "d29_incremental_estimated" -> ((s, dir) => {
+      val corpus = docs(s, dir).where(col("doc_id") % 5 =!= 0)
+      val batch = docs(s, dir).where(col("doc_id") % 5 === 0)
+      Dedup.minhashPairsIncremental(corpus, batch, shingleN = 8,
+        bands = 16, rowsPerBand = 4, threshold = 0.1, portable = true,
+        maxBucket = 2, estimateOnly = true)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_corpus", "id_batch")
+    }),
+
     "d26_incremental_capped" -> ((s, dir) => {
       val corpus = docs(s, dir).where(col("doc_id") % 5 =!= 0)
       val batch = docs(s, dir).where(col("doc_id") % 5 === 0)
@@ -2205,6 +2219,53 @@ object LlmQueries {
       // Capped incremental: d08's chain plus the UNION occupancy
       // count, the full-signature fold, and the three-key cross-set
       // bucket join.
+      // d26's capped incremental chain ended at the signature
+      // estimate (matching/64; exact multiple of 1/64, so round(.,6)
+      // is an identity and thresholding is FP-exact).
+      "d29_incremental_estimated" ->
+        s"""WITH g AS (SELECT doc_id AS id,
+             list_distinct(CASE WHEN len(t) < 8 THEN [t]
+               ELSE [substr(t, i, 8)
+                 FOR i IN range(1, len(t) - 6)] END) AS grams
+             FROM (SELECT doc_id, $norm AS t FROM documents)),
+           hs AS (SELECT id,
+             ${polyHashWideListSql("grams")} AS hs FROM g),
+           sig AS (SELECT id, hs,
+             [list_min([((((i*1103515245 + 12345) % 1000000006) + 1)
+                  * (h // 1000000009)
+                + (i*69069 + 7) % 1000000007) % 1000000007
+               FOR h IN hs]) FOR i IN range(0, 64)] AS mh
+             FROM hs),
+           fullh AS (SELECT id,
+             list_reduce(list_prepend(0::BIGINT, mh),
+               (a, v) -> (a*31 + v) % 1000000007) AS fh FROM sig),
+           bands AS (SELECT id, b AS band_idx,
+             list_reduce(list_prepend(0::BIGINT, mh[b*4+1 : b*4+4]),
+               (a, v) -> (a*31 + v) % 1000000007) AS band_hash
+             FROM sig CROSS JOIN (SELECT unnest(range(16)) AS b) bt),
+           bcnt AS (SELECT band_idx, band_hash, count(*) AS n
+             FROM bands GROUP BY band_idx, band_hash),
+           bw AS (SELECT bands.id, bands.band_idx, bands.band_hash,
+             CASE WHEN bcnt.n > 2 THEN fullh.fh ELSE 0 END AS wide
+             FROM bands
+             JOIN bcnt ON bcnt.band_idx = bands.band_idx
+               AND bcnt.band_hash = bands.band_hash
+             JOIN fullh ON fullh.id = bands.id),
+           pairs AS (SELECT DISTINCT a.id AS id_corpus,
+               b.id AS id_batch
+             FROM bw a JOIN bw b
+             ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.wide = b.wide
+               AND a.id % 5 <> 0 AND b.id % 5 = 0),
+           scored AS (SELECT id_corpus, id_batch,
+             len([i FOR i IN range(1, 65)
+               IF sa.mh[i] = sb.mh[i]])::DOUBLE / 64 AS jaccard
+             FROM pairs
+             JOIN sig sa ON sa.id = id_corpus
+             JOIN sig sb ON sb.id = id_batch)
+           SELECT id_corpus, id_batch, round(jaccard, 6) AS jaccard
+           FROM scored WHERE jaccard >= 0.1
+           ORDER BY id_corpus, id_batch""",
       "d26_incremental_capped" ->
         s"""WITH g AS (SELECT doc_id AS id,
              list_distinct(CASE WHEN len(t) < 8 THEN [t]

@@ -60,6 +60,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(est5.values.forall(_ >= 0.5))
   }
 
+  test("estimate-only incremental: same cross-set candidate set as " +
+      "the exact form at threshold 0; estimates multiples of 1/k") {
+    val k = 32
+    val corpus = this.corpus.where(col("doc_id").isin(1L, 3L, 4L, 6L))
+    val batch = this.corpus.where(col("doc_id").isin(2L, 5L))
+    def run(thr: Double, estOnly: Boolean) =
+      Dedup.minhashPairsIncremental(corpus, batch, shingleN = 3,
+        bands = 16, rowsPerBand = 2, threshold = thr,
+        estimateOnly = estOnly)
+        .collect().map(r => (r.getAs[Long]("id_corpus"),
+          r.getAs[Long]("id_batch")) -> r.getAs[Double]("jaccard"))
+        .toMap
+    val est0 = run(0.0, estOnly = true)
+    assert(est0.keySet == run(0.0, estOnly = false).keySet)
+    assert(est0.values.forall(v => (v * k) == math.rint(v * k)))
+    assert(est0((4L, 5L)) == 1.0) // byte-identical cross-set pair
+    assert(est0.keySet.forall { case (c, b) =>
+      Set(1L, 3L, 4L, 6L)(c) && Set(2L, 5L)(b) })
+  }
+
   test("incremental dedup pairs a new batch against the corpus only") {
     val corpus = this.corpus.where(col("doc_id").isin(1L, 3L, 4L, 6L))
     val batch = this.corpus.where(col("doc_id").isin(2L, 5L))

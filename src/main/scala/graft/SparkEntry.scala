@@ -65,6 +65,7 @@ object SparkEntry {
     "d19_semantic_dedup_probed", "d21_decontaminate",
     "d25_minhash_after_exact", "d26_incremental_capped",
     "d27_minhash_survivors_capped", "d28_minhash_survivors_estimated",
+    "d29_incremental_estimated",
     "s02_ann_lsh", "s03_ann_ivf", "s06_ann_pq", "s07_ann_ivfpq",
     "s08_featurized_ann", "s09_ann_ivf_persisted",
     "q16_quantile_disc",

@@ -46,9 +46,14 @@ object Scratch {
 
   private val registered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private final case class Last(dir: String, thread: Long)
+  // Keyed by (prefix, threadId), not prefix alone: with a shared
+  // prefix key, thread B registering between two registrations by
+  // thread A evicts A's entry, leaving A's earlier dir untracked —
+  // never eagerly deleted, only swept at JVM exit. Per-thread keys
+  // make invariant 2 ("at most ONE live dir per prefix per THREAD")
+  // exact under any interleaving.
   private val lastByPrefix =
-    new java.util.concurrent.ConcurrentHashMap[String, Last]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
   @volatile private var hookInstalled = false
 
   private def rm(f: java.io.File): Unit = {
@@ -74,16 +79,16 @@ object Scratch {
   /** A fresh scratch dir under java.io.tmpdir, deleted at JVM exit.
     * The previous dir created under the same prefix BY THIS THREAD
     * (if any) is deleted now — see invariant 2; a same-prefix dir
-    * from another thread is never touched (it may be live). The
-    * `registered.remove` guard makes the delete single-shot even if
-    * two threads race the same `prev`. */
+    * from another thread lives under a different map key and is
+    * never touched (it may be live). The `registered.remove` guard
+    * makes the delete single-shot even if the exit hook races it. */
   def dir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(prefix).toString
     deleteOnExit(d)
     val me = Thread.currentThread().getId
-    val prev = lastByPrefix.put(prefix, Last(d, me))
-    if (prev != null && prev.thread == me && registered.remove(prev.dir))
-      rm(new java.io.File(prev.dir))
+    val prev = lastByPrefix.put((prefix, me), d)
+    if (prev != null && registered.remove(prev))
+      rm(new java.io.File(prev))
     d
   }
 }

@@ -35,7 +35,7 @@ import TextFunctions._
   *     engines, which is what makes the operator oracle-checkable.
   *
   * Determinism contract: a word is rendered as the spaced symbol
-  * string `" c1 c2 ... cn </w> "`; pair counts are exact integer sums
+  * string `" c1 c2 ... cn </W> "`; pair counts are exact integer sums
   * of word frequencies; the argmax tie-break is (count DESC, lhs ASC,
   * rhs ASC) under byte-wise string order. Sequential non-overlapping
   * left-to-right replacement (the semantics of both Spark's and
@@ -62,7 +62,7 @@ object Bpe {
     * SQL-literal-safe for the oracle restatement.) */
   val EndMark = "</W>"
 
-  /** `"  h  e  l  l  o  </w>  "` — the spaced-symbol seed form of a
+  /** `"  h  e  l  l  o  </W>  "` — the spaced-symbol seed form of a
     * word. Symbols are separated by DOUBLE spaces and the merge
     * pattern `" l  r "` consumes exactly one space from each side,
     * leaving one behind — so after a replacement every delimiter is
@@ -156,20 +156,6 @@ object Bpe {
     train(docs, textCol, rounds, minFreq).toDF()
   }
 
-  /** Per-document BPE token counts under a vocabulary of `rounds`
-    * learned merges: (doc_id, n_words, n_bpe_tokens).
-    *
-    * Segmentation is a DICTIONARY JOIN, not per-instance rewriting:
-    * the final symbol sequence of every trained word is rebuilt as one
-    * narrow pass over the word table (vocabulary-sized — broadcast
-    * range for most corpora, AQE decides), and each word instance
-    * looks up its token count there. Words below `minFreq` (absent
-    * from the training dictionary) are segmented on the fly by the
-    * same chained literal-replace expression, so the output is exactly
-    * what the published algorithm's encoder would emit.
-    *
-    * Pass `learned` to reuse a merge table from a previous
-    * [[bpeMerges]]-style training run instead of retraining. */
   /** Per-document BPE token-id encoding — the tokenizer OUTPUT stage
     * (what a training-data pipeline actually emits): each document's
     * ordered token-id sequence under a vocabulary of `rounds` learned
@@ -224,6 +210,20 @@ object Bpe {
           " ").as("token_ids"))
   }
 
+  /** Per-document BPE token counts under a vocabulary of `rounds`
+    * learned merges: (doc_id, n_words, n_bpe_tokens).
+    *
+    * Segmentation is a DICTIONARY JOIN, not per-instance rewriting:
+    * the final symbol sequence of every trained word is rebuilt as one
+    * narrow pass over the word table (vocabulary-sized — broadcast
+    * range for most corpora, AQE decides), and each word instance
+    * looks up its token count there. Words below `minFreq` (absent
+    * from the training dictionary) are segmented on the fly by the
+    * same chained literal-replace expression, so the output is exactly
+    * what the published algorithm's encoder would emit.
+    *
+    * Pass `learned` to reuse a merge table from a previous
+    * [[bpeMerges]]-style training run instead of retraining. */
   def bpeTokenCounts(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", rounds: Int = 12, minFreq: Long = 1L,
       learned: Option[Seq[Merge]] = None): DataFrame = {

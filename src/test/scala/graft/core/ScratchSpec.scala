@@ -51,4 +51,22 @@ class ScratchSpec extends AnyFunSuite {
     assert(new java.io.File(other).isDirectory,
       "the other thread's dir must still survive")
   }
+
+  test("another thread registering BETWEEN two same-prefix " +
+      "registrations does not untrack the first (per-thread keying)") {
+    val prefix = "graft_scratch_spec_interleave"
+    val a1 = Scratch.dir(prefix)
+    var other: String = null
+    val t = new Thread(() => { other = Scratch.dir(prefix) })
+    t.start(); t.join()
+    // Under prefix-only keying the other thread's registration
+    // evicted a1 from tracking, so this call left a1 alive until JVM
+    // exit; per-(prefix, thread) keying deletes it eagerly.
+    val a2 = Scratch.dir(prefix)
+    assert(!new java.io.File(a1).exists(),
+      "own previous dir must be eagerly deleted even when another " +
+        "thread registered in between")
+    assert(new java.io.File(other).isDirectory)
+    assert(new java.io.File(a2).isDirectory)
+  }
 }

@@ -62,6 +62,51 @@ object Bpe {
     * SQL-literal-safe for the oracle restatement.) */
   val EndMark = "</W>"
 
+  /** GPT-2-style byte-level pre-tokenizer pattern (Radford et al.,
+    * "Language Models are Unsupervised Multitask Learners", 2019 —
+    * the `gpt2` regex), in RE2-compatible form so the DuckDB oracle
+    * (RE2) and Spark (java.util.regex) tokenize identically:
+    *
+    *   - the published trailing-whitespace lookahead `\s+(?!\S)` is
+    *     dropped (RE2 has no lookahead), so a whitespace RUN between
+    *     words is one token instead of splitting its last space onto
+    *     the next word — a documented simplification that changes
+    *     only multi-space/newline runs;
+    *   - `\s` is spelled as the explicit class `[ \t\n\f\r]` (Java's
+    *     `\s` additionally matches U+000B vertical tab where RE2's
+    *     does not — the explicit class pins both engines to the same
+    *     set).
+    *
+    * Alternation order is load-bearing: contractions, then
+    * space-prefixed letter/number/other runs, then whitespace runs.
+    * Both Java regex and RE2 resolve alternation leftmost-first, so
+    * the two engines agree token-for-token (pinned in BpeSpec against
+    * an independent scanner). */
+  val PreTokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+" +
+      "| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
+
+  /** Pre-tokens of RAW text under [[PreTokenPattern]] — byte-level
+    * BPE operates on the text as-is (no lowercasing, no whitespace
+    * collapse): case distinctions and whitespace are carried into the
+    * tokens, and a word's leading space is part of its token (the
+    * published "Ġ" convention in raw-byte form, which is what removes
+    * the need for an end-of-word sentinel). */
+  def pretokens(text: Column): Column =
+    regexp_extract_all(text, lit(PreTokenPattern), lit(0))
+
+  /** `"  68  65  6C  "` — the spaced-symbol seed form of a pre-token
+    * for BYTE-level training: symbols are the UTF-8 bytes of the
+    * token, each rendered as two uppercase hex chars (`hex` is
+    * uppercase in both Spark and DuckDB, and hex strings compare in
+    * byte order in both, so the argmax tie-break is engine-portable).
+    * Same double-space delimiter algebra as [[seedSeq]]; no
+    * end-of-word marker (word boundaries live in the leading-space
+    * byte 20 of the next pre-token). */
+  private def byteSeed(word: Column): Column =
+    concat(lit("  "),
+      regexp_replace(hex(encode(word, "UTF-8")), "(..)", "$1  "))
+
   /** `"  h  e  l  l  o  </W>  "` — the spaced-symbol seed form of a
     * word. Symbols are separated by DOUBLE spaces and the merge
     * pattern `" l  r "` consumes exactly one space from each side,
@@ -101,6 +146,34 @@ object Bpe {
   private def train(docs: DataFrame, textCol: String, rounds: Int,
       minFreq: Long): Seq[Merge] = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    mergeLoop(wordCounts(docs, textCol, minFreq)
+      .select(seedSeq(col("word")).as("seq"), col("freq")), rounds)
+  }
+
+  /** Distinct PRE-TOKENS of the raw corpus with exact frequencies —
+    * the byte-level twin of [[wordCounts]] (raw text, regex
+    * pre-tokenizer, no normalization). Matches are non-empty by
+    * construction, so no length filter is needed. */
+  private def bytePretokenCounts(docs: DataFrame, textCol: String,
+      minFreq: Long): DataFrame =
+    docs.select(explode(pretokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= minFreq)
+
+  /** Byte-level training: the same merge loop over the pre-token
+    * frequency dictionary with byte seeds. */
+  private def trainBytes(docs: DataFrame, textCol: String, rounds: Int,
+      minFreq: Long): Seq[Merge] = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    mergeLoop(bytePretokenCounts(docs, textCol, minFreq)
+      .select(byteSeed(col("word")).as("seq"), col("freq")), rounds)
+  }
+
+  /** The shared merge loop over an already-seeded `(seq, freq)`
+    * dictionary frame (char-level [[seedSeq]] or byte-level
+    * [[byteSeed]] — the pair-count/argmax/replace algebra is
+    * identical). */
+  private def mergeLoop(seeded: DataFrame, rounds: Int): Seq[Merge] = {
     // Eager localCheckpoint, not persist: a persisted round still
     // carries the previous round's full logical lineage, and the
     // nested cached-plan rendering grows superlinearly with rounds
@@ -109,9 +182,7 @@ object Bpe {
     // CONSTANT regardless of `rounds`. Blocks of dropped rounds are
     // reclaimed by the context cleaner once unreferenced; the frame
     // is vocabulary-sized either way.
-    var cur = wordCounts(docs, textCol, minFreq)
-      .select(seedSeq(col("word")).as("seq"), col("freq"))
-      .localCheckpoint(true)
+    var cur = seeded.localCheckpoint(true)
     val merges = Seq.newBuilder[Merge]
     var step = 0
     var exhausted = false
@@ -200,6 +271,78 @@ object Bpe {
       .join(broadcast(vocab), Seq("sym"), "left")
       .select(col("doc_id"), col("wpos"), col("spos"),
         coalesce(col("tid"), lit(-1)).as("tid"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bpe_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("wpos"), col("spos"), col("tid")))),
+            s => s.getField("tid").cast("string")),
+          " ").as("token_ids"))
+  }
+
+  /** The learned BYTE-level merge table — [[bpeMerges]] with seed
+    * symbols = UTF-8 bytes (two uppercase hex chars each) of the
+    * regex pre-tokens, the GPT-2 training shape (Radford et al.
+    * 2019): no normalization, no end-of-word sentinel, whitespace
+    * carried in-token. `lhs`/`rhs`/`merged` are hex-rendered byte
+    * strings. */
+  def bpeMergesBytes(docs: DataFrame, textCol: String = "text",
+      rounds: Int = 12, minFreq: Long = 1L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainBytes(docs, textCol, rounds, minFreq).toDF()
+  }
+
+  /** Byte-level token-id encoding — [[bpeEncode]] in the GPT-2 shape:
+    * seed symbols are the UTF-8 bytes of the regex pre-tokens, and
+    * the vocabulary is CLOSED (all 256 byte symbols, id = byte value,
+    * plus one id per learned merge, id = 256 + merge index — the
+    * published id convention), so every string encodes with NO UNK
+    * path: any symbol the segmentation can produce is either a single
+    * byte or the product of a learned merge.
+    *
+    * Output: (doc_id, n_bpe_tokens, token_ids) with `token_ids` the
+    * space-joined id string in (pre-token position, symbol position)
+    * order — the same flat hashable shape as [[bpeEncode]].
+    *
+    * Scale posture: identical to [[bpeEncode]] — training touches
+    * only the pre-token dictionary (one corpus shuffle), segmentation
+    * is the nested literal-replace EXPRESSION (whole-stage codegen,
+    * no UDF) applied per instance, the id lookup is a 256+rounds
+    * entry map LITERAL baked into the plan (no join at all — cheaper
+    * than the char-level form's vocabulary broadcast), and the only
+    * corpus-sized shuffle is the per-document output reassembly,
+    * which is irreducible. `minFreq` prunes the TRAINING dictionary
+    * only; sub-threshold pre-tokens still encode (over-fragmented,
+    * never dropped) — the published behavior. */
+  def bpeEncodeBytes(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", rounds: Int = 12, minFreq: Long = 1L,
+      learned: Option[Seq[Merge]] = None): DataFrame = {
+    val merges =
+      learned.getOrElse(trainBytes(docs, textCol, rounds, minFreq))
+    def segOf(w: Column): Column =
+      split(trim(applyMerges(byteSeed(w), merges)), "  ")
+    // First-wins on duplicate merge PRODUCTS: two distinct merges can
+    // concatenate to the same symbol string (("61","6161") and
+    // ("6161","61") both yield "616161"), but a vocabulary maps each
+    // token STRING to exactly one id — the id of the first merge that
+    // produced it (min id; the oracle restates this as min(tid)).
+    // Byte entries (length 2) can never collide with merge products
+    // (length >= 4).
+    val idMap: Map[String, Int] =
+      merges.foldLeft((0 until 256).map(b => f"$b%02X" -> b).toMap) {
+        (m, mg) =>
+          if (m.contains(mg.merged)) m
+          else m + (mg.merged -> (255 + mg.step))
+      }
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(pretokens(col(textCol))).as(Seq("wpos", "word")))
+      .select(col("doc_id"), col("wpos"),
+        posexplode(segOf(col("word"))).as(Seq("spos", "sym")))
+      .select(col("doc_id"), col("wpos"), col("spos"),
+        element_at(typedLit(idMap), col("sym")).as("tid"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bpe_tokens"),
         array_join(

@@ -191,6 +191,138 @@ object LanguageModel {
         round(col("ms"), 6).as("mean_surprisal"))
   }
 
+  /** Per-document mean TRIGRAM surprisal under Stupid Backoff — the
+    * order the published distributed-LM setups its citation (Brants
+    * et al., EMNLP 2007) actually runs, one backoff arm above
+    * [[bigramSurprisal]]. Same split of estimation (the deterministic
+    * `id % trainMod == trainRem` training slice) from scoring (the
+    * whole corpus), so every backoff arm is live.
+    *
+    * Per-token score, in backoff order:
+    *   - token 1 (no context): the add-one unigram base
+    *     `p1(w) = (cnt(w)+1)/(N+V)`, no alpha (base case);
+    *   - token 2 (one-token context): seen bigram
+    *     `cnt2(prev,w)/cnt(prev)`, else `alpha * p1(w)` — exactly the
+    *     bigram model's scoring arm;
+    *   - token i >= 3: seen trigram
+    *     `cnt3(p2,p1,w)/cnt2(p2,p1)`; else seen backoff bigram
+    *     `alpha * cnt2(p1,w)/cnt(p1)`; else `alpha * alpha * p1(w)`.
+    *   A seen trigram implies its (p2,p1) context bigram was seen,
+    *   and a seen bigram implies its context unigram was — so no
+    *   arm ever divides by a missing count.
+    *
+    * Scale posture: identical to [[bigramSurprisal]] with one more
+    * corpus-bounded stats table (distinct adjacent TRIPLES of the
+    * training slice — a hash-sharded groupBy like any other, never a
+    * cross product) and one more equi-join on the scoring side;
+    * scoring still collapses to DISTINCT (doc, p2, p1, cur) context
+    * tuples with multiplicity before any join, and the DECIMAL(38,18)
+    * per-instance sum keeps the mean partition-order independent and
+    * bit-restatable in external SQL.
+    *
+    * @return (doc_id, n_tokens, mean_surprisal) — one row per
+    *         document with at least one non-empty token
+    */
+  def trigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", alpha: Double = 0.4,
+      trainMod: Int = 3, trainRem: Int = 1): DataFrame = {
+    val tk = docs
+      .select(col(idCol).as("doc_id"),
+        filter(tokens(col(textCol)), t => length(t) > 0).as("tk"))
+      .where(size(col("tk")) > 0)
+    val pairsOf = when(size(col("tk")) >= 2,
+      transform(sequence(lit(1), size(col("tk")) - 1),
+        i => struct(element_at(col("tk"), i).as("prev"),
+          element_at(col("tk"), i + 1).as("cur"))))
+      .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
+    // Adjacent triples, same narrow-expression shape; a sub-3-token
+    // doc must yield an EMPTY array (sequence(1, 0) descends — the
+    // standing guard).
+    val triplesOf = when(size(col("tk")) >= 3,
+      transform(sequence(lit(1), size(col("tk")) - 2),
+        i => struct(element_at(col("tk"), i).as("p2"),
+          element_at(col("tk"), i + 1).as("p1"),
+          element_at(col("tk"), i + 2).as("cur"))))
+      .otherwise(array()
+        .cast("array<struct<p2:string,p1:string,cur:string>>"))
+    val train = tk.where(col("doc_id") % trainMod === trainRem)
+    val uni = train.select(explode(col("tk")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tot = uni.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
+    val bfreq = train.select(explode(pairsOf).as("b"))
+      .select(col("b.prev").as("prev"), col("b.cur").as("cur"))
+      .groupBy("prev", "cur").agg(count(lit(1)).as("cnt2"))
+    val tfreq = train.select(explode(triplesOf).as("t"))
+      .select(col("t.p2").as("p2"), col("t.p1").as("p1"),
+        col("t.cur").as("cur"))
+      .groupBy("p2", "p1", "cur").agg(count(lit(1)).as("cnt3"))
+    def p1Base(c: Column): Column =
+      (coalesce(c, lit(0L)) + lit(1L)).cast("double") /
+        (col("n") + col("v")).cast("double")
+    // Token 1: unigram base, no alpha.
+    val first = tk
+      .select(col("doc_id"), element_at(col("tk"), 1).as("term"))
+      .join(uni.withColumnRenamed("cnt", "cnt_cur"), Seq("term"),
+        "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), lit(1L).as("k"),
+        (-log(p1Base(col("cnt_cur")))).as("surprisal"))
+    // Token 2: the bigram arm (one row per doc with >= 2 tokens).
+    val second = tk.where(size(col("tk")) >= 2)
+      .select(col("doc_id"), element_at(col("tk"), 1).as("prev"),
+        element_at(col("tk"), 2).as("cur"))
+      .join(bfreq, Seq("prev", "cur"), "left")
+      .join(uni.select(col("term").as("prev"),
+        col("cnt").as("cnt_prev")), Seq("prev"), "left")
+      .join(uni.select(col("term").as("cur"),
+        col("cnt").as("cnt_cur")), Seq("cur"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), lit(1L).as("k"),
+        when(col("cnt2").isNotNull,
+          -log(col("cnt2").cast("double")
+            / col("cnt_prev").cast("double")))
+          .otherwise(-log(lit(alpha) * p1Base(col("cnt_cur"))))
+          .as("surprisal"))
+    // Tokens >= 3: distinct (doc, p2, p1, cur) with multiplicity,
+    // then the four stats joins (trigram, context bigram, backoff
+    // bigram, backoff unigrams).
+    val tg = tk.select(col("doc_id"), explode(triplesOf).as("t"))
+      .select(col("doc_id"), col("t.p2").as("p2"),
+        col("t.p1").as("p1"), col("t.cur").as("cur"))
+      .groupBy("doc_id", "p2", "p1", "cur")
+      .agg(count(lit(1)).as("k"))
+    val rest = tg
+      .join(tfreq, Seq("p2", "p1", "cur"), "left")
+      .join(bfreq.select(col("prev").as("p2"), col("cur").as("p1"),
+        col("cnt2").as("cnt2_ctx")), Seq("p2", "p1"), "left")
+      .join(bfreq.select(col("prev").as("p1"), col("cur").as("cur"),
+        col("cnt2").as("cnt2_bo")), Seq("p1", "cur"), "left")
+      .join(uni.select(col("term").as("p1"),
+        col("cnt").as("cnt_p1")), Seq("p1"), "left")
+      .join(uni.select(col("term").as("cur"),
+        col("cnt").as("cnt_cur")), Seq("cur"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("k"),
+        when(col("cnt3").isNotNull,
+          -log(col("cnt3").cast("double")
+            / col("cnt2_ctx").cast("double")))
+          .when(col("cnt2_bo").isNotNull,
+            -log(lit(alpha) * (col("cnt2_bo").cast("double")
+              / col("cnt_p1").cast("double"))))
+          .otherwise(-log(lit(alpha) * lit(alpha)
+            * p1Base(col("cnt_cur"))))
+          .as("surprisal"))
+    // n_tokens = 1 + 1 + (size-2) = size, recovered as sum(k).
+    first.unionByName(second).unionByName(rest)
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_tokens"),
+        (sum((col("k").cast("double") * col("surprisal"))
+            .cast("decimal(38,18)")).cast("double")
+          / sum(col("k"))).as("ms"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("ms"), 6).as("mean_surprisal"))
+  }
+
   /** Corpus-derived surprisal keep-threshold: the `mean_surprisal`
     * value below which the best `keepFraction` of a deterministic
     * document sample falls — i.e. "keep the corpus' own best 90%"

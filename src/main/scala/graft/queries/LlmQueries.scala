@@ -984,6 +984,17 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // The published-order form of the LM filter: per-doc mean TRIGRAM
+    // surprisal under Stupid Backoff (the order Brants et al. 2007's
+    // distributed setups run), same train-slice/score-all split so
+    // all three backoff arms are live. Full oracle: trigram, bigram
+    // and unigram stats tables, both alpha arms, the add-one base,
+    // and the DECIMAL per-instance sum restated.
+    "t31_trigram_surprisal" -> ((s, dir) => {
+      LanguageModel.trigramSurprisal(docs(s, dir))
+        .orderBy("doc_id")
+    }),
+
     // BM25 top-k retrieval for a fixed probe-term bag (decontamination
     // sweeps / corpus audits as scored lookup). Full oracle: the
     // expression tree restates term-by-term; exact-integer avgdl and
@@ -1037,6 +1048,29 @@ object LlmQueries {
     // whole operator is exercised end-to-end at the sliced corpus).
     "t28_bpe_encode_witness" -> ((s, dir) => {
       Bpe.bpeEncode(docs(s, dir).where(col("doc_id") % 31 === 3),
+        rounds = 12, minFreq = 2)
+        .orderBy("doc_id")
+    }),
+
+    // Byte-level BPE encoding — the GPT-2 production shape (Radford
+    // et al. 2019): regex pre-tokenizer over RAW text, seed symbols =
+    // UTF-8 bytes (hex-rendered), CLOSED 256+merges vocabulary so
+    // every string encodes with no UNK path. minFreq=2 keeps
+    // sub-threshold pre-tokens out of TRAINING only (they still
+    // encode, over-fragmented). Full oracle: the pre-tokenizer, the
+    // hex byte seeds, all 12 merge rounds, the closed id table
+    // (byte value / 256+merge-index, min-id on duplicate products),
+    // and the ordered reassembly restated.
+    "t29_byte_bpe_encode" -> ((s, dir) => {
+      Bpe.bpeEncodeBytes(docs(s, dir), rounds = 12, minFreq = 2)
+        .orderBy("doc_id")
+    }),
+
+    // t29 on the deterministic id%31 slice — the 1000x-tractable
+    // witness form (training AND encoding on the slice; the t28
+    // pattern).
+    "t30_byte_bpe_witness" -> ((s, dir) => {
+      Bpe.bpeEncodeBytes(docs(s, dir).where(col("doc_id") % 31 === 3),
         rounds = 12, minFreq = 2)
         .orderBy("doc_id")
     }),
@@ -1575,15 +1609,21 @@ object LlmQueries {
     * (pattern == replacement == chr(1)) instead of nulling the whole
     * dictionary and relying on NULL-propagation accidents. */
   private def bpeCtesSql(norm: String, rounds: Int,
-      minFreq: Int, src: String = "documents"): String = {
-    val sb = new StringBuilder
-    sb ++= s"""w0 AS MATERIALIZED (SELECT
+      minFreq: Int, src: String = "documents"): String =
+    s"""w0 AS MATERIALIZED (SELECT
         '  ' || regexp_replace(word, '(.)', '\\1  ', 'g')
           || '${Bpe.EndMark}  ' AS seq, freq
       FROM (SELECT word, count(*)::BIGINT AS freq FROM (
           SELECT unnest(list_filter(string_split($norm, ' '),
             t -> len(t) > 0)) AS word FROM $src)
-        GROUP BY word HAVING count(*) >= $minFreq))"""
+        GROUP BY word HAVING count(*) >= $minFreq))""" +
+      bpeRoundCtesSql(rounds)
+
+  /** The shared pair-count/argmax/replace round-CTE loop of both BPE
+    * oracles — identical algebra over char-level and byte-level
+    * seeds; appended after a seeded `w0`. */
+  private def bpeRoundCtesSql(rounds: Int): String = {
+    val sb = new StringBuilder
     for (i <- 0 until rounds) {
       sb ++= s""",
       p$i AS (SELECT pr.lhs AS lhs, pr.rhs AS rhs,
@@ -1606,14 +1646,48 @@ object LlmQueries {
     sb.result()
   }
 
+  /** [[Bpe.PreTokenPattern]] escaped for a single-quoted SQL literal
+    * (the contraction alternatives carry apostrophes). Backslashes
+    * pass through verbatim — DuckDB string literals do not interpret
+    * escapes, and RE2 receives the same `\p{L}`/`\t` forms Java
+    * does. */
+  private val preTokSql = Bpe.PreTokenPattern.replace("'", "''")
+
+  /** Byte-level twin of [[bpeCtesSql]]: `w0` seeds each PRE-TOKEN
+    * (raw text under the GPT-2 regex — no normalization) as its
+    * spaced uppercase-hex UTF-8 bytes, exactly
+    * [[graft.llm.Bpe.bpeEncodeBytes]]'s seed; the merge rounds are
+    * the shared loop. */
+  private def byteBpeCtesSql(rounds: Int, minFreq: Int,
+      src: String = "documents"): String =
+    s"""w0 AS MATERIALIZED (SELECT
+        '  ' || regexp_replace(hex(encode(word)), '(..)', '\\1  ', 'g')
+          AS seq, freq
+      FROM (SELECT word, count(*)::BIGINT AS freq FROM (
+          SELECT unnest(regexp_extract_all(text, '$preTokSql'))
+            AS word FROM $src)
+        GROUP BY word HAVING count(*) >= $minFreq))""" +
+      bpeRoundCtesSql(rounds)
+
   /** The [[bpeCtesSql]] merges applied to a `word` column: the nested
     * literal-replace segmentation expression (identical for
     * dictionary and out-of-dictionary words — which is why the oracle
     * needs no dictionary join to restate the Spark side's
     * join-plus-fallback split). */
-  private def bpeSegmentSql(rounds: Int): String = {
-    var e = s"""'  ' || regexp_replace(word, '(.)', '\\1  ', 'g')
-      || '${Bpe.EndMark}  '"""
+  private def bpeSegmentSql(rounds: Int): String =
+    bpeSegmentFoldSql(
+      s"""'  ' || regexp_replace(word, '(.)', '\\1  ', 'g')
+      || '${Bpe.EndMark}  '""", rounds)
+
+  /** Byte-level twin of [[bpeSegmentSql]]: the same nested-replace
+    * fold over the hex-byte seed. */
+  private def byteBpeSegmentSql(rounds: Int): String =
+    bpeSegmentFoldSql(
+      """'  ' || regexp_replace(hex(encode(word)), '(..)', '\1  ', 'g')""",
+      rounds)
+
+  private def bpeSegmentFoldSql(seed: String, rounds: Int): String = {
+    var e = seed
     for (i <- 0 until rounds)
       e = s"""replace($e,
         coalesce(' ' || (SELECT lhs FROM b$i) || '  '
@@ -1622,6 +1696,46 @@ object LlmQueries {
           || (SELECT rhs FROM b$i) || ' ', chr(1)))"""
     e
   }
+
+  /** The byte-level BPE encode oracle, shared by the full gate and
+    * the id%31 witness ([[graft.llm.Bpe.bpeEncodeBytes]]'s twin):
+    * the byte-seeded merge rounds, the closed id table (every byte
+    * symbol via printf('%02X'), every merge product at 256+index —
+    * min(tid) collapses duplicate products to the first producing
+    * merge, the operator's first-wins contract; exhausted rounds'
+    * NULL symbols are filtered), DISTINCT-pre-token segmentation,
+    * and the ordered per-document reassembly. The id join is INNER:
+    * the vocabulary is closed by construction, so a dropped row
+    * would surface as an n_bpe_tokens mismatch, never silently. */
+  private def byteBpeEncodeOracleSql(src: String): String =
+    s"""WITH ${byteBpeCtesSql(12, 2, src)},
+       vocab AS (SELECT sym, min(tid) AS tid FROM (
+           SELECT printf('%02X', i) AS sym, i::INT AS tid
+           FROM range(0, 256) t(i)
+         ${(0 until 12).map(i =>
+            s"UNION ALL SELECT (SELECT lhs FROM b$i) || " +
+              s"(SELECT rhs FROM b$i), ${256 + i}")
+          .mkString("\n         ")})
+         WHERE sym IS NOT NULL GROUP BY sym),
+       inst AS (SELECT doc_id, wp.i AS wpos, wp.w AS word FROM (
+         SELECT doc_id, unnest([{'i': i, 'w': pt[i]}
+           FOR i IN range(1, len(pt) + 1)]) AS wp
+         FROM (SELECT doc_id, regexp_extract_all(text, '$preTokSql')
+           AS pt FROM $src))),
+       wseg AS MATERIALIZED (SELECT word,
+         string_split(trim(${byteBpeSegmentSql(12)}), '  ') AS ss
+         FROM (SELECT DISTINCT word FROM inst)),
+       wsym AS (SELECT word, sp.i AS spos, sp.s AS sym FROM (
+         SELECT word, unnest([{'i': i, 's': ss[i]}
+           FOR i IN range(1, len(ss) + 1)]) AS sp FROM wseg)),
+       wtok AS MATERIALIZED (SELECT word, count(*)::BIGINT AS n,
+         string_agg(vocab.tid::VARCHAR, ' ' ORDER BY spos) AS ids
+         FROM wsym JOIN vocab ON vocab.sym = wsym.sym
+         GROUP BY word)
+       SELECT doc_id, sum(n)::BIGINT AS n_bpe_tokens,
+         string_agg(ids, ' ' ORDER BY wpos) AS token_ids
+       FROM inst JOIN wtok USING (word)
+       GROUP BY doc_id ORDER BY doc_id"""
 
   /** DuckDB restatement of [[graft.llm.Dedup.hyperplaneSignature]]:
     * the plane signs are plan-time constants, emitted here as the SAME
@@ -3430,6 +3544,85 @@ object LlmQueries {
                / sum(k), 6) AS mean_surprisal
            FROM (SELECT * FROM fst UNION ALL SELECT * FROM rst)
            GROUP BY doc_id ORDER BY doc_id""",
+      // Trigram Stupid Backoff: t26's restatement plus the trigram
+      // stats table and the two-alpha arm. Float-parity pins: the
+      // backoff-bigram arm multiplies alpha by the PARENTHESIZED
+      // quotient (matching the Spark expression's association), and
+      // the double-backoff arm forces 0.4::DOUBLE * 0.4::DOUBLE (a
+      // bare 0.4 * 0.4 would multiply as DECIMAL and yield exact
+      // 0.16 where IEEE gives 0.16000000000000003).
+      "t31_trigram_surprisal" ->
+        s"""WITH tkk AS (SELECT doc_id, tk FROM (
+             SELECT doc_id, list_filter(string_split($norm, ' '),
+               t -> len(t) > 0) AS tk FROM documents)
+             WHERE len(tk) > 0),
+           uni AS (SELECT term, count(*)::BIGINT AS cnt FROM (
+               SELECT unnest(tk) AS term FROM tkk WHERE doc_id % 3 = 1)
+             GROUP BY term),
+           tot AS (SELECT sum(cnt)::BIGINT AS n,
+             count(*)::BIGINT AS v FROM uni),
+           bfreq AS (SELECT prev, cur, count(*)::BIGINT AS cnt2
+             FROM (SELECT b.prev AS prev, b.cur AS cur FROM (
+               SELECT unnest([{'prev': tk[i], 'cur': tk[i+1]}
+                 FOR i IN range(1, len(tk))]) AS b
+               FROM tkk WHERE doc_id % 3 = 1))
+             GROUP BY prev, cur),
+           tfreq AS (SELECT p2, p1, cur, count(*)::BIGINT AS cnt3
+             FROM (SELECT t.p2 AS p2, t.p1 AS p1, t.cur AS cur FROM (
+               SELECT unnest([{'p2': tk[i], 'p1': tk[i+1],
+                   'cur': tk[i+2]}
+                 FOR i IN range(1, len(tk) - 1)]) AS t
+               FROM tkk WHERE doc_id % 3 = 1))
+             GROUP BY p2, p1, cur),
+           fst AS (SELECT doc_id, 1::BIGINT AS k,
+             -ln((coalesce(uni.cnt, 0) + 1)::DOUBLE
+               / (n + v)::DOUBLE) AS s
+             FROM (SELECT doc_id, tk[1] AS term FROM tkk) f
+             LEFT JOIN uni ON uni.term = f.term CROSS JOIN tot),
+           snd AS (SELECT doc_id, 1::BIGINT AS k,
+             CASE WHEN bf.cnt2 IS NOT NULL
+               THEN -ln(bf.cnt2::DOUBLE / up.cnt::DOUBLE)
+               ELSE -ln(0.4 * ((coalesce(uc.cnt, 0) + 1)::DOUBLE
+                 / (n + v)::DOUBLE)) END AS s
+             FROM (SELECT doc_id, tk[1] AS prev, tk[2] AS cur
+               FROM tkk WHERE len(tk) >= 2) f
+             LEFT JOIN bfreq bf ON bf.prev = f.prev
+               AND bf.cur = f.cur
+             LEFT JOIN uni up ON up.term = f.prev
+             LEFT JOIN uni uc ON uc.term = f.cur
+             CROSS JOIN tot),
+           tg AS (SELECT doc_id, p2, p1, cur,
+               count(*)::BIGINT AS k
+             FROM (SELECT doc_id, t.p2 AS p2, t.p1 AS p1,
+                 t.cur AS cur FROM (
+               SELECT doc_id, unnest([{'p2': tk[i], 'p1': tk[i+1],
+                   'cur': tk[i+2]}
+                 FOR i IN range(1, len(tk) - 1)]) AS t FROM tkk))
+             GROUP BY doc_id, p2, p1, cur),
+           rst AS (SELECT doc_id, k,
+             CASE WHEN tf.cnt3 IS NOT NULL
+               THEN -ln(tf.cnt3::DOUBLE / bc.cnt2::DOUBLE)
+               WHEN bb.cnt2 IS NOT NULL
+               THEN -ln(0.4 * (bb.cnt2::DOUBLE / up1.cnt::DOUBLE))
+               ELSE -ln(0.4::DOUBLE * 0.4::DOUBLE
+                 * ((coalesce(uc.cnt, 0) + 1)::DOUBLE
+                   / (n + v)::DOUBLE)) END AS s
+             FROM tg
+             LEFT JOIN tfreq tf ON tf.p2 = tg.p2 AND tf.p1 = tg.p1
+               AND tf.cur = tg.cur
+             LEFT JOIN bfreq bc ON bc.prev = tg.p2
+               AND bc.cur = tg.p1
+             LEFT JOIN bfreq bb ON bb.prev = tg.p1
+               AND bb.cur = tg.cur
+             LEFT JOIN uni up1 ON up1.term = tg.p1
+             LEFT JOIN uni uc ON uc.term = tg.cur
+             CROSS JOIN tot)
+           SELECT doc_id, sum(k)::BIGINT AS n_tokens,
+             round(sum((k::DOUBLE * s)::DECIMAL(38,18))::DOUBLE
+               / sum(k), 6) AS mean_surprisal
+           FROM (SELECT * FROM fst UNION ALL SELECT * FROM snd
+             UNION ALL SELECT * FROM rst)
+           GROUP BY doc_id ORDER BY doc_id""",
       // BM25: Lucene-style idf, k1=1.5 b=0.75 (every constant an exact
       // double), avgdl as an integer quotient, DECIMAL per-term sum —
       // the same expression tree as the Spark plan, term for term.
@@ -3529,6 +3722,17 @@ object LlmQueries {
              sum(len(string_split(trim(${bpeSegmentSql(12)}),
                '  ')))::BIGINT AS n_bpe_tokens
            FROM inst GROUP BY doc_id ORDER BY doc_id""",
+      // Byte-level BPE encoding (GPT-2 shape): raw-text regex
+      // pre-tokens, hex-byte seeds, the shared 12 merge rounds, a
+      // CLOSED vocabulary (256 byte ids + 256+index per merge,
+      // min(tid) on duplicate merge products) — an INNER id join, no
+      // UNK arm. DISTINCT pre-tokens segment once (the t27 pattern);
+      // instances reassemble in (pre-token, symbol) order.
+      "t29_byte_bpe_encode" -> byteBpeEncodeOracleSql("documents"),
+      // t29's full pipeline on the id%31 slice — the 1000x-tractable
+      // witness (t28 pattern).
+      "t30_byte_bpe_witness" -> byteBpeEncodeOracleSql(
+        "documents WHERE doc_id % 31 = 3"),
       // The persisted-stats path must be bit-identical to the one-shot
       // path, so its oracle IS t17's restatement.
       "t21_bm25_persisted" -> t17Sql,

@@ -154,6 +154,73 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 < out(2L)._2 && out(2L)._2 < out(3L)._2)
   }
 
+  test("trigram surprisal matches an independent Stupid Backoff " +
+      "model; every arm (seen trigram, backoff bigram, double " +
+      "backoff, OOV, first/second token, 1- and 2-token docs) is " +
+      "exercised") {
+    // trainMod=3, trainRem=1 => docs 1 and 4 train, ALL score:
+    // doc 1 re-scores its own seen trigrams; doc 2 reorders trained
+    // terms (trigrams unseen -> bigram/unigram backoff); doc 3 has
+    // OOV terms (double backoff to the add-one floor); doc 5 is one
+    // token (first arm only); doc 6 is two tokens (first + second).
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "cat the mat on sat"),
+      (3L, "zyx qwv the cat sat"),
+      (4L, "the cat sat again"),
+      (5L, "the"),
+      (6L, "cat sat")).toDF("doc_id", "text")
+    val out = LanguageModel.trigramSurprisal(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("mean_surprisal")))
+      .toMap
+    val toks = Map(
+      1L -> Seq("the", "cat", "sat", "on", "the", "mat"),
+      2L -> Seq("cat", "the", "mat", "on", "sat"),
+      3L -> Seq("zyx", "qwv", "the", "cat", "sat"),
+      4L -> Seq("the", "cat", "sat", "again"),
+      5L -> Seq("the"),
+      6L -> Seq("cat", "sat"))
+    val train = Seq(1L, 4L)
+    val uni = train.flatMap(toks).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val n = uni.values.sum.toDouble
+    val v = uni.size.toDouble
+    val bg = train.flatMap(d => toks(d).sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1)))).groupBy(identity)
+      .map { case (p, xs) => p -> xs.size.toLong }
+    val tg = train.flatMap(d => toks(d).sliding(3).filter(_.size == 3)
+        .map(p => (p(0), p(1), p(2)))).groupBy(identity)
+      .map { case (p, xs) => p -> xs.size.toLong }
+    def p1(w: String): Double = (uni.getOrElse(w, 0L) + 1) / (n + v)
+    for ((d, tk) <- toks) {
+      val first = -math.log(p1(tk.head))
+      val second =
+        if (tk.size < 2) 0.0
+        else bg.get((tk(0), tk(1))) match {
+          case Some(c2) => -math.log(c2.toDouble / uni(tk(0)))
+          case None => -math.log(0.4 * p1(tk(1)))
+        }
+      val rest = tk.sliding(3).filter(_.size == 3).map { t =>
+        tg.get((t(0), t(1), t(2))) match {
+          case Some(c3) => -math.log(c3.toDouble / bg((t(0), t(1))))
+          case None => bg.get((t(1), t(2))) match {
+            case Some(c2) =>
+              -math.log(0.4 * (c2.toDouble / uni(t(1))))
+            case None => -math.log(0.4 * 0.4 * p1(t(2)))
+          }
+        }
+      }.sum
+      val ms = (first + second + rest) / tk.size
+      assert(out(d)._1 == tk.size, s"doc $d n_tokens")
+      assert(math.abs(out(d)._2 - ms) < 1e-6, s"doc $d surprisal")
+    }
+    // Trained word order scores lower than any doc forcing backoff
+    // (doc 3's OOV head is partly offset by its trained "the cat
+    // sat" tail, so only the trained-vs-backoff relation is stable).
+    assert(out(1L)._2 < out(2L)._2 && out(1L)._2 < out(3L)._2)
+  }
+
   test("surprisal keep-threshold: ceil(f*n)-th smallest sampled " +
       "score, +Inf on an empty sample") {
     // Model = the sort-based rank the former sort+limit plan

@@ -70,7 +70,7 @@ object SparkEntry {
     "s08_featurized_ann", "s09_ann_ivf_persisted",
     "q16_quantile_disc",
     "t17_bm25", "t18_surprisal", "t26_bigram_surprisal",
-    "t31_trigram_surprisal",
+    "t31_trigram_surprisal", "t32_ce_diff", "t33_dsir_weights",
     "t27_bpe_encode", "t29_byte_bpe_encode",
     "t19_curation_semantic",
     "t20_curation_filtered", "t21_bm25_persisted",

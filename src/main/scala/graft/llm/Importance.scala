@@ -1,0 +1,131 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/** Data Selection via Importance Resampling (Xie et al., "Data
+  * Selection for Language Models via Importance Resampling",
+  * NeurIPS 2023 — DSIR): estimate hashed-n-gram bag-of-words
+  * distributions for a TARGET corpus (the curated domain you want
+  * more of) and for the RAW pool, then weight every raw document by
+  * its log importance ratio under the two multinomials. Documents
+  * whose feature mass concentrates where the target distribution
+  * exceeds the raw one score high; the published pipeline then
+  * resamples by these weights (Gumbel top-k). The weights themselves
+  * are the operator here — deterministic, restatable, and the
+  * expensive distributed part; the resample is a top-k/threshold over
+  * one double per document (see the gate's quantile composition).
+  */
+object Importance {
+
+  /** Per-document DSIR log importance weight over hashed unigram +
+    * bigram features.
+    *
+    * Features (the paper's §3 instantiation): every word unigram and
+    * every adjacent word bigram of the normalized token stream,
+    * hashed into `buckets` counting buckets. The hash must restate in
+    * external SQL bit-identically, so it is the repo's portable
+    * base-31 polynomial over code points mod 1e9+7 (the d04/d11 gram
+    * key family), reduced mod `buckets` — NOT a JVM-internal hash.
+    *
+    * Distributions: add-one-smoothed bucket multinomials
+    * `p[b] = (cnt_target[b]+1) / (N_target+B)` from the target slice
+    * (an arbitrary predicate over the document attributes — here a
+    * curated `source` set) and `q[b]` likewise from the deterministic
+    * raw sample `id % rawMod == rawRem`. Smoothing makes every bucket
+    * ratio finite, so unseen features contribute a fixed negative
+    * (or positive) prior term instead of poisoning the sum.
+    *
+    * Per-document weight:
+    *   `log w(d) = Σ_b c_d[b] · (ln p[b] − ln q[b])`
+    * with the per-(doc,bucket) term computed as one IEEE product cast
+    * to DECIMAL(38,18) and summed exactly — partition-order
+    * independent, bit-restatable, same discipline as the surprisal
+    * family.
+    *
+    * Scale posture: the feature stream collapses to DISTINCT
+    * (doc, gram) pairs with multiplicity BEFORE hashing (one
+    * polynomial evaluation per distinct gram per doc, and every
+    * shuffle carries pair-distinct rows, never token instances); both
+    * stats tables are bucket-bounded (≤ `buckets` rows — broadcast
+    * material by construction, far smaller than a vocabulary); the
+    * scoring join is a per-(doc,bucket) equi-join against those
+    * fixed-size tables. At 100 TB the two stats tables are computed
+    * once per target/pool release (tiny: `buckets` longs each) and
+    * every scoring run is a single map-side-joinable pass — the
+    * cheapest filter family in the repo.
+    *
+    * @param target target-domain predicate, evaluated against the
+    *               original `docs` columns
+    *               (e.g. `col("source").isin("src0", "src1")`)
+    * @param buckets feature-hash bucket count B (the paper uses 10k;
+    *               any fixed B works — collisions are part of the
+    *               estimator, identical on both sides)
+    * @return (doc_id, n_grams, logw) — one row per document with at
+    *         least one non-empty token; `logw` rounded to 6 for a
+    *         stable public surface
+    */
+  def dsirLogWeights(docs: DataFrame, target: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 8192, rawMod: Int = 3, rawRem: Int = 1)
+      : DataFrame = {
+    require(buckets > 0, s"dsirLogWeights: buckets must be positive," +
+      s" got $buckets")
+    val tk = docs
+      .select(col(idCol).as("doc_id"), target.as("is_target"),
+        filter(tokens(col(textCol)), t => length(t) > 0).as("tk"))
+      .where(size(col("tk")) > 0)
+    // Adjacent word bigrams as "w1 w2" strings (the space cannot
+    // occur inside a token — tokens() split on it), same narrow
+    // sequence-transform shape as the LM pair extraction; a one-token
+    // doc yields an EMPTY bigram array (sequence(1, 0) descends — the
+    // standing guard).
+    val bigramsOf = when(size(col("tk")) >= 2,
+      transform(sequence(lit(1), size(col("tk")) - 1),
+        i => concat(element_at(col("tk"), i), lit(" "),
+          element_at(col("tk"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    // DISTINCT (doc, gram) with multiplicity k first: the polynomial
+    // hash then runs once per distinct gram per doc, and everything
+    // downstream shuffles pair-distinct rows.
+    val dg = tk
+      .select(col("doc_id"), col("is_target"),
+        explode(concat(col("tk"), bigramsOf)).as("g"))
+      .groupBy("doc_id", "is_target", "g")
+      .agg(count(lit(1)).as("k"))
+    // Portable bucket id: base-31 polynomial over code points mod
+    // 1e9+7 (non-negative — [[graft.functions.PolyHashString]], the
+    // codegen'd scalar form of the d04/d11 gram-key family), reduced
+    // mod B. Collisions inside a bucket are part of the DSIR
+    // estimator, identical on both engines.
+    val bucketed = dg.select(col("doc_id"), col("is_target"),
+      (graft.functions.GraftFunctions.polyHash(col("g"))
+        % buckets.toLong).as("b"),
+      col("k"))
+    val db = bucketed.groupBy("doc_id", "b")
+      .agg(sum(col("k")).as("k"))
+    val tgt = bucketed.where(col("is_target"))
+      .groupBy("b").agg(sum(col("k")).as("ct"))
+    val raw = bucketed.where(col("doc_id") % rawMod === rawRem)
+      .groupBy("b").agg(sum(col("k")).as("cq"))
+    // One row each: exact feature totals of the two slices.
+    val tots = tgt.agg(sum(col("ct")).as("nt"))
+      .crossJoin(raw.agg(sum(col("cq")).as("nq")))
+    def lnP(c: Column, n: Column): Column =
+      log((coalesce(c, lit(0L)) + lit(1L)).cast("double")
+        / (n + lit(buckets.toLong)).cast("double"))
+    db
+      .join(tgt, Seq("b"), "left")
+      .join(raw, Seq("b"), "left")
+      .crossJoin(broadcast(tots))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_grams"),
+        sum((col("k").cast("double")
+            * (lnP(col("ct"), col("nt")) - lnP(col("cq"), col("nq"))))
+          .cast("decimal(38,18)")).cast("double").as("w"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("w"), 6).as("logw"))
+  }
+}

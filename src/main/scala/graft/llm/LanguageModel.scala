@@ -121,9 +121,21 @@ object LanguageModel {
     */
   def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", alpha: Double = 0.4,
-      trainMod: Int = 3, trainRem: Int = 1): DataFrame = {
+      trainMod: Int = 3, trainRem: Int = 1): DataFrame =
+    bigramSurprisal(docs,
+      col(idCol) % trainMod === trainRem, idCol, textCol, alpha)
+
+  /** [[bigramSurprisal]] with an arbitrary training-slice predicate,
+    * evaluated against the ORIGINAL `docs` columns (so a slice can be
+    * keyed by `source`, `lang`, or any other document attribute, not
+    * just the id) — the form [[crossEntropyDiff]] needs, where the
+    * in-domain model trains on a curated source set. Same model, same
+    * scoring, same exactness discipline as the modulus form, which
+    * delegates here. */
+  def bigramSurprisal(docs: DataFrame, trainFilter: Column,
+      idCol: String, textCol: String, alpha: Double): DataFrame = {
     val tk = docs
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol).as("doc_id"), trainFilter.as("is_train"),
         filter(tokens(col(textCol)), t => length(t) > 0).as("tk"))
       .where(size(col("tk")) > 0)
     // Adjacent-pair extraction as one narrow expression (no
@@ -135,7 +147,7 @@ object LanguageModel {
         i => struct(element_at(col("tk"), i).as("prev"),
           element_at(col("tk"), i + 1).as("cur"))))
       .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
-    val train = tk.where(col("doc_id") % trainMod === trainRem)
+    val train = tk.where(col("is_train"))
     val uni = train.select(explode(col("tk")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
     // One row: exact token total N and vocabulary size V (longs).
@@ -189,6 +201,56 @@ object LanguageModel {
           / sum(col("k"))).as("ms"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("ms"), 6).as("mean_surprisal"))
+  }
+
+  /** Moore–Lewis cross-entropy difference selection (Moore & Lewis,
+    * "Intelligent Selection of Language Model Training Data",
+    * ACL 2010) — the classic in-domain data-selection score, and the
+    * form CCNet-style pipelines (Wenzek et al., LREC 2020) rank web
+    * text with: score each document by
+    * `H_in(d) − H_gen(d)`, the difference between its mean surprisal
+    * under an IN-DOMAIN language model (trained on a curated slice —
+    * here a `source`-keyed predicate over the document attributes)
+    * and under a GENERAL model (trained on the same deterministic
+    * id-modulus sample of the raw pool [[bigramSurprisal]] uses).
+    * Lower is better: a negative difference means the in-domain model
+    * predicts the document better than the general one, i.e. the
+    * document looks like the target domain. Both models are the same
+    * Stupid Backoff bigram estimator, so the two surprisals are
+    * directly comparable (same backoff arms, same add-one base).
+    *
+    * Scale posture: exactly two [[bigramSurprisal]] passes — each
+    * corpus-bounded stats tables + pair-distinct scoring joins — plus
+    * one equi-join of two (doc_id, double) frames. The tokenize
+    * subtree runs once per pass (the two plans diverge at the train
+    * slice); at 100 TB the production shape persists each model's two
+    * stats tables once per corpus release and re-scores batches
+    * against them, exactly like [[bigramSurprisal]]'s posture. The
+    * difference is taken over the ROUND-6 per-model means (the
+    * models' own published outputs), so the score restates
+    * bit-identically from the two per-model restatements.
+    *
+    * @param inDomain training predicate for the in-domain model,
+    *                 evaluated against the original `docs` columns
+    *                 (e.g. `col("source").isin("src0", "src1")`)
+    * @return (doc_id, n_tokens, ms_in, ms_gen, ce_diff) — one row per
+    *         document with at least one non-empty token
+    */
+  def crossEntropyDiff(docs: DataFrame, inDomain: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      alpha: Double = 0.4, trainMod: Int = 3, trainRem: Int = 1)
+      : DataFrame = {
+    val msIn = bigramSurprisal(docs, inDomain, idCol, textCol, alpha)
+      .select(col("doc_id"), col("n_tokens"),
+        col("mean_surprisal").as("ms_in"))
+    val msGen = bigramSurprisal(docs, idCol, textCol, alpha,
+      trainMod, trainRem)
+      .select(col("doc_id"), col("mean_surprisal").as("ms_gen"))
+    // Inner join is exact: both passes drop the same zero-token docs.
+    msIn.join(msGen, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("ms_in"),
+        col("ms_gen"),
+        round(col("ms_in") - col("ms_gen"), 6).as("ce_diff"))
   }
 
   /** Per-document mean TRIGRAM surprisal under Stupid Backoff — the

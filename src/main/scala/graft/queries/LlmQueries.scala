@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Bpe, Chunking, Contamination, Dedup, LanguageModel, MediaCodecs, Multimodal, Retrieval, Scrub, Similarity, Sketches, TextAnalysis, TextFunctions}
+import graft.llm.{Bpe, Chunking, Contamination, Dedup, Importance, LanguageModel, MediaCodecs, Multimodal, Retrieval, Scrub, Similarity, Sketches, TextAnalysis, TextFunctions}
 
 /** LLM-data-pipeline operator surface (north star,
   * `BASELINE.json`): dedup family, similarity search, text analysis,
@@ -995,6 +995,30 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Moore–Lewis cross-entropy difference selection (ACL 2010; the
+    // CCNet ranking form): per-doc surprisal under an IN-DOMAIN
+    // Stupid-Backoff bigram LM (trained on the curated src0/src1
+    // slice) minus surprisal under the GENERAL LM (the doc_id%3==1
+    // raw-pool sample) — lower = more in-domain. Full oracle: both
+    // models restated from one parametrized CTE chain, joined.
+    "t32_ce_diff" -> ((s, dir) => {
+      LanguageModel.crossEntropyDiff(docs(s, dir),
+        col("source").isin("src0", "src1"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR hashed-ngram importance weights (NeurIPS 2023): bucket
+    // multinomials of the curated-target and raw-sample slices over
+    // portable-hashed uni+bigram features, per-doc log importance
+    // ratio with DECIMAL exact summation. Full oracle: the hash, both
+    // bucket tables, the add-one smoothing and the ratio sum restated.
+    "t33_dsir_weights" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Importance.dsirLogWeights(docs(s, dir),
+        col("source").isin("src0", "src1"))
+        .orderBy("doc_id")
+    }),
+
     // BM25 top-k retrieval for a fixed probe-term bag (decontamination
     // sweeps / corpus audits as scored lookup). Full oracle: the
     // expression tree restates term-by-term; exact-integer avgdl and
@@ -1595,6 +1619,62 @@ object LlmQueries {
      + list_reduce(list_prepend(0::BIGINT,
        [ascii(c)::BIGINT FOR c IN string_split(g, '')]),
        (a, c) -> (a*131 + c) % 1000000009) FOR g IN $src]"""
+
+  /** Parametrized restatement of
+    * [[graft.llm.LanguageModel.bigramSurprisal]]: the t26 oracle's
+    * CTE chain with the TRAINING-SLICE predicate a parameter and
+    * every CTE name suffixed by `sfx`, ending in
+    * `lm$sfx(doc_id, n_tokens, ms)` with the round-6 mean. t26
+    * instantiates it once (modulus slice, empty suffix); t32
+    * instantiates it TWICE in one query — the source-keyed in-domain
+    * model and the id-modulus general model — and joins the two. */
+  private def bigramMsCtesSql(norm: String, trainPred: String,
+      sfx: String): String =
+    s"""tkk$sfx AS (SELECT doc_id, is_train, tk FROM (
+         SELECT doc_id, ($trainPred) AS is_train,
+           list_filter(string_split($norm, ' '),
+             t -> len(t) > 0) AS tk FROM documents)
+         WHERE len(tk) > 0),
+       uni$sfx AS (SELECT term, count(*)::BIGINT AS cnt FROM (
+           SELECT unnest(tk) AS term FROM tkk$sfx WHERE is_train)
+         GROUP BY term),
+       tot$sfx AS (SELECT sum(cnt)::BIGINT AS n,
+         count(*)::BIGINT AS v FROM uni$sfx),
+       bfreq$sfx AS (SELECT prev, cur, count(*)::BIGINT AS cnt2
+         FROM (SELECT b.prev AS prev, b.cur AS cur FROM (
+           SELECT unnest([{'prev': tk[i], 'cur': tk[i+1]}
+             FOR i IN range(1, len(tk))]) AS b
+           FROM tkk$sfx WHERE is_train))
+         GROUP BY prev, cur),
+       fst$sfx AS (SELECT doc_id, 1::BIGINT AS k,
+         -ln((coalesce(uni$sfx.cnt, 0) + 1)::DOUBLE
+           / (n + v)::DOUBLE) AS s
+         FROM (SELECT doc_id, tk[1] AS term FROM tkk$sfx) f
+         LEFT JOIN uni$sfx ON uni$sfx.term = f.term
+         CROSS JOIN tot$sfx),
+       bg$sfx AS (SELECT doc_id, prev, cur, count(*)::BIGINT AS k
+         FROM (SELECT doc_id, b.prev AS prev, b.cur AS cur FROM (
+           SELECT doc_id,
+             unnest([{'prev': tk[i], 'cur': tk[i+1]}
+               FOR i IN range(1, len(tk))]) AS b FROM tkk$sfx))
+         GROUP BY doc_id, prev, cur),
+       rst$sfx AS (SELECT doc_id, k,
+         CASE WHEN bfreq$sfx.cnt2 IS NOT NULL
+           THEN -ln(bfreq$sfx.cnt2::DOUBLE / up.cnt::DOUBLE)
+           ELSE -ln(0.4 * ((coalesce(uc.cnt, 0) + 1)::DOUBLE
+             / (n + v)::DOUBLE)) END AS s
+         FROM bg$sfx
+         LEFT JOIN bfreq$sfx ON bfreq$sfx.prev = bg$sfx.prev
+           AND bfreq$sfx.cur = bg$sfx.cur
+         LEFT JOIN uni$sfx up ON up.term = bg$sfx.prev
+         LEFT JOIN uni$sfx uc ON uc.term = bg$sfx.cur
+         CROSS JOIN tot$sfx),
+       lm$sfx AS (SELECT doc_id, sum(k)::BIGINT AS n_tokens,
+         round(sum((k::DOUBLE * s)::DECIMAL(38,18))::DOUBLE
+           / sum(k), 6) AS ms
+         FROM (SELECT * FROM fst$sfx UNION ALL
+           SELECT * FROM rst$sfx)
+         GROUP BY doc_id)"""
 
   /** DuckDB restatement of [[graft.llm.Bpe]]'s merge loop: `rounds`
     * unrolled CTE triples (pair count → argmax → literal-replace
@@ -3502,47 +3582,59 @@ object LlmQueries {
       // backoff path), seen bigrams the cnt2/cnt(prev) MLE; DECIMAL
       // per-instance sum — every expression the Spark plan's twin.
       "t26_bigram_surprisal" ->
-        s"""WITH tkk AS (SELECT doc_id, tk FROM (
-             SELECT doc_id, list_filter(string_split($norm, ' '),
-               t -> len(t) > 0) AS tk FROM documents)
+        s"""WITH ${bigramMsCtesSql(norm, "doc_id % 3 = 1", "")}
+           SELECT doc_id, n_tokens, ms AS mean_surprisal
+           FROM lm ORDER BY doc_id""",
+      // Moore–Lewis cross-entropy difference: TWO instantiations of
+      // the t26 chain — the source-keyed in-domain model and the
+      // id-modulus general model — joined per doc; the score is the
+      // round-6 difference of the two round-6 means, exactly the
+      // Spark expression.
+      "t32_ce_diff" ->
+        s"""WITH ${bigramMsCtesSql(norm,
+             "source IN ('src0', 'src1')", "_i")},
+           ${bigramMsCtesSql(norm, "doc_id % 3 = 1", "_g")}
+           SELECT a.doc_id, a.n_tokens, a.ms AS ms_in,
+             b.ms AS ms_gen, round(a.ms - b.ms, 6) AS ce_diff
+           FROM lm_i a JOIN lm_g b ON a.doc_id = b.doc_id
+           ORDER BY a.doc_id""",
+      // DSIR hashed-ngram importance weights: portable base-31 hash
+      // of every uni+bigram mod 8192 buckets, add-one bucket
+      // multinomials of the target (src0/src1) and raw (doc_id%3==1)
+      // slices, per-doc DECIMAL sum of k * (ln p - ln q).
+      "t33_dsir_weights" ->
+        s"""WITH tkk AS (SELECT doc_id, is_target, tk FROM (
+             SELECT doc_id, (source IN ('src0', 'src1')) AS is_target,
+               list_filter(string_split($norm, ' '),
+                 t -> len(t) > 0) AS tk FROM documents)
              WHERE len(tk) > 0),
-           uni AS (SELECT term, count(*)::BIGINT AS cnt FROM (
-               SELECT unnest(tk) AS term FROM tkk WHERE doc_id % 3 = 1)
-             GROUP BY term),
-           tot AS (SELECT sum(cnt)::BIGINT AS n,
-             count(*)::BIGINT AS v FROM uni),
-           bfreq AS (SELECT prev, cur, count(*)::BIGINT AS cnt2
-             FROM (SELECT b.prev AS prev, b.cur AS cur FROM (
-               SELECT unnest([{'prev': tk[i], 'cur': tk[i+1]}
-                 FOR i IN range(1, len(tk))]) AS b
-               FROM tkk WHERE doc_id % 3 = 1))
-             GROUP BY prev, cur),
-           fst AS (SELECT doc_id, 1::BIGINT AS k,
-             -ln((coalesce(uni.cnt, 0) + 1)::DOUBLE
-               / (n + v)::DOUBLE) AS s
-             FROM (SELECT doc_id, tk[1] AS term FROM tkk) f
-             LEFT JOIN uni ON uni.term = f.term CROSS JOIN tot),
-           bg AS (SELECT doc_id, prev, cur, count(*)::BIGINT AS k
-             FROM (SELECT doc_id, b.prev AS prev, b.cur AS cur FROM (
-               SELECT doc_id,
-                 unnest([{'prev': tk[i], 'cur': tk[i+1]}
-                   FOR i IN range(1, len(tk))]) AS b FROM tkk))
-             GROUP BY doc_id, prev, cur),
-           rst AS (SELECT doc_id, k,
-             CASE WHEN bfreq.cnt2 IS NOT NULL
-               THEN -ln(bfreq.cnt2::DOUBLE / up.cnt::DOUBLE)
-               ELSE -ln(0.4 * ((coalesce(uc.cnt, 0) + 1)::DOUBLE
-                 / (n + v)::DOUBLE)) END AS s
-             FROM bg
-             LEFT JOIN bfreq ON bfreq.prev = bg.prev
-               AND bfreq.cur = bg.cur
-             LEFT JOIN uni up ON up.term = bg.prev
-             LEFT JOIN uni uc ON uc.term = bg.cur
-             CROSS JOIN tot)
-           SELECT doc_id, sum(k)::BIGINT AS n_tokens,
-             round(sum((k::DOUBLE * s)::DECIMAL(38,18))::DOUBLE
-               / sum(k), 6) AS mean_surprisal
-           FROM (SELECT * FROM fst UNION ALL SELECT * FROM rst)
+           dg AS (SELECT doc_id, is_target, g, count(*)::BIGINT AS k
+             FROM (SELECT doc_id, is_target, unnest(list_concat(tk,
+                 [tk[i] || ' ' || tk[i+1]
+                   FOR i IN range(1, len(tk))])) AS g FROM tkk)
+             GROUP BY doc_id, is_target, g),
+           bk AS (SELECT doc_id, is_target,
+             list_reduce(list_prepend(0::BIGINT,
+               [ascii(c)::BIGINT FOR c IN string_split(g, '')]),
+               (a, c) -> (a*31 + c) % 1000000007) % 8192 AS b, k
+             FROM dg),
+           db AS (SELECT doc_id, b, sum(k)::BIGINT AS k FROM bk
+             GROUP BY doc_id, b),
+           tgt AS (SELECT b, sum(k)::BIGINT AS ct FROM bk
+             WHERE is_target GROUP BY b),
+           raw AS (SELECT b, sum(k)::BIGINT AS cq FROM bk
+             WHERE doc_id % 3 = 1 GROUP BY b),
+           tots AS (SELECT (SELECT sum(ct)::BIGINT FROM tgt) AS nt,
+             (SELECT sum(cq)::BIGINT FROM raw) AS nq)
+           SELECT doc_id, sum(k)::BIGINT AS n_grams,
+             round(sum((k::DOUBLE
+               * (ln((coalesce(ct, 0) + 1)::DOUBLE
+                   / (nt + 8192)::DOUBLE)
+                 - ln((coalesce(cq, 0) + 1)::DOUBLE
+                   / (nq + 8192)::DOUBLE)))
+               ::DECIMAL(38,18))::DOUBLE, 6) AS logw
+           FROM db LEFT JOIN tgt USING (b) LEFT JOIN raw USING (b)
+           CROSS JOIN tots
            GROUP BY doc_id ORDER BY doc_id""",
       // Trigram Stupid Backoff: t26's restatement plus the trigram
       // stats table and the two-alpha arm. Float-parity pins: the

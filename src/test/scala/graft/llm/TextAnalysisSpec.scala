@@ -355,4 +355,145 @@ class TextAnalysisSpec extends SparkSpec {
       "stopword_ratio", "mean_token_len")
       .forall(df.columns.contains))
   }
+
+  test("Moore-Lewis cross-entropy difference matches two independent " +
+      "Stupid Backoff models; in-domain text scores lower") {
+    // in-domain model trains on source 'tgt' (docs 1, 4); general
+    // model on id%3==1 (docs 1, 4 is id 4 -> 4%3=1 yes, and 1%3=1
+    // yes — overlap is the realistic case: the raw pool contains
+    // in-domain docs too). Doc 2 repeats in-domain phrasing from a
+    // web source; doc 3 is out-of-domain jargon.
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "tgt"),
+      (2L, "the cat sat on a mat", "web"),
+      (3L, "qwv zyx flux capacitor", "web"),
+      (4L, "the cat ran on the mat", "tgt"),
+      (5L, "mat the on cat", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = LanguageModel.crossEntropyDiff(docs,
+      col("source") === "tgt")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("ms_in"),
+          r.getAs[Double]("ms_gen"), r.getAs[Double]("ce_diff")))
+      .toMap
+    val toks = Map(
+      1L -> Seq("the", "cat", "sat", "on", "the", "mat"),
+      2L -> Seq("the", "cat", "sat", "on", "a", "mat"),
+      3L -> Seq("qwv", "zyx", "flux", "capacitor"),
+      4L -> Seq("the", "cat", "ran", "on", "the", "mat"),
+      5L -> Seq("mat", "the", "on", "cat"))
+    def model(train: Seq[Long]): Map[Long, Double] = {
+      val uni = train.flatMap(toks).groupBy(identity)
+        .map { case (t, xs) => t -> xs.size.toLong }
+      val n = uni.values.sum.toDouble
+      val v = uni.size.toDouble
+      val bg = train.flatMap(d => toks(d).sliding(2)
+          .filter(_.size == 2).map(p => (p(0), p(1))))
+        .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      def p1(w: String): Double = (uni.getOrElse(w, 0L) + 1) / (n + v)
+      toks.map { case (d, tk) =>
+        val first = -math.log(p1(tk.head))
+        val rest = tk.sliding(2).filter(_.size == 2).map { p =>
+          bg.get((p(0), p(1))) match {
+            case Some(c2) => -math.log(c2.toDouble / uni(p(0)))
+            case None => -math.log(0.4 * p1(p(1)))
+          }
+        }.sum
+        d -> (first + rest) / tk.size
+      }
+    }
+    val msIn = model(Seq(1L, 4L))
+    val msGen = model(Seq(1L, 4L))  // ids with id%3==1: 1 and 4
+    for ((d, tk) <- toks) {
+      assert(out(d)._1 == tk.size, s"doc $d n_tokens")
+      assert(math.abs(out(d)._2 - msIn(d)) < 1e-5, s"doc $d ms_in")
+      assert(math.abs(out(d)._3 - msGen(d)) < 1e-5, s"doc $d ms_gen")
+      assert(math.abs(out(d)._4 - (out(d)._2 - out(d)._3)) < 2e-6,
+        s"doc $d ce_diff")
+    }
+    // With DIFFERENT train slices the score separates: make the
+    // general model train on docs 2 and 5 (mod 3 rem 2) instead.
+    val out2 = LanguageModel.crossEntropyDiff(docs,
+      col("source") === "tgt", trainRem = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("ce_diff")).toMap
+    val msGen2 = model(Seq(2L, 5L))
+    for ((d, _) <- toks)
+      assert(math.abs(out2(d) - (math.rint(msIn(d) * 1e6) / 1e6
+        - math.rint(msGen2(d) * 1e6) / 1e6)) < 2e-6, s"doc $d v2")
+    // In-domain docs score lower than the scrambled and jargon docs
+    // (doc 2 is IN the general model's train slice, so ITS general
+    // surprisal is memorized-low and its difference high — the
+    // correct behavior, not an ordering to pin).
+    assert(out2(1L) < out2(5L) && out2(4L) < out2(5L)
+      && out2(1L) < out2(3L) && out2(4L) < out2(3L))
+  }
+
+  test("DSIR log importance weights match an independent hashed-" +
+      "ngram model; target-like text weighs higher") {
+    // target = source 'tgt' (docs 1, 4); raw sample = id%3==1
+    // (docs 1, 4). Doc 2 shares the target's vocabulary, doc 3
+    // does not.
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "tgt"),
+      (2L, "the cat sat", "web"),
+      (3L, "qwv zyx flux capacitor blorp", "web"),
+      (4L, "the cat ran", "tgt"),
+      (5L, "the", "web"))
+      .toDF("doc_id", "text", "source")
+    val B = 64 // small bucket count: collisions live in this test
+    val out = Importance.dsirLogWeights(docs,
+      col("source") === "tgt", buckets = B)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Double]("logw"))).toMap
+    val toks = Map(
+      1L -> Seq("the", "cat", "sat", "on", "the", "mat"),
+      2L -> Seq("the", "cat", "sat"),
+      3L -> Seq("qwv", "zyx", "flux", "capacitor", "blorp"),
+      4L -> Seq("the", "cat", "ran"),
+      5L -> Seq("the"))
+    def grams(tk: Seq[String]): Seq[String] =
+      tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    def bucket(g: String): Long = {
+      var acc = 0L
+      g.codePoints().forEach(cp => acc = (acc * 31 + cp) % 1000000007L)
+      acc % B
+    }
+    def bag(ids: Seq[Long]): Map[Long, Long] =
+      ids.flatMap(d => grams(toks(d))).map(bucket)
+        .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val tgt = bag(Seq(1L, 4L)); val raw = bag(Seq(1L, 4L))
+    val nt = tgt.values.sum.toDouble; val nq = raw.values.sum.toDouble
+    for ((d, tk) <- toks) {
+      val gs = grams(tk)
+      val logw = gs.map(bucket).map { b =>
+        math.log((tgt.getOrElse(b, 0L) + 1) / (nt + B)) -
+          math.log((raw.getOrElse(b, 0L) + 1) / (nq + B))
+      }.sum
+      assert(out(d)._1 == gs.size, s"doc $d n_grams")
+      assert(math.abs(out(d)._2 - logw) < 1e-5, s"doc $d logw")
+    }
+    // Target and raw slices coincide here, so the add-one smoothing
+    // makes every ratio ln((c+1)/(nt+B)) - ln((c+1)/(nq+B)) = 0 when
+    // the totals agree — the degenerate-but-exact case.
+    assert(math.abs(out(1L)._2) < 1e-9)
+    // Distinct slices: target docs 1,4 vs raw docs 2,5 — now doc 3
+    // (vocabulary absent from BOTH slices) is weighed by the prior
+    // ratio alone, and target-vocabulary docs weigh higher.
+    val out2 = Importance.dsirLogWeights(docs,
+      col("source") === "tgt", buckets = B, rawRem = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("logw")).toMap
+    val raw2 = bag(Seq(2L, 5L)); val nq2 = raw2.values.sum.toDouble
+    for ((d, tk) <- toks) {
+      val logw = grams(tk).map(bucket).map { b =>
+        math.log((tgt.getOrElse(b, 0L) + 1) / (nt + B)) -
+          math.log((raw2.getOrElse(b, 0L) + 1) / (nq2 + B))
+      }.sum
+      assert(math.abs(out2(d) - logw) < 1e-5, s"doc $d logw v2")
+    }
+    // Pure-target-vocabulary doc 4 weighs above the out-of-both-
+    // slices doc 3, and above the raw-slice-heavy doc 2.
+    assert(out2(4L) > out2(3L) && out2(4L) > out2(2L))
+  }
 }

@@ -128,6 +128,10 @@ object GraftFunctions {
         exprs => PolyShingleHashesWideAll(exprs(0),
           exprs(1).eval().asInstanceOf[Int]), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_winnow_fingerprints",
+        exprs => WinnowFingerprints(exprs(0),
+          exprs(1).eval().asInstanceOf[Int]), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_poly_minhash_longs",
         exprs => PolyMinHashLongs(exprs(0),
           exprs(1).eval().asInstanceOf[Int]), "built-in")
@@ -266,6 +270,11 @@ object GraftFunctions {
   def polyShingleHashesWideAll(text: Column, n: Int): Column =
     call_function("graft_poly_shingle_hashes_wide_all", text,
       org.apache.spark.sql.functions.lit(n))
+
+  /** Column form (requires [[register]] on the session first). */
+  def winnowFingerprints(hashes: Column, w: Int): Column =
+    call_function("graft_winnow_fingerprints", hashes,
+      org.apache.spark.sql.functions.lit(w))
 
   /** Column form (requires [[register]] on the session first). */
   def polyMinhashLongs(hashes: Column, k: Int): Column =

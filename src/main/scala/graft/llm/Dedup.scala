@@ -936,6 +936,47 @@ object Dedup {
         .cast("double") / col("n_grams").cast("double"), 6))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003): each document's k-gram hash stream is reduced to
+    * the rightmost-minimum hash of every `window`-wide run — the
+    * paper's local fingerprint selection, which guarantees any shared
+    * substring of at least `window + gramChars - 1` characters
+    * produces a shared fingerprint while keeping expected density at
+    * 2/(window+1) of all grams. This is the INDEX-side companion to
+    * [[duplicatedNgramStats]]: instead of counting every gram
+    * instance corpus-wide, a winnowed index stores ~2/(w+1) of the
+    * grams and still catches every long-enough overlap — the standard
+    * plagiarism/near-dup index shape (MOSS) and the cheap first pass
+    * before an exact span check at 100 TB.
+    *
+    * Gram keys are the same two-family injective 64-bit pack over the
+    * same normalized text as d11/d21 (whole-text arm below
+    * `gramChars` chars), so fingerprints are directly joinable
+    * against either family's keys. Selection runs inside the same
+    * whole-stage-codegen pass as the gram kernel
+    * ([[graft.functions.WinnowFingerprints]]): per document the
+    * pipeline is text → gram hashes → deque winnow → explode, a pure
+    * narrow map with NO shuffle — the only exchange in a consuming
+    * index build is its own groupBy on the fingerprint key.
+    *
+    * @return one row per selected fingerprint: (doc_id, pos, fp) —
+    *         `pos` the 1-based gram start offset in the normalized
+    *         text, `fp` the wide gram key
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", gramChars: Int = 20,
+      window: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val hashes = graft.functions.GraftFunctions
+      .polyShingleHashesWideAll(col(textCol), gramChars)
+    val fps = graft.functions.GraftFunctions
+      .winnowFingerprints(hashes, window)
+    graft.core.Partitioning.ensureWidth(docs)
+      .select(col(idCol).as("doc_id"), explode(fps).as("f"))
+      .select(col("doc_id"), col("f.pos").as("pos"),
+        col("f.fp").as("fp"))
+  }
+
   /** Benchmark decontamination: flag every corpus document that
     * shares at least one exact character n-gram with a held-out
     * benchmark/evaluation set — the overlap-scrub training pipelines

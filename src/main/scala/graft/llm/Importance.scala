@@ -128,4 +128,48 @@ object Importance {
       .select(col("doc_id"), col("n_grams"),
         round(col("w"), 6).as("logw"))
   }
+
+  /** The RESAMPLE step of DSIR: draw `k` documents without
+    * replacement with probability proportional to their importance
+    * weights, via the Gumbel-top-k identity (Xie et al. §3 run
+    * exactly this): adding an independent standard Gumbel
+    * `g = −ln(−ln u)` to each log weight and taking the k largest
+    * keys IS a proportional-without-replacement sample. The
+    * "randomness" is the repo's deterministic portable LCG over the
+    * doc id ([[Mixing.keepPortable]]'s step, mod 2^31), shifted to
+    * the open unit interval as `u = (lcg + 0.5) / 2^31` — never 0 or
+    * 1, so both logs are finite — which makes the sample a pure
+    * function of (corpus, target, k): rerunnable, auditable, and
+    * restatable bit-for-bit in external SQL.
+    *
+    * Ordering contract: both engines rank by the ROUNDED key (6 dp,
+    * the same public rounding as `logw`) with doc_id as tie-break, so
+    * the boundary of the sample cannot depend on sub-rounding FP
+    * noise.
+    *
+    * Scale posture: one map pass over [[dsirLogWeights]]'s output
+    * adds the key; the global top-k collapses to per-partition
+    * bounded heaps + a driver merge of k rows
+    * (`TakeOrderedAndProject`) — no corpus-sized sort, no extra
+    * shuffle at any corpus size.
+    *
+    * @return the k sampled rows: (doc_id, n_grams, logw, gkey),
+    *         gkey = round(logw + gumbel(doc_id), 6)
+    */
+  def dsirResample(docs: DataFrame, target: Column, k: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 8192, rawMod: Int = 3, rawRem: Int = 1)
+      : DataFrame = {
+    require(k > 0, s"dsirResample: k must be positive, got $k")
+    val m = 2147483648L
+    val w = dsirLogWeights(docs, target, idCol, textCol, buckets,
+      rawMod, rawRem)
+    val lcg = pmod(pmod(col("doc_id"), lit(m)) * 1103515245L
+      + 12345L, lit(m))
+    val u = (lcg.cast("double") + lit(0.5)) / lit(m.toDouble)
+    val gumbel = -log(-log(u))
+    w.withColumn("gkey", round(col("logw") + gumbel, 6))
+      .orderBy(col("gkey").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -1019,6 +1019,31 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // The DSIR resample itself: Gumbel-top-k over t33's weights —
+    // proportional-without-replacement selection of the 100 best
+    // docs, with the Gumbel noise a deterministic portable-LCG
+    // function of the doc id. Full oracle: t33's chain wrapped as the
+    // weight source, the LCG/Gumbel key restated, ranked by the
+    // rounded key with doc_id tie-break.
+    "t35_dsir_resample" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      Importance.dsirResample(docs(s, dir),
+        col("source").isin("src0", "src1"), k = 100)
+    }),
+
+    // Winnowing fingerprint selection (Schleimer et al., SIGMOD
+    // 2003): per document, the rightmost-minimum 20-gram wide key of
+    // every 8-hash window — the MOSS index shape, ~2/(w+1) of d11's
+    // gram instances with the t>=27-char shared-substring guarantee.
+    // Full oracle: the d11 gram/hash derivation with positions, a
+    // w-frame window min per start, rightmost-tie argmax join, and
+    // the distinct (pos, fp) collapse.
+    "t34_winnow_fingerprints" -> ((s, dir) => {
+      Dedup.winnowFingerprints(docs(s, dir), gramChars = 20,
+        window = 8)
+        .orderBy("doc_id", "pos")
+    }),
+
     // BM25 top-k retrieval for a fixed probe-term bag (decontamination
     // sweeps / corpus audits as scored lookup). Full oracle: the
     // expression tree restates term-by-term; exact-integer avgdl and
@@ -2180,6 +2205,46 @@ object LlmQueries {
   val oracles: Map[String, String] = {
     val norm =
       "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    // DSIR hashed-ngram importance weights (t33): portable base-31
+    // hash of every uni+bigram mod 8192 buckets, add-one bucket
+    // multinomials of the target (src0/src1) and raw (doc_id%3==1)
+    // slices, per-doc DECIMAL sum of k * (ln p - ln q). A val because
+    // t35 (the Gumbel resample) wraps the SAME restatement as its
+    // weight source.
+    val t33Sql =
+      s"""WITH tkk AS (SELECT doc_id, is_target, tk FROM (
+             SELECT doc_id, (source IN ('src0', 'src1')) AS is_target,
+               list_filter(string_split($norm, ' '),
+                 t -> len(t) > 0) AS tk FROM documents)
+             WHERE len(tk) > 0),
+           dg AS (SELECT doc_id, is_target, g, count(*)::BIGINT AS k
+             FROM (SELECT doc_id, is_target, unnest(list_concat(tk,
+                 [tk[i] || ' ' || tk[i+1]
+                   FOR i IN range(1, len(tk))])) AS g FROM tkk)
+             GROUP BY doc_id, is_target, g),
+           bk AS (SELECT doc_id, is_target,
+             list_reduce(list_prepend(0::BIGINT,
+               [ascii(c)::BIGINT FOR c IN string_split(g, '')]),
+               (a, c) -> (a*31 + c) % 1000000007) % 8192 AS b, k
+             FROM dg),
+           db AS (SELECT doc_id, b, sum(k)::BIGINT AS k FROM bk
+             GROUP BY doc_id, b),
+           tgt AS (SELECT b, sum(k)::BIGINT AS ct FROM bk
+             WHERE is_target GROUP BY b),
+           raw AS (SELECT b, sum(k)::BIGINT AS cq FROM bk
+             WHERE doc_id % 3 = 1 GROUP BY b),
+           tots AS (SELECT (SELECT sum(ct)::BIGINT FROM tgt) AS nt,
+             (SELECT sum(cq)::BIGINT FROM raw) AS nq)
+           SELECT doc_id, sum(k)::BIGINT AS n_grams,
+             round(sum((k::DOUBLE
+               * (ln((coalesce(ct, 0) + 1)::DOUBLE
+                   / (nt + 8192)::DOUBLE)
+                 - ln((coalesce(cq, 0) + 1)::DOUBLE
+                   / (nq + 8192)::DOUBLE)))
+               ::DECIMAL(38,18))::DOUBLE, 6) AS logw
+           FROM db LEFT JOIN tgt USING (b) LEFT JOIN raw USING (b)
+           CROSS JOIN tots
+           GROUP BY doc_id ORDER BY doc_id"""
     // Shared by t17 (one-shot) and t21 (persisted-stats path): the two
     // Spark plans are bit-identical by construction, so one
     // restatement gates both.
@@ -3602,40 +3667,48 @@ object LlmQueries {
       // of every uni+bigram mod 8192 buckets, add-one bucket
       // multinomials of the target (src0/src1) and raw (doc_id%3==1)
       // slices, per-doc DECIMAL sum of k * (ln p - ln q).
-      "t33_dsir_weights" ->
-        s"""WITH tkk AS (SELECT doc_id, is_target, tk FROM (
-             SELECT doc_id, (source IN ('src0', 'src1')) AS is_target,
-               list_filter(string_split($norm, ' '),
-                 t -> len(t) > 0) AS tk FROM documents)
-             WHERE len(tk) > 0),
-           dg AS (SELECT doc_id, is_target, g, count(*)::BIGINT AS k
-             FROM (SELECT doc_id, is_target, unnest(list_concat(tk,
-                 [tk[i] || ' ' || tk[i+1]
-                   FOR i IN range(1, len(tk))])) AS g FROM tkk)
-             GROUP BY doc_id, is_target, g),
-           bk AS (SELECT doc_id, is_target,
-             list_reduce(list_prepend(0::BIGINT,
-               [ascii(c)::BIGINT FOR c IN string_split(g, '')]),
-               (a, c) -> (a*31 + c) % 1000000007) % 8192 AS b, k
-             FROM dg),
-           db AS (SELECT doc_id, b, sum(k)::BIGINT AS k FROM bk
-             GROUP BY doc_id, b),
-           tgt AS (SELECT b, sum(k)::BIGINT AS ct FROM bk
-             WHERE is_target GROUP BY b),
-           raw AS (SELECT b, sum(k)::BIGINT AS cq FROM bk
-             WHERE doc_id % 3 = 1 GROUP BY b),
-           tots AS (SELECT (SELECT sum(ct)::BIGINT FROM tgt) AS nt,
-             (SELECT sum(cq)::BIGINT FROM raw) AS nq)
-           SELECT doc_id, sum(k)::BIGINT AS n_grams,
-             round(sum((k::DOUBLE
-               * (ln((coalesce(ct, 0) + 1)::DOUBLE
-                   / (nt + 8192)::DOUBLE)
-                 - ln((coalesce(cq, 0) + 1)::DOUBLE
-                   / (nq + 8192)::DOUBLE)))
-               ::DECIMAL(38,18))::DOUBLE, 6) AS logw
-           FROM db LEFT JOIN tgt USING (b) LEFT JOIN raw USING (b)
-           CROSS JOIN tots
-           GROUP BY doc_id ORDER BY doc_id""",
+      "t33_dsir_weights" -> t33Sql,
+      // DSIR Gumbel-top-k resample over t33's weights: the portable
+      // LCG uniform shifted to (0,1), the double-log Gumbel, ranked
+      // by the ROUNDED key with doc_id tie-break.
+      "t35_dsir_resample" ->
+        s"""WITH w AS ($t33Sql)
+           SELECT doc_id, n_grams, logw,
+             round(logw + -ln(-ln(
+               ((((doc_id % 2147483648 + 2147483648) % 2147483648)
+                   * 1103515245 + 12345) % 2147483648 + 0.5)
+                 / 2147483648.0)), 6) AS gkey
+           FROM w
+           ORDER BY gkey DESC, doc_id LIMIT 100""",
+      // Winnowing: d11's positioned gram hashes, an 8-frame window
+      // min per start (full windows, plus the single short-doc
+      // window at s=1), rightmost-tie via max(pos) among in-window
+      // minima, DISTINCT (pos, fp) collapse.
+      "t34_winnow_fingerprints" ->
+        s"""WITH hx AS (
+             SELECT doc_id AS id, ${polyHashWideListSql("grams")} AS hs
+             FROM (
+               SELECT doc_id,
+                 CASE WHEN len(t) < 20 THEN [t]
+                   ELSE [substr(t, i, 20)
+                     FOR i IN range(1, len(t) - 18)] END AS grams
+               FROM (SELECT doc_id, $norm AS t FROM documents))),
+           h AS (SELECT id, u.pos AS pos, u.h AS h FROM (
+             SELECT id, unnest([{'pos': i, 'h': hs[i]}
+               FOR i IN range(1, len(hs) + 1)]) AS u FROM hx)),
+           wm AS (SELECT id, pos AS s,
+               min(h) OVER win AS m, count(*) OVER win AS cnt
+             FROM h WINDOW win AS (PARTITION BY id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
+           st AS (SELECT id, s, m FROM wm WHERE cnt = 8 OR s = 1),
+           sel AS (SELECT st.id, st.s, max(p.pos) AS pos
+             FROM st JOIN h p ON p.id = st.id AND p.pos >= st.s
+               AND p.pos < st.s + 8 AND p.h = st.m
+             GROUP BY st.id, st.s)
+           SELECT DISTINCT sel.id AS doc_id, sel.pos AS pos,
+             p.h AS fp
+           FROM sel JOIN h p ON p.id = sel.id AND p.pos = sel.pos
+           ORDER BY 1, 2""",
       // Trigram Stupid Backoff: t26's restatement plus the trigram
       // stats table and the two-alpha arm. Float-parity pins: the
       // backoff-bigram arm multiplies alpha by the PARENTHESIZED

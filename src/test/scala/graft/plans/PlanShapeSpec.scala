@@ -242,6 +242,26 @@ class PlanShapeSpec extends SparkSpec {
       s"t19 regrew a sort+limit threshold:\n$p19")
   }
 
+  test("t34: winnowing is one narrow fused pass — no join, no " +
+      "window, no aggregate anywhere in the plan") {
+    val p = plan("t34_winnow_fingerprints")
+    assert(!p.contains("Join"), s"winnow plan grew a join:\n$p")
+    assert(!p.contains("Window"), s"winnow plan grew a window:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"winnow plan grew an aggregate:\n$p")
+    assert(p.contains("winnow_fingerprints"),
+      "native winnow expression missing from the plan")
+  }
+
+  test("t35: the resample's global top-k plans as " +
+      "TakeOrderedAndProject, never a corpus sort") {
+    val p = plan("t35_dsir_resample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"resample fell back to a full sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"resample plan grew a cartesian product:\n$p")
+  }
+
   test("no query materializes the plan to an RDD (ScanRDD leaf)") {
     // ExistingRDD / Scan ExistingRDD leaves mean someone called df.rdd
     // mid-plan — the ensureWidth anti-pattern round 1 flagged. Checked

@@ -134,10 +134,18 @@ object LanguageModel {
     * delegates here. */
   def bigramSurprisal(docs: DataFrame, trainFilter: Column,
       idCol: String, textCol: String, alpha: Double): DataFrame = {
-    val tk = docs
+    val tk0 = docs
       .select(col(idCol).as("doc_id"), trainFilter.as("is_train"),
         filter(tokens(col(textCol)), t => length(t) > 0).as("tk"))
       .where(size(col("tk")) > 0)
+    // TEMPORARY A/B knob (round-14 measurement): persist the
+    // tokenized frame the four consumers below re-derive.
+    val tk = if (sys.env.get("GRAFT_AB_PERSIST_TK").contains("1")) {
+      val c = tk0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      c
+    } else tk0
     // Adjacent-pair extraction as one narrow expression (no
     // self-join): i-th struct pairs tk[i] with tk[i+1]. A one-token
     // doc must yield an EMPTY pair array — sequence(1, 0) would emit

@@ -1044,6 +1044,25 @@ object LlmQueries {
         .orderBy("doc_id", "pos")
     }),
 
+    // t34's pipeline on the id%31 slice, collapsed to order-free
+    // witness aggregates (the d24 pattern): the 1000x-tractable
+    // oracle form for the winnowing family — the full t34 oracle's
+    // per-window rightmost-tie join is corpus-sized, while the slice
+    // restates the SAME gram→window→fingerprint pipeline end-to-end.
+    // The checksums key fingerprints by (doc, pos) and by hash value,
+    // pinning the exact per-doc fingerprint multiset.
+    "t36_winnow_witness" -> ((s, dir) => {
+      Dedup.winnowFingerprints(
+        docs(s, dir).where(col("doc_id") % 31 === 7),
+        gramChars = 20, window = 8)
+        .agg(
+          count(lit(1)).as("n_fps"),
+          coalesce(sum((col("doc_id") * 1000003L + col("pos"))
+            % 1000000007L), lit(0L)).as("pos_checksum"),
+          coalesce(sum(col("fp") % 1000000007L), lit(0L))
+            .as("fp_checksum"))
+    }),
+
     // BM25 top-k retrieval for a fixed probe-term bag (decontamination
     // sweeps / corpus audits as scored lookup). Full oracle: the
     // expression tree restates term-by-term; exact-integer avgdl and
@@ -1644,6 +1663,39 @@ object LlmQueries {
      + list_reduce(list_prepend(0::BIGINT,
        [ascii(c)::BIGINT FOR c IN string_split(g, '')]),
        (a, c) -> (a*131 + c) % 1000000009) FOR g IN $src]"""
+
+  /** Parametrized restatement of [[graft.llm.Dedup.winnowFingerprints]]
+    * (t34/t36): positioned wide gram hashes, an 8-frame window min per
+    * start (full windows plus the single short-doc window at s=1),
+    * rightmost-tie selection via max(pos) among in-window minima, and
+    * the DISTINCT (pos, fp) collapse — ending in
+    * `fp(doc_id, pos, fp)`. `srcWhere` filters the documents source
+    * (empty for the full corpus; the witness passes the id%31 slice). */
+  private def winnowCtesSql(norm: String, srcWhere: String): String =
+    s"""hx AS (
+         SELECT doc_id AS id, ${polyHashWideListSql("grams")} AS hs
+         FROM (
+           SELECT doc_id,
+             CASE WHEN len(t) < 20 THEN [t]
+               ELSE [substr(t, i, 20)
+                 FOR i IN range(1, len(t) - 18)] END AS grams
+           FROM (SELECT doc_id, $norm AS t FROM documents
+             $srcWhere))),
+       h AS (SELECT id, u.pos AS pos, u.h AS h FROM (
+         SELECT id, unnest([{'pos': i, 'h': hs[i]}
+           FOR i IN range(1, len(hs) + 1)]) AS u FROM hx)),
+       wm AS (SELECT id, pos AS s,
+           min(h) OVER win AS m, count(*) OVER win AS cnt
+         FROM h WINDOW win AS (PARTITION BY id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
+       st AS (SELECT id, s, m FROM wm WHERE cnt = 8 OR s = 1),
+       sel AS (SELECT st.id, st.s, max(p.pos) AS pos
+         FROM st JOIN h p ON p.id = st.id AND p.pos >= st.s
+           AND p.pos < st.s + 8 AND p.h = st.m
+         GROUP BY st.id, st.s),
+       fp AS (SELECT DISTINCT sel.id AS doc_id, sel.pos AS pos,
+           p.h AS fp
+         FROM sel JOIN h p ON p.id = sel.id AND p.pos = sel.pos)"""
 
   /** Parametrized restatement of
     * [[graft.llm.LanguageModel.bigramSurprisal]]: the t26 oracle's
@@ -3685,30 +3737,17 @@ object LlmQueries {
       // window at s=1), rightmost-tie via max(pos) among in-window
       // minima, DISTINCT (pos, fp) collapse.
       "t34_winnow_fingerprints" ->
-        s"""WITH hx AS (
-             SELECT doc_id AS id, ${polyHashWideListSql("grams")} AS hs
-             FROM (
-               SELECT doc_id,
-                 CASE WHEN len(t) < 20 THEN [t]
-                   ELSE [substr(t, i, 20)
-                     FOR i IN range(1, len(t) - 18)] END AS grams
-               FROM (SELECT doc_id, $norm AS t FROM documents))),
-           h AS (SELECT id, u.pos AS pos, u.h AS h FROM (
-             SELECT id, unnest([{'pos': i, 'h': hs[i]}
-               FOR i IN range(1, len(hs) + 1)]) AS u FROM hx)),
-           wm AS (SELECT id, pos AS s,
-               min(h) OVER win AS m, count(*) OVER win AS cnt
-             FROM h WINDOW win AS (PARTITION BY id ORDER BY pos
-               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
-           st AS (SELECT id, s, m FROM wm WHERE cnt = 8 OR s = 1),
-           sel AS (SELECT st.id, st.s, max(p.pos) AS pos
-             FROM st JOIN h p ON p.id = st.id AND p.pos >= st.s
-               AND p.pos < st.s + 8 AND p.h = st.m
-             GROUP BY st.id, st.s)
-           SELECT DISTINCT sel.id AS doc_id, sel.pos AS pos,
-             p.h AS fp
-           FROM sel JOIN h p ON p.id = sel.id AND p.pos = sel.pos
+        s"""WITH ${winnowCtesSql(norm, "")}
+           SELECT doc_id, pos, fp FROM fp
            ORDER BY 1, 2""",
+      // t34 on the id%31 slice, collapsed to the witness aggregates.
+      "t36_winnow_witness" ->
+        s"""WITH ${winnowCtesSql(norm, "WHERE doc_id % 31 = 7")}
+           SELECT count(*)::BIGINT AS n_fps,
+             coalesce(sum((doc_id * 1000003 + pos) % 1000000007),
+               0)::BIGINT AS pos_checksum,
+             coalesce(sum(fp % 1000000007), 0)::BIGINT AS fp_checksum
+           FROM fp""",
       // Trigram Stupid Backoff: t26's restatement plus the trigram
       // stats table and the two-alpha arm. Float-parity pins: the
       // backoff-bigram arm multiplies alpha by the PARENTHESIZED

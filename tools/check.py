@@ -51,6 +51,13 @@ con = duckdb.connect()
 # dedicated dir, and let the per-oracle --timeout do the rest.
 os.makedirs("/tmp/duckdb_spill", exist_ok=True)
 con.execute("SET temp_directory='/tmp/duckdb_spill'")
+# Row order is irrelevant (canon() sorts before hashing), and order
+# preservation is not free: with an ORDER BY + corpus-sized string
+# aggregates (t29's 500 MB token_ids column at the 100x fixture) this
+# DuckDB build wedged HARD mid-materialization — zero CPU for 45+
+# minutes, con.interrupt() ineffective — while the identical query
+# with preserve_insertion_order=false completes in 43 s.
+con.execute("SET preserve_insertion_order=false")
 con.execute(
     f"SET memory_limit='{os.environ.get('GRAFT_ORACLE_MEM', '32GB')}'")
 for f in glob.glob(f"{SFDIR}/*.parquet"):

@@ -132,20 +132,35 @@ object LanguageModel {
     * in-domain model trains on a curated source set. Same model, same
     * scoring, same exactness discipline as the modulus form, which
     * delegates here. */
+  /** Bounded-persist slot for the tokenized corpus frame (the
+    * [[graft.llm.Dedup.swapCached]] discipline: at most ONE live
+    * cached occupant, identical plans reuse it). See the A/B note at
+    * the persist site below. */
+  private val tkSlot =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
   def bigramSurprisal(docs: DataFrame, trainFilter: Column,
       idCol: String, textCol: String, alpha: Double): DataFrame = {
     val tk0 = docs
       .select(col(idCol).as("doc_id"), trainFilter.as("is_train"),
         filter(tokens(col(textCol)), t => length(t) > 0).as("tk"))
       .where(size(col("tk")) > 0)
-    // TEMPORARY A/B knob (round-14 measurement): persist the
-    // tokenized frame the four consumers below re-derive.
-    val tk = if (sys.env.get("GRAFT_AB_PERSIST_TK").contains("1")) {
-      val c = tk0.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      c.count()
-      c
-    } else tk0
+    // The four consumers below (unigram stats, bigram stats, first
+    // tokens, pair instances) would each re-tokenize the corpus.
+    // Unlike d25's exact-survivor frame (where recompute won — the
+    // subtree fused into each consumer's codegen), the tokenize
+    // subtree here is regex-filter + split work whose output is small
+    // relative to its cost, and the round-14 A/B says persist WINS:
+    // 10x recompute 6.64/8.19 s (best/median-of-3) vs persist
+    // 5.84/7.66 s; 100x recompute 13.85/15.29 s vs persist
+    // 10.92/11.84 s (0.79x at best). Adopted through the swapCached
+    // slot so however many LM queries run in one session, at most one
+    // corpus-sized tokenized frame is ever live (identical plans —
+    // e.g. t26's modulus slice and t32's general model — share the
+    // one materialization; a differing plan swaps it). At 100 TB the
+    // production analogue is a tokenized corpus table materialized
+    // once per release and read by every model build.
+    val tk = Dedup.swapCached(tkSlot, tk0)
     // Adjacent-pair extraction as one narrow expression (no
     // self-join): i-th struct pairs tk[i] with tk[i+1]. A one-token
     // doc must yield an EMPTY pair array — sequence(1, 0) would emit
@@ -296,6 +311,14 @@ object LanguageModel {
   def trigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", alpha: Double = 0.4,
       trainMod: Int = 3, trainRem: Int = 1): DataFrame = {
+    // Tokenized frame deliberately NOT persisted, unlike
+    // [[bigramSurprisal]]'s: the round-14 A/B at 100x measured clean
+    // recompute at 19.09 s best-of-3 with the persist arm never
+    // beating it (21.7-22.3 s across four runs) — the trigram's cost
+    // is dominated by its triple-instance shuffles, not tokenization,
+    // so the extra materialization pass buys nothing (the d25
+    // mechanism: the tokenize subtree fuses into each consumer's
+    // whole-stage codegen).
     val tk = docs
       .select(col(idCol).as("doc_id"),
         filter(tokens(col(textCol)), t => length(t) > 0).as("tk"))

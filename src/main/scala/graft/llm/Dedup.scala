@@ -977,6 +977,53 @@ object Dedup {
         col("f.fp").as("fp"))
   }
 
+  /** Winnowed near-dup candidate pairs — the MOSS consumption of
+    * [[winnowFingerprints]]: documents sharing at least `minShared`
+    * selected fingerprints are flagged as overlap candidates. By the
+    * winnowing guarantee every shared substring of
+    * `window + gramChars - 1` characters contributes a shared
+    * fingerprint, so a pair with a few long shared spans always
+    * surfaces, while the index holds only ~2/(w+1) of the grams.
+    *
+    * Boilerplate drop (the cap discipline, and also exactly what MOSS
+    * ships): a fingerprint appearing in more than `maxDocsPerFp`
+    * documents is template/boilerplate text whose bucket would pair
+    * quadratically — it is dropped BEFORE pairing, which bounds
+    * per-bucket work at `maxDocsPerFp²` pairs regardless of corpus
+    * size (the d22/d23 lesson: never let one hot key go quadratic).
+    *
+    * Scale shape: distinct (doc, fp) stream → bucket-size filter
+    * (aggregate + shuffle-hash join back, both keyed by fp) →
+    * in-bucket self-join (sort-merge on fp, corpus-sized sides,
+    * never broadcast) → pair rollup. Every exchange is keyed by fp
+    * or by the pair — no corpus² anywhere.
+    *
+    * @return (id_a, id_b, shared) — unordered candidate pairs with
+    *         id_a < id_b and their shared-fingerprint count
+    */
+  def winnowPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", gramChars: Int = 20, window: Int = 8,
+      minShared: Long = 2L, maxDocsPerFp: Long = 64L): DataFrame = {
+    require(minShared >= 1, s"winnowPairs: minShared must be >= 1")
+    require(maxDocsPerFp >= 2,
+      s"winnowPairs: maxDocsPerFp must be >= 2, got $maxDocsPerFp")
+    // Positions drop out: pairing is on fingerprint VALUES, one vote
+    // per (doc, fp) however many positions selected it.
+    val fps = winnowFingerprints(docs, idCol, textCol, gramChars,
+      window).select(col("doc_id"), col("fp")).distinct()
+    val ok = fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") <= maxDocsPerFp)
+      .select("fp")
+    val kept = fps.join(ok.hint("shuffle_hash"), Seq("fp"))
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** Benchmark decontamination: flag every corpus document that
     * shares at least one exact character n-gram with a held-out
     * benchmark/evaluation set — the overlap-scrub training pipelines

@@ -190,6 +190,18 @@ object LlmQueries {
         .orderBy("id_corpus", "id_batch")
     }),
 
+    // Winnowed candidate pairs (the MOSS consumption of t34): docs
+    // sharing >= 2 selected fingerprints, with over-common
+    // fingerprints (> 64 docs — boilerplate) dropped before pairing,
+    // bounding every bucket at 64² pairs. Full oracle: the t34 chain,
+    // the distinct (doc, fp) collapse, the bucket-size filter, the
+    // in-bucket self-join and the pair rollup restated.
+    "d30_winnow_pairs" -> ((s, dir) => {
+      Dedup.winnowPairs(docs(s, dir), gramChars = 20, window = 8,
+        minShared = 2L, maxDocsPerFp = 64L)
+        .orderBy("id_a", "id_b")
+    }),
+
     "d26_incremental_capped" -> ((s, dir) => {
       val corpus = docs(s, dir).where(col("doc_id") % 5 =!= 0)
       val batch = docs(s, dir).where(col("doc_id") % 5 === 0)
@@ -3740,6 +3752,21 @@ object LlmQueries {
         s"""WITH ${winnowCtesSql(norm, "")}
            SELECT doc_id, pos, fp FROM fp
            ORDER BY 1, 2""",
+      // Winnowed candidate pairs: t34's chain, distinct (doc, fp),
+      // the <=64-docs bucket filter, in-bucket self-join, pair
+      // rollup with the >=2 shared-fingerprint floor.
+      "d30_winnow_pairs" ->
+        s"""WITH ${winnowCtesSql(norm, "")},
+           df AS (SELECT DISTINCT doc_id, fp.fp AS f FROM fp),
+           ok AS (SELECT f FROM df GROUP BY f
+             HAVING count(*) <= 64),
+           pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM df a JOIN df b ON a.f = b.f
+               AND a.doc_id < b.doc_id
+             JOIN ok ON ok.f = a.f)
+           SELECT id_a, id_b, count(*)::BIGINT AS shared
+           FROM pr GROUP BY id_a, id_b HAVING count(*) >= 2
+           ORDER BY id_a, id_b""",
       // t34 on the id%31 slice, collapsed to the witness aggregates.
       "t36_winnow_witness" ->
         s"""WITH ${winnowCtesSql(norm, "WHERE doc_id % 31 = 7")}

@@ -86,6 +86,45 @@ class WinnowResampleSpec extends SparkSpec {
     assert(out.head.getAs[Int]("pos") == 1)
   }
 
+  test("winnowPairs surfaces a pair sharing two long substrings, " +
+      "ignores an unrelated doc, and keeps id_a < id_b") {
+    val s1 = "zqxjvkwpfyhgbdmcurtlaeiounszq" // 29 chars >= w+k-1
+    val s2 = "mlkjhgfdsapoiuytrewqzxcvbnmlk"
+    val df = Seq(
+      (1L, s"alpha lead $s1 middle part $s2 tail one"),
+      (2L, s"other start $s1 unrelated middle $s2 end two"),
+      (3L, "completely different content about nothing shared here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(df, gramChars = 20, window = 8,
+      minShared = 2L, maxDocsPerFp = 64L).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("id_a") == 1L &&
+      pairs.head.getAs[Long]("id_b") == 2L)
+    assert(pairs.head.getAs[Long]("shared") >= 2L)
+  }
+
+  test("winnowPairs boilerplate cap: a fingerprint shared by more " +
+      "docs than maxDocsPerFp pairs nobody") {
+    val boiler = "thisboilerplatefooterappearsabsolutelyeverywhere"
+    // Per-doc prefix is one repeated distinct letter, so even the
+    // grams straddling the prefix/boiler junction are unique per doc
+    // (a first draft used numeric ids — and docs 1 and 11 then
+    // legitimately shared the rare "7padding this..." junction gram,
+    // which the cap correctly KEPT; that was a fixture bug, not an
+    // operator bug).
+    val docs = (0L until 20L)
+      .map(i => (i + 1,
+        ('a' + i.toInt).toChar.toString * 25 + " " + boiler))
+      .toDF("doc_id", "text")
+    val capped = Dedup.winnowPairs(docs, gramChars = 20, window = 8,
+      minShared = 1L, maxDocsPerFp = 8L).count()
+    val uncapped = Dedup.winnowPairs(docs, gramChars = 20, window = 8,
+      minShared = 1L, maxDocsPerFp = 1000L).count()
+    assert(capped == 0, "boilerplate fingerprints must be dropped")
+    assert(uncapped == 20L * 19 / 2,
+      "without the cap every doc pair shares the boilerplate span")
+  }
+
   test("dsirResample: k rows, keys are logw + deterministic Gumbel " +
       "of the id, ranked by rounded key with doc_id tie-break") {
     val docs = (0L until 400L).map { i =>

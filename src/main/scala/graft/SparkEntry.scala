@@ -35,6 +35,20 @@ object SparkEntry {
     RelationalQueries.oracles ++ CdcQueries.oracles ++
       LlmQueries.oracles ++ HardeningQueries.oracles
 
+  /** Per-query comparator modes for the LOCAL oracle harness
+    * (`tools/check.py`; dumped by [[Verify]] as `comparators.json`).
+    * Queries absent here use the standard compare (columns sorted,
+    * rows sorted, values matched). `"hashsum"` compares COUNT + an
+    * order-free SUM(hash(row))::HUGEINT computed inside DuckDB on
+    * both sides — the giant-string-output mode: t29's token_ids
+    * column reaches ~500 MB at the 100x stress fixture, where the
+    * pandas leg of the standard compare segfaults (no-swap box) while
+    * the hash-sum compare runs in seconds. The driver's own gate at
+    * sf0.01 still runs its full value compare regardless — this map
+    * only governs local stress-fixture sweeps. */
+  def comparators: Map[String, String] = Map(
+    "t29_byte_bpe_encode" -> "hashsum")
+
   /** Headline subset used by [[Bench]] (the heavier, scale-relevant
     * plans — joins, consolidation/merge, dedup, ANN). */
   val benchQueries: Seq[String] = Seq(

@@ -68,6 +68,13 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/queries.json"),
       selected.keys.toSeq.sorted
         .map(q).mkString("[", ",", "]"))
+    // Per-query comparator modes for the local harness (check.py) —
+    // e.g. t29's DuckDB-internal hash-sum compare for giant-string
+    // outputs. The driver's gate ignores this file.
+    Files.writeString(Paths.get(s"$outDir/comparators.json"),
+      SparkEntry.comparators
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

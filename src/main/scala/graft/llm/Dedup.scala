@@ -991,6 +991,15 @@ object Dedup {
     * quadratically — it is dropped BEFORE pairing, which bounds
     * per-bucket work at `maxDocsPerFp²` pairs regardless of corpus
     * size (the d22/d23 lesson: never let one hot key go quadratic).
+    * COVERAGE CONSEQUENCE (inherent to MOSS-style capping): a
+    * document duplicated in MORE than `maxDocsPerFp` near-identical
+    * copies shares ALL its fingerprints across all copies, so every
+    * one of those fingerprints exceeds the cap and the group yields
+    * ZERO candidate pairs here. That is by design — exact/near mass
+    * duplicates are the province of [[exactDedup]]/[[minhashPairs]]
+    * (whose banding caps degrade gracefully, d23); winnowPairs
+    * intentionally targets PARTIAL-overlap pairs (shared passages,
+    * quotations, templated spans) below the boilerplate threshold.
     *
     * Scale shape: distinct (doc, fp) stream → bucket-size filter
     * (aggregate + shuffle-hash join back, both keyed by fp) →

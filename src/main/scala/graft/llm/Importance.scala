@@ -142,6 +142,18 @@ object Importance {
     * function of (corpus, target, k): rerunnable, auditable, and
     * restatable bit-for-bit in external SQL.
     *
+    * APPROXIMATION NOTE: one affine LCG step of the doc id is a
+    * LATTICE over the unit interval, not an i.i.d. uniform draw — so
+    * the Gumbel-top-k identity's proportional-without-replacement
+    * guarantee holds only approximately, and id-residue structure
+    * can in principle bias which BOUNDARY documents (those whose
+    * log-weight gap is within the noise scale) are selected. This is
+    * the deliberate trade for a deterministic, external-SQL-restatable
+    * contract; callers needing stronger noise can pre-hash the id
+    * through the repo's wide polynomial family before the unit-
+    * interval shift (still deterministic and restatable) at the cost
+    * of re-baselining every recorded sample.
+    *
     * Ordering contract: both engines rank by the ROUNDED key (6 dp,
     * the same public rounding as `logw`) with doc_id as tie-break, so
     * the boundary of the sample cannot depend on sub-rounding FP

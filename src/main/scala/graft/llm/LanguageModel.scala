@@ -125,13 +125,6 @@ object LanguageModel {
     bigramSurprisal(docs,
       col(idCol) % trainMod === trainRem, idCol, textCol, alpha)
 
-  /** [[bigramSurprisal]] with an arbitrary training-slice predicate,
-    * evaluated against the ORIGINAL `docs` columns (so a slice can be
-    * keyed by `source`, `lang`, or any other document attribute, not
-    * just the id) — the form [[crossEntropyDiff]] needs, where the
-    * in-domain model trains on a curated source set. Same model, same
-    * scoring, same exactness discipline as the modulus form, which
-    * delegates here. */
   /** Bounded-persist slot for the tokenized corpus frame (the
     * [[graft.llm.Dedup.swapCached]] discipline: at most ONE live
     * cached occupant, identical plans reuse it). See the A/B note at
@@ -139,28 +132,46 @@ object LanguageModel {
   private val tkSlot =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
 
+  /** [[bigramSurprisal]] with an arbitrary training-slice predicate,
+    * evaluated against the ORIGINAL `docs` columns (so a slice can be
+    * keyed by `source`, `lang`, or any other document attribute, not
+    * just the id) — the form [[crossEntropyDiff]] needs, where the
+    * in-domain model trains on a curated source set. Same model, same
+    * scoring, same exactness discipline as the modulus form, which
+    * delegates here. */
   def bigramSurprisal(docs: DataFrame, trainFilter: Column,
       idCol: String, textCol: String, alpha: Double): DataFrame = {
     val tk0 = docs
       .select(col(idCol).as("doc_id"), trainFilter.as("is_train"),
         filter(tokens(col(textCol)), t => length(t) > 0).as("tk"))
       .where(size(col("tk")) > 0)
-    // The four consumers below (unigram stats, bigram stats, first
-    // tokens, pair instances) would each re-tokenize the corpus.
-    // Unlike d25's exact-survivor frame (where recompute won — the
-    // subtree fused into each consumer's codegen), the tokenize
+    // The four consumers in scoreBigram (unigram stats, bigram stats,
+    // first tokens, pair instances) would each re-tokenize the
+    // corpus. Unlike d25's exact-survivor frame (where recompute won —
+    // the subtree fused into each consumer's codegen), the tokenize
     // subtree here is regex-filter + split work whose output is small
     // relative to its cost, and the round-14 A/B says persist WINS:
     // 10x recompute 6.64/8.19 s (best/median-of-3) vs persist
     // 5.84/7.66 s; 100x recompute 13.85/15.29 s vs persist
     // 10.92/11.84 s (0.79x at best). Adopted through the swapCached
     // slot so however many LM queries run in one session, at most one
-    // corpus-sized tokenized frame is ever live (identical plans —
-    // e.g. t26's modulus slice and t32's general model — share the
-    // one materialization; a differing plan swaps it). At 100 TB the
-    // production analogue is a tokenized corpus table materialized
-    // once per release and read by every model build.
-    val tk = Dedup.swapCached(tkSlot, tk0)
+    // corpus-sized tokenized frame is ever live (identical plans
+    // share the one materialization; a differing plan swaps it). At
+    // 100 TB the production analogue is a tokenized corpus table
+    // materialized once per release and read by every model build.
+    scoreBigram(Dedup.swapCached(tkSlot, tk0), col("is_train"), alpha)
+  }
+
+  /** Stupid Backoff bigram model-build + scoring over an ALREADY
+    * TOKENIZED frame `(doc_id, tk: array<string>, …flags)` — split
+    * out of [[bigramSurprisal]] so [[crossEntropyDiff]] can tokenize
+    * the corpus ONCE with both train flags as columns and feed the
+    * same (cached) frame to both model builds. `trainCol` names the
+    * boolean column selecting the training slice; extra columns ride
+    * along unreferenced. Same stats tables, same backoff arms, same
+    * DECIMAL exactness discipline as before the split. */
+  private def scoreBigram(tk: DataFrame, trainCol: Column,
+      alpha: Double): DataFrame = {
     // Adjacent-pair extraction as one narrow expression (no
     // self-join): i-th struct pairs tk[i] with tk[i+1]. A one-token
     // doc must yield an EMPTY pair array — sequence(1, 0) would emit
@@ -170,7 +181,7 @@ object LanguageModel {
         i => struct(element_at(col("tk"), i).as("prev"),
           element_at(col("tk"), i + 1).as("cur"))))
       .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
-    val train = tk.where(col("is_train"))
+    val train = tk.where(trainCol)
     val uni = train.select(explode(col("tk")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
     // One row: exact token total N and vocabulary size V (longs).
@@ -242,16 +253,26 @@ object LanguageModel {
     * Stupid Backoff bigram estimator, so the two surprisals are
     * directly comparable (same backoff arms, same add-one base).
     *
-    * Scale posture: exactly two [[bigramSurprisal]] passes — each
-    * corpus-bounded stats tables + pair-distinct scoring joins — plus
-    * one equi-join of two (doc_id, double) frames. The tokenize
-    * subtree runs once per pass (the two plans diverge at the train
-    * slice); at 100 TB the production shape persists each model's two
-    * stats tables once per corpus release and re-scores batches
-    * against them, exactly like [[bigramSurprisal]]'s posture. The
-    * difference is taken over the ROUND-6 per-model means (the
-    * models' own published outputs), so the score restates
-    * bit-identically from the two per-model restatements.
+    * Scale posture: the corpus is tokenized ONCE, carrying BOTH train
+    * flags as boolean columns, and that single (cached — the shared
+    * [[tkSlot]]) frame feeds both model builds and both scoring
+    * passes — eight consumers, one materialization. (The pre-r15 form
+    * called [[bigramSurprisal]] twice; the two tokenize plans
+    * differed at the train slice, so the slot eagerly built the
+    * in-domain frame and then swapped it out UNREAD for the general
+    * one — a full wasted corpus tokenize+persist pass per invocation.
+    * Measured idle-box at the 10x fixture, best-of-5: shared frame
+    * 2.24/2.67 s (best/median) vs 4.05/5.35 s — 0.55x.) Beyond the
+    * shared frame it is exactly two
+    * Stupid Backoff passes — corpus-bounded stats tables +
+    * pair-distinct scoring joins — plus one equi-join of two
+    * (doc_id, double) frames; at 100 TB the production shape persists
+    * each model's two stats tables once per corpus release and
+    * re-scores batches against them, exactly like
+    * [[bigramSurprisal]]'s posture. The difference is taken over the
+    * ROUND-6 per-model means (the models' own published outputs), so
+    * the score restates bit-identically from the two per-model
+    * restatements.
     *
     * @param inDomain training predicate for the in-domain model,
     *                 evaluated against the original `docs` columns
@@ -263,11 +284,17 @@ object LanguageModel {
       idCol: String = "doc_id", textCol: String = "text",
       alpha: Double = 0.4, trainMod: Int = 3, trainRem: Int = 1)
       : DataFrame = {
-    val msIn = bigramSurprisal(docs, inDomain, idCol, textCol, alpha)
+    val tk0 = docs
+      .select(col(idCol).as("doc_id"),
+        inDomain.as("is_train_in"),
+        (col(idCol) % trainMod === trainRem).as("is_train_gen"),
+        filter(tokens(col(textCol)), t => length(t) > 0).as("tk"))
+      .where(size(col("tk")) > 0)
+    val tk = Dedup.swapCached(tkSlot, tk0)
+    val msIn = scoreBigram(tk, col("is_train_in"), alpha)
       .select(col("doc_id"), col("n_tokens"),
         col("mean_surprisal").as("ms_in"))
-    val msGen = bigramSurprisal(docs, idCol, textCol, alpha,
-      trainMod, trainRem)
+    val msGen = scoreBigram(tk, col("is_train_gen"), alpha)
       .select(col("doc_id"), col("mean_surprisal").as("ms_gen"))
     // Inner join is exact: both passes drop the same zero-token docs.
     msIn.join(msGen, "doc_id")

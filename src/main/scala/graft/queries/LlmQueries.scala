@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Bpe, Chunking, Contamination, Dedup, Importance, LanguageModel, MediaCodecs, Multimodal, Retrieval, Scrub, Similarity, Sketches, TextAnalysis, TextFunctions}
+import graft.llm.{Bpe, Chunking, Contamination, Dedup, Importance, LanguageModel, MediaCodecs, Multimodal, QualityFilter, Retrieval, Scrub, Similarity, Sketches, TextAnalysis, TextFunctions}
 
 /** LLM-data-pipeline operator surface (north star,
   * `BASELINE.json`): dedup family, similarity search, text analysis,
@@ -1041,6 +1041,34 @@ object LlmQueries {
       graft.functions.GraftFunctions.register(s)
       Importance.dsirResample(docs(s, dir),
         col("source").isin("src0", "src1"), k = 100)
+    }),
+
+    // fastText-shape linear quality classifier (Joulin et al., EACL
+    // 2017 shape; closed-form NB log-count-ratio weights per Wang &
+    // Manning, ACL 2012 — the CCNet/GPT-3 curated-vs-crawl quality
+    // filter): positive = the curated src0/src1 slice, negative = the
+    // deterministic id%3==1 raw sample MINUS positives (disjoint
+    // labels); hashed uni+bigram bucket features (the t33 DSIR
+    // machinery), add-one smoothed per-bucket log-odds plus the
+    // add-one document-count prior; keep = score > 0. Full oracle:
+    // the hash, both bucket tables, the prior, and the DECIMAL score
+    // sum restated.
+    "t37_quality_classifier" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      QualityFilter.nbQualityScores(docs(s, dir),
+        col("source").isin("src0", "src1"))
+        .orderBy("doc_id")
+    }),
+
+    // t37 trained AND scored on the deterministic id%31 slice — the
+    // 1000x-tractable witness form (the t28/t30 pattern: the whole
+    // operator, including training, runs on the slice).
+    "t38_quality_witness" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      QualityFilter.nbQualityScores(
+        docs(s, dir).where(col("doc_id") % 31 === 7),
+        col("source").isin("src0", "src1"))
+        .orderBy("doc_id")
     }),
 
     // Winnowing fingerprint selection (Schleimer et al., SIGMOD
@@ -2309,6 +2337,52 @@ object LlmQueries {
            FROM db LEFT JOIN tgt USING (b) LEFT JOIN raw USING (b)
            CROSS JOIN tots
            GROUP BY doc_id ORDER BY doc_id"""
+    // fastText-shape NB quality classifier (t37/t38): the t33 feature
+    // chain with DISJOINT labels (positive = src0/src1; negative =
+    // doc_id%3==1 MINUS positives), add-one per-bucket log-odds, the
+    // add-one document-count prior, keep = rounded score > 0. The
+    // `where` parameter slices `documents` for the witness form.
+    def nbQualitySql(where: String): String =
+      s"""WITH tkk AS (SELECT doc_id, is_pos, tk FROM (
+             SELECT doc_id, (source IN ('src0', 'src1')) AS is_pos,
+               list_filter(string_split($norm, ' '),
+                 t -> len(t) > 0) AS tk FROM documents $where)
+             WHERE len(tk) > 0),
+           dg AS (SELECT doc_id, is_pos, g, count(*)::BIGINT AS k
+             FROM (SELECT doc_id, is_pos, unnest(list_concat(tk,
+                 [tk[i] || ' ' || tk[i+1]
+                   FOR i IN range(1, len(tk))])) AS g FROM tkk)
+             GROUP BY doc_id, is_pos, g),
+           bk AS (SELECT doc_id, is_pos,
+             list_reduce(list_prepend(0::BIGINT,
+               [ascii(c)::BIGINT FOR c IN string_split(g, '')]),
+               (a, c) -> (a*31 + c) % 1000000007) % 8192 AS b, k
+             FROM dg),
+           db AS (SELECT doc_id, b, sum(k)::BIGINT AS k FROM bk
+             GROUP BY doc_id, b),
+           pos AS (SELECT b, sum(k)::BIGINT AS cp FROM bk
+             WHERE is_pos GROUP BY b),
+           neg AS (SELECT b, sum(k)::BIGINT AS cn FROM bk
+             WHERE NOT is_pos AND doc_id % 3 = 1 GROUP BY b),
+           tots AS (SELECT
+             coalesce((SELECT sum(cp) FROM pos), 0)::BIGINT AS np,
+             coalesce((SELECT sum(cn) FROM neg), 0)::BIGINT AS nn,
+             (SELECT count(*) FROM tkk WHERE is_pos)::BIGINT AS dp,
+             (SELECT count(*) FROM tkk
+               WHERE NOT is_pos AND doc_id % 3 = 1)::BIGINT AS dn),
+           sc AS (SELECT doc_id, sum(k)::BIGINT AS n_grams,
+             round(ln((dp + 1)::DOUBLE / (dn + 1)::DOUBLE)
+               + sum((k::DOUBLE
+                 * (ln((coalesce(cp, 0) + 1)::DOUBLE
+                     / (np + 8192)::DOUBLE)
+                   - ln((coalesce(cn, 0) + 1)::DOUBLE
+                     / (nn + 8192)::DOUBLE)))
+                 ::DECIMAL(38,18))::DOUBLE, 6) AS score
+             FROM db LEFT JOIN pos USING (b) LEFT JOIN neg USING (b)
+             CROSS JOIN tots
+             GROUP BY doc_id, dp, dn)
+           SELECT doc_id, n_grams, score, score > 0 AS keep
+           FROM sc ORDER BY doc_id"""
     // Shared by t17 (one-shot) and t21 (persisted-stats path): the two
     // Spark plans are bit-identical by construction, so one
     // restatement gates both.
@@ -3744,6 +3818,13 @@ object LlmQueries {
                  / 2147483648.0)), 6) AS gkey
            FROM w
            ORDER BY gkey DESC, doc_id LIMIT 100""",
+      // fastText-shape NB quality classifier: hashed uni+bigram
+      // bucket features, disjoint curated-vs-raw labels, add-one
+      // per-bucket log-odds + document prior, keep = score > 0.
+      "t37_quality_classifier" -> nbQualitySql(""),
+      // t37 trained AND scored on the id%31 slice — the
+      // 1000x-tractable witness form.
+      "t38_quality_witness" -> nbQualitySql("WHERE doc_id % 31 = 7"),
       // Winnowing: d11's positioned gram hashes, an 8-frame window
       // min per start (full windows, plus the single short-doc
       // window at s=1), rightmost-tie via max(pos) among in-window

@@ -496,4 +496,62 @@ class TextAnalysisSpec extends SparkSpec {
     // slices doc 3, and above the raw-slice-heavy doc 2.
     assert(out2(4L) > out2(3L) && out2(4L) > out2(2L))
   }
+
+  test("NB quality classifier matches an independent hashed-ngram " +
+      "log-odds model; curated-vocabulary text scores higher") {
+    // positive = source src0/src1 (docs 1, 5, 8); negative =
+    // id%3==1 AND not positive (docs 4, 7). Docs 2/3 are unlabeled
+    // score-only rows (2 shares the curated vocabulary, 3 the
+    // negative slice's).
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "src0"),
+      (2L, "the cat sat", "web"),
+      (3L, "qwv zyx flux capacitor blorp", "web"),
+      (4L, "qwv flux blorp", "web"),
+      (5L, "the cat ran", "src1"),
+      (7L, "blorp flux zyx", "web"),
+      (8L, "the cat", "src0"))
+      .toDF("doc_id", "text", "source")
+    val B = 64 // small bucket count: collisions live in this test
+    val out = QualityFilter.nbQualityScores(docs,
+      col("source").isin("src0", "src1"), buckets = B)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Double]("score"),
+          r.getAs[Boolean]("keep")))).toMap
+    val toks = Map(
+      1L -> Seq("the", "cat", "sat", "on", "the", "mat"),
+      2L -> Seq("the", "cat", "sat"),
+      3L -> Seq("qwv", "zyx", "flux", "capacitor", "blorp"),
+      4L -> Seq("qwv", "flux", "blorp"),
+      5L -> Seq("the", "cat", "ran"),
+      7L -> Seq("blorp", "flux", "zyx"),
+      8L -> Seq("the", "cat"))
+    def grams(tk: Seq[String]): Seq[String] =
+      tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    def bucket(g: String): Long = {
+      var acc = 0L
+      g.codePoints().forEach(cp => acc = (acc * 31 + cp) % 1000000007L)
+      acc % B
+    }
+    def bag(ids: Seq[Long]): Map[Long, Long] =
+      ids.flatMap(d => grams(toks(d))).map(bucket)
+        .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val pos = bag(Seq(1L, 5L, 8L)); val neg = bag(Seq(4L, 7L))
+    val np = pos.values.sum.toDouble; val nn = neg.values.sum.toDouble
+    val prior = math.log(4.0 / 3.0) // (3 pos docs + 1) / (2 neg + 1)
+    for ((d, tk) <- toks) {
+      val gs = grams(tk)
+      val score = prior + gs.map(bucket).map { b =>
+        math.log((pos.getOrElse(b, 0L) + 1) / (np + B)) -
+          math.log((neg.getOrElse(b, 0L) + 1) / (nn + B))
+      }.sum
+      assert(out(d)._1 == gs.size, s"doc $d n_grams")
+      assert(math.abs(out(d)._2 - score) < 1e-5, s"doc $d score")
+      assert(out(d)._3 == (out(d)._2 > 0), s"doc $d keep")
+    }
+    // Curated-vocabulary doc 2 classifies KEEP and above the
+    // negative-vocabulary docs 3/4/7, which classify DROP.
+    assert(out(2L)._3 && out(2L)._2 > out(3L)._2)
+    assert(!out(3L)._3 && !out(4L)._3 && !out(7L)._3)
+  }
 }

@@ -65,6 +65,48 @@ for f in glob.glob(f"{SFDIR}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+# Per-query comparator modes (SparkEntry.comparators, dumped by Verify
+# as comparators.json; absent for older dumps). Supported modes:
+#   "hashsum" — compare COUNT + an order-free SUM(hash(row))::HUGEINT
+#     computed INSIDE DuckDB on both sides, never materializing either
+#     result into pandas. This is the giant-string-output comparator:
+#     t29's 500 MB token_ids column at the 100x fixture segfaults the
+#     pandas leg (no-swap box, Arrow copies) while the hash-sum compare
+#     runs in seconds. Strength: exact row multiset equality up to
+#     64-bit hash collisions — strictly stronger than rowcount, and in
+#     practice equivalent to the full compare (both engines must
+#     produce bit-identical values for the sums to agree).
+# CLI override: --hashsum q1,q2 adds modes without a redump.
+COMPARATORS = {}
+if os.path.exists(f"{OUT}/comparators.json"):
+    COMPARATORS.update(json.load(open(f"{OUT}/comparators.json")))
+for i, a in enumerate(sys.argv):
+    if a.startswith("--hashsum="):
+        for qn in a.split("=", 1)[1].split(","):
+            COMPARATORS[qn] = "hashsum"
+
+
+def compare_hashsum(name: str):
+    """count + sum(hash(*))::HUGEINT on both sides, inside DuckDB."""
+    files = f"{OUT}/{name}/*.parquet"
+    cols = [r[0] for r in con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet('{files}')").fetchall()]
+    dcols = [r[0] for r in con.execute(
+        f"DESCRIBE {oracle[name]}").fetchall()]
+    if sorted(cols) != sorted(dcols):
+        return ("SCHEMA-MISMATCH",
+                f"spark={sorted(cols)} duck={sorted(dcols)}")
+    collist = ", ".join(f'"{c}"' for c in sorted(cols))
+    agg = (f"SELECT count(*) AS n, "
+           f"coalesce(sum(hash({collist})::HUGEINT), 0) AS h")
+    sn, sh = con.execute(
+        f"{agg} FROM read_parquet('{files}')").fetchone()
+    dn, dh = con.execute(f"{agg} FROM ({oracle[name]})").fetchone()
+    if sn != dn:
+        return ("ROWCOUNT-MISMATCH", f"spark={sn} duck={dn}")
+    if sh != dh:
+        return ("HASHSUM-MISMATCH", f"spark={sh} duck={dh}")
+    return ("OK-HASHSUM", f"{sn} rows, hash-sums equal")
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -80,6 +122,24 @@ def compare(name: str):
     spark_files = glob.glob(f"{OUT}/{name}/*.parquet")
     if not spark_files:
         return ("MISSING-SPARK", "no parquet written")
+    if name in oracle and COMPARATORS.get(name) == "hashsum":
+        try:
+            if TIMEOUT:
+                import threading
+                timer = threading.Timer(TIMEOUT, con.interrupt)
+                timer.start()
+                try:
+                    return compare_hashsum(name)
+                finally:
+                    timer.cancel()
+            return compare_hashsum(name)
+        except KeyboardInterrupt:
+            return ("ORACLE-TIMEOUT", f">{TIMEOUT}s")
+        except Exception as e:
+            msg = str(e).split("\n")[0][:200]
+            if "INTERRUPT" in msg.upper():
+                return ("ORACLE-TIMEOUT", f">{TIMEOUT}s")
+            return ("ORACLE-ERROR", msg)
     sdf = pd.concat([pd.read_parquet(f) for f in spark_files],
                     ignore_index=True)
     if name not in oracle:
@@ -158,7 +218,7 @@ for name in names:
     t0 = time.time()
     status, detail = compare(name)
     dt = time.time() - t0
-    flag = "✓" if status in ("OK", "ROWS-ONLY") else "✗"
+    flag = "✓" if status in ("OK", "OK-HASHSUM", "ROWS-ONLY") else "✗"
     if flag == "✗":
         fails += 1
     print(f"{flag} {name:24s} {status:18s} {detail}  [{dt:.1f}s]",

@@ -1010,6 +1010,11 @@ object Dedup {
     * @return (id_a, id_b, shared) — unordered candidate pairs with
     *         id_a < id_b and their shared-fingerprint count
     */
+  /** The one live [[winnowPairs]] capped-index cache (see the persist
+    * note in the method body). */
+  private val winnowKeptSlot =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   def winnowPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", gramChars: Int = 20, window: Int = 8,
       minShared: Long = 2L, maxDocsPerFp: Long = 64L): DataFrame = {
@@ -1023,7 +1028,19 @@ object Dedup {
     val ok = fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") <= maxDocsPerFp)
       .select("fp")
-    val kept = fps.join(ok.hint("shuffle_hash"), Seq("fp"))
+    // Both sides of the pairing self-join otherwise recompute the
+    // whole fingerprint index (the r14 d30 plan: two identical
+    // scan→winnow→distinct→cap subtrees). Persist the capped (doc,
+    // fp) frame — two longs per kept fingerprint — through the
+    // bounded slot so the index is built ONCE and the join reads
+    // cache twice. Measured best-of-3 (d25/t26 method): 10x recompute
+    // 4.84/5.29 s (best/median) vs persist 3.48/4.20 s (0.72x); 100x
+    // recompute 31.47/32.31 s vs persist 28.97/30.40 s (0.92x — the
+    // index is cheap relative to the pairing join, so the win shrinks
+    // as the join dominates, but it cannot invert: the index is built
+    // once instead of twice). ADOPTED.
+    val kept = swapCached(winnowKeptSlot,
+      fps.join(ok.hint("shuffle_hash"), Seq("fp")))
     kept.as("a")
       .join(kept.as("b"),
         col("a.fp") === col("b.fp") &&

@@ -261,7 +261,7 @@ object LanguageModel {
     * differed at the train slice, so the slot eagerly built the
     * in-domain frame and then swapped it out UNREAD for the general
     * one — a full wasted corpus tokenize+persist pass per invocation.
-    * Measured idle-box at the 10x fixture, best-of-5: shared frame
+    * Measured idle-box at sf0.1, best-of-5: shared frame
     * 2.24/2.67 s (best/median) vs 4.05/5.35 s — 0.55x.) Beyond the
     * shared frame it is exactly two
     * Stupid Backoff passes — corpus-bounded stats tables +

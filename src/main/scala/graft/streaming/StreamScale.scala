@@ -63,8 +63,22 @@ object StreamScale {
   /** Split `eventsParquet` into `nChunks` single-file parquet chunks
     * of contiguous ts ranges under `chunkDir`, written oldest-first so
     * the file source's mtime order matches event-time order. Chunk
-    * boundaries are exact row-count ntiles over the ts sort (stable
-    * tie-break on event_id), so chunk sizes are equal to ±1 row. */
+    * boundaries are exact row-count splits over the (ts, event_id)
+    * total order, so chunk sizes are equal to ±1 row.
+    *
+    * DISTRIBUTED NTILE: the pre-r15 form computed the chunk index as
+    * `ntile(n) OVER (ORDER BY ts, event_id)` — a Window with no
+    * PARTITION BY, i.e. every event funneled through ONE task
+    * (~25 min of the 1000x streaming decade's setup was exactly that
+    * single-partition sort of 100M rows). The replacement keeps the
+    * identical contiguous ±1-balanced split with no single-task stage:
+    * range-repartition on the same total order (RangePartitioner —
+    * a sampled boundary pass + one shuffle), sort WITHIN partitions
+    * (parallel), then convert per-partition row numbers to global
+    * ranks using the per-partition counts (driver state: one long per
+    * partition; range partitions are ordered by key range, so the
+    * prefix sum over partition ids IS the rank offset). Chunk index =
+    * `rank * nChunks / n`. */
   def chunkEvents(spark: SparkSession, eventsParquet: String,
       chunkDir: String, nChunks: Int): Long = {
     // The fixture writes `ts` as TIMESTAMP_NTZ; watermarks require the
@@ -72,17 +86,38 @@ object StreamScale {
     // same values.
     val ev = spark.read.parquet(eventsParquet)
       .withColumn("ts", col("ts").cast("timestamp"))
-    val n = ev.count()
-    // Percentile boundaries on (ts, event_id) avoid a single-task
-    // global sort: rank each row against broadcast boundary pairs.
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("ts"), col("event_id"))
-    val chunked = ev
-      .withColumn("_chunk", ntile(nChunks).over(w) - 1)
-    chunked.cache()
-    chunked.count()
+    val dataCols = ev.columns.map(col)
+    val parts = math.max(nChunks,
+      spark.sessionState.conf.numShufflePartitions)
+    // monotonically_increasing_id() = (stage partition id << 33) +
+    // row number within the partition, assigned in the sorted
+    // per-partition order of this stage — both components are decoded
+    // below instead of re-derived in a second pass. Cached so the id
+    // assignment is frozen before any consumer runs.
+    val ranged = ev
+      .repartitionByRange(parts, col("ts"), col("event_id"))
+      .sortWithinPartitions(col("ts"), col("event_id"))
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33).cast("int"))
+      .withColumn("_loc", col("_mid").bitwiseAND((1L << 33) - 1))
+    ranged.cache()
+    val counts = ranged.groupBy(col("_pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    val offs = (0 until parts).scanLeft(0L)((acc, p) =>
+      acc + counts.getOrElse(p, 0L))
+    val offDf = spark.createDataFrame(
+      (0 until parts).map(p => (p, offs(p)))).toDF("_pid", "_off")
+    // rank * nChunks stays far under 2^53, so the double division is
+    // exact enough for floor(); sizes come out ±1 like ntile's.
+    val chunked = ranged
+      .join(broadcast(offDf), Seq("_pid"))
+      .withColumn("_chunk",
+        floor((col("_off") + col("_loc")) * nChunks
+          / lit(n.toDouble)).cast("int"))
     (0 until nChunks).foreach { k =>
-      chunked.where(col("_chunk") === k).drop("_chunk")
+      chunked.where(col("_chunk") === k)
+        .select(dataCols: _*)
         .coalesce(1)
         .write.mode(if (k == 0) "overwrite" else "append")
         .parquet(chunkDir)
@@ -90,7 +125,7 @@ object StreamScale {
       // parquet part-file names are unique per write (UUID task IDs),
       // so "append" only ever adds the new chunk's file.
     }
-    chunked.unpersist()
+    ranged.unpersist()
     n
   }
 

@@ -156,6 +156,9 @@ object GraftFunctions {
         "graft_text_repetition_stats",
         exprs => TextRepetitionStats(exprs.head), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_gopher_repetition",
+        exprs => TextGopherRepetition(exprs.head), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_poly_bloom",
         exprs => PolyBloomAgg(exprs(0),
           exprs(1).eval().asInstanceOf[Int],
@@ -306,6 +309,11 @@ object GraftFunctions {
   /** Column form (requires [[register]] on the session first). */
   def textRepetitionStats(text: Column): Column =
     call_function("graft_text_repetition_stats", text)
+
+  /** Column form (requires [[register]] on the session first): the
+    * full Gopher repetition table ([[TextGopherRepetition]]). */
+  def textGopherRepetition(text: Column): Column =
+    call_function("graft_gopher_repetition", text)
 
   /** Per-group top-k-by-score aggregate (requires [[register]]
     * first): `array<struct<id,score>>` sorted best-first — score

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass text-quality statistics kernel.
@@ -295,4 +295,186 @@ case class TextQualityStats(child: Expression, stopCsv: String)
       : TextQualityStats = copy(child = newChild)
 
   override def prettyName: String = "text_quality_stats"
+}
+
+/** One-pass kernel for the FULL Gopher repetition table (Rae et al.
+  * 2021, "Scaling Language Models: Methods, Analysis & Insights from
+  * Training Gopher", Appendix A1.1) — the word-n-gram half of the
+  * published filter, over the whitespace tokens of the normalized
+  * text (tokenization identical to [[TextStats]], including the
+  * empty-input -> one empty token rule):
+  *
+  *  - `top{2,3,4}_chars`: characters attributable to the most
+  *    frequent word n-gram — `multiplicity x n-gram token chars`,
+  *    where ties on multiplicity resolve to the LARGEST char product
+  *    (deterministic and SQL-restatable, unlike "first encountered").
+  *  - `dup{5..10}_chars`: characters COVERED by occurrences of any
+  *    n-gram appearing >= 2 times — token-granular interval union
+  *    (a token counts once however many duplicated n-grams span it),
+  *    the exact published "fraction of characters contained within
+  *    duplicated n-grams" accounting, not the multiplicity-weighted
+  *    upper bound.
+  *
+  * Character accounting is SPACE-FREE on both numerator and
+  * denominator (`n_token_chars` = sum of token lengths): the
+  * published form's treatment of inter-word spaces is
+  * implementation-defined, so the engine pins the one choice that is
+  * exact and identical in Spark and the DuckDB restatement. All
+  * signals are INTEGER numerators over the `n_token_chars`
+  * denominator — the keep verdict cross-multiplies, so no float ever
+  * crosses an engine boundary.
+  *
+  * One scan per n (9 total), two passes over the gram starts for the
+  * coverage half; O(len x 9) per document with bounded memory — a
+  * pure narrow projection, no shuffle at any corpus size. The line/
+  * paragraph half of the published table degenerates on single-line
+  * corpora and is carried by the same machinery over
+  * split-on-newline tokens when the corpus has them. */
+object TextGopher {
+
+  private val TOP_NS = Array(2, 3, 4)
+  private val DUP_NS = Array(5, 6, 7, 8, 9, 10)
+
+  def compute(s: UTF8String): InternalRow = {
+    val lowered = s.toLowerCase.toString
+    val len = lowered.length
+    val toks = new java.util.ArrayList[String](16)
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    while (i < len) {
+      val c = lowered.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+          c == '\f' || c == '\r') {
+        if (sb.length > 0) { toks.add(sb.toString); sb.setLength(0) }
+      } else sb.append(c)
+      i += 1
+    }
+    if (sb.length > 0) toks.add(sb.toString)
+    if (toks.isEmpty) toks.add("") // split("", " ") == [""]
+    val t = toks.size
+    val tokLen = new Array[Int](t)
+    var ntc = 0L
+    var j = 0
+    while (j < t) {
+      tokLen(j) = toks.get(j).length; ntc += tokLen(j); j += 1
+    }
+
+    val out = new Array[Any](2 + TOP_NS.length + DUP_NS.length)
+    out(0) = t
+    out(1) = ntc
+
+    def gramKeys(n: Int): Array[String] = {
+      val g = t - n + 1
+      val keys = new Array[String](g)
+      val kb = new java.lang.StringBuilder(32)
+      var a = 0
+      while (a < g) {
+        kb.setLength(0)
+        var b = 0
+        while (b < n) {
+          if (b > 0) kb.append(' ')
+          kb.append(toks.get(a + b))
+          b += 1
+        }
+        keys(a) = kb.toString
+        a += 1
+      }
+      keys
+    }
+
+    var slot = 2
+    var ni = 0
+    while (ni < TOP_NS.length) {
+      val n = TOP_NS(ni)
+      var top = 0L
+      if (t >= n) {
+        val keys = gramKeys(n)
+        val counts = new java.util.HashMap[String, Integer](keys.length)
+        var a = 0
+        while (a < keys.length) {
+          counts.merge(keys(a), 1, (x, y) => x + y)
+          a += 1
+        }
+        // max multiplicity first, then the largest char product among
+        // the argmax grams (chars exclude the n-1 joining spaces)
+        var maxCnt = 0
+        var maxChars = 0L
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c: Int = e.getValue
+          val chars = (e.getKey.length - (n - 1)).toLong
+          if (c > maxCnt) { maxCnt = c; maxChars = chars }
+          else if (c == maxCnt && chars > maxChars) maxChars = chars
+        }
+        top = maxCnt.toLong * maxChars
+      }
+      out(slot) = top
+      slot += 1
+      ni += 1
+    }
+
+    ni = 0
+    while (ni < DUP_NS.length) {
+      val n = DUP_NS(ni)
+      var dup = 0L
+      if (t >= n) {
+        val keys = gramKeys(n)
+        val counts = new java.util.HashMap[String, Integer](keys.length)
+        var a = 0
+        while (a < keys.length) {
+          counts.merge(keys(a), 1, (x, y) => x + y)
+          a += 1
+        }
+        val covered = new Array[Boolean](t)
+        a = 0
+        while (a < keys.length) {
+          if (counts.get(keys(a)) >= 2) {
+            var p = a
+            while (p < a + n) { covered(p) = true; p += 1 }
+          }
+          a += 1
+        }
+        var p = 0
+        while (p < t) { if (covered(p)) dup += tokLen(p); p += 1 }
+      }
+      out(slot) = dup
+      slot += 1
+      ni += 1
+    }
+    new GenericInternalRow(out)
+  }
+}
+
+/** Native fused Gopher repetition table (see [[TextGopher]]). */
+case class TextGopherRepetition(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${t.simpleString(10)}")
+    }
+
+  override def dataType: DataType = StructType(
+    StructField("n_tokens", IntegerType, nullable = false) +:
+    StructField("n_token_chars", LongType, nullable = false) +:
+    (Seq(2, 3, 4).map(n =>
+      StructField(s"top${n}_chars", LongType, nullable = false)) ++
+     Seq(5, 6, 7, 8, 9, 10).map(n =>
+      StructField(s"dup${n}_chars", LongType, nullable = false))))
+
+  override def nullSafeEval(input: Any): Any =
+    TextGopher.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextGopher.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : TextGopherRepetition = copy(child = newChild)
+
+  override def prettyName: String = "text_gopher_repetition"
 }

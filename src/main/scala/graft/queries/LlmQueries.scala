@@ -1071,6 +1071,40 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // The FULL Gopher repetition table (Rae et al. 2021, App. A1.1),
+    // word-n-gram half: top-{2,3,4}-gram char fractions and
+    // duplicated-{5..10}-gram char COVERAGE (token-granular interval
+    // union, not the multiplicity upper bound), from the fused
+    // one-pass kernel ([[graft.functions.TextGopher]]) — a narrow
+    // no-shuffle projection at any corpus size. All signals are
+    // integer numerators over n_token_chars; the published keep
+    // thresholds (0.20/0.18/0.16 top, 0.15..0.10 dup) apply by
+    // cross-multiplication so no float crosses the engine boundary.
+    "t39_gopher_repetition" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val rp = graft.functions.GraftFunctions
+        .textGopherRepetition(col("text"))
+      val ntc = col("rp.n_token_chars")
+      val keep = Seq("top2_chars" -> 20, "top3_chars" -> 18,
+        "top4_chars" -> 16, "dup5_chars" -> 15, "dup6_chars" -> 14,
+        "dup7_chars" -> 13, "dup8_chars" -> 12, "dup9_chars" -> 11,
+        "dup10_chars" -> 10)
+        .map { case (f, pct) =>
+          col(s"rp.$f") * 100L <= ntc * pct.toLong }
+        .reduce(_ && _)
+      docs(s, dir)
+        .withColumn("rp", rp)
+        .select(Seq(col("doc_id"),
+          col("rp.n_tokens").as("n_tokens"),
+          ntc.as("n_token_chars")) ++
+          Seq(2, 3, 4).map(n =>
+            col(s"rp.top${n}_chars").as(s"top${n}_chars")) ++
+          Seq(5, 6, 7, 8, 9, 10).map(n =>
+            col(s"rp.dup${n}_chars").as(s"dup${n}_chars")) :+
+          keep.as("keep"): _*)
+        .orderBy("doc_id")
+    }),
+
     // Winnowing fingerprint selection (Schleimer et al., SIGMOD
     // 2003): per document, the rightmost-minimum 20-gram wide key of
     // every 8-hash window — the MOSS index shape, ~2/(w+1) of d11's
@@ -2383,6 +2417,63 @@ object LlmQueries {
              GROUP BY doc_id, dp, dn)
            SELECT doc_id, n_grams, score, score > 0 AS keep
            FROM sc ORDER BY doc_id"""
+    // Gopher repetition (t39): the kernel's exact semantics restated
+    // as per-row scalar list ops. Per n: gram list by comprehension
+    // (token slices joined with ' '); top-n = max multiplicity, tie
+    // to the largest char product; dup-n = distinct token positions
+    // covered by any >=2-count gram occurrence. All integers.
+    val gopherSql: String = {
+      val topNs = Seq(2, 3, 4)
+      val dupNs = Seq(5, 6, 7, 8, 9, 10)
+      def bgDef(n: Int) =
+        s"""[array_to_string(tk[i:i+${n - 1}], ' ')
+             FOR i IN range(1, t - ${n - 2})] AS bg$n"""
+      val topCols = topNs.map { n =>
+        s"""CASE WHEN mc$n = 0 THEN 0 ELSE mc$n *
+             coalesce(list_max([len(di$n[k]) - ${n - 1}
+               FOR k IN range(1, len(di$n) + 1) IF ct$n[k] = mc$n]),
+               0) END::BIGINT AS top${n}_chars"""
+      }
+      val dupCols = dupNs.map { n =>
+        s"""coalesce(list_sum([len(tk[p])::BIGINT
+             FOR p IN list_distinct(flatten(list_transform(
+               [i FOR i IN range(1, len(bg$n) + 1)
+                 IF len(list_filter(bg$n, y -> y = bg$n[i])) >= 2],
+               i -> range(i, i + $n))))]), 0)::BIGINT
+             AS dup${n}_chars"""
+      }
+      val thr = Seq("top2_chars" -> 20, "top3_chars" -> 18,
+        "top4_chars" -> 16, "dup5_chars" -> 15, "dup6_chars" -> 14,
+        "dup7_chars" -> 13, "dup8_chars" -> 12, "dup9_chars" -> 11,
+        "dup10_chars" -> 10)
+        .map { case (f, pct) => s"100 * $f <= $pct * ntc" }
+        .mkString("\n             AND ")
+      val outCols = (topNs.map(n => s"top${n}_chars") ++
+        dupNs.map(n => s"dup${n}_chars")).mkString(", ")
+      s"""WITH f AS (SELECT doc_id, string_split($norm, ' ') AS tk
+             FROM documents),
+           b AS (SELECT doc_id, tk, len(tk) AS t,
+             coalesce(list_sum(list_transform(tk,
+               x -> len(x)::BIGINT)), 0)::BIGINT AS ntc FROM f),
+           g AS (SELECT *, ${(topNs ++ dupNs).map(bgDef)
+               .mkString(",\n             ")} FROM b),
+           d AS (SELECT *, ${topNs.map(n =>
+               s"list_distinct(bg$n) AS di$n").mkString(", ")}
+             FROM g),
+           c AS (SELECT *, ${topNs.map(n =>
+               s"""[len(list_filter(bg$n, y -> y = x)) FOR x IN di$n]
+                 AS ct$n""").mkString(",\n             ")} FROM d),
+           m AS (SELECT *, ${topNs.map(n =>
+               s"coalesce(list_max(ct$n), 0) AS mc$n")
+               .mkString(", ")} FROM c),
+           tp AS (SELECT doc_id, t, ntc,
+             ${(topCols ++ dupCols).mkString(",\n             ")}
+             FROM m)
+           SELECT doc_id, t::INTEGER AS n_tokens,
+             ntc AS n_token_chars, $outCols,
+             ($thr) AS keep
+           FROM tp ORDER BY doc_id"""
+    }
     // Shared by t17 (one-shot) and t21 (persisted-stats path): the two
     // Spark plans are bit-identical by construction, so one
     // restatement gates both.
@@ -3825,6 +3916,13 @@ object LlmQueries {
       // t37 trained AND scored on the id%31 slice — the
       // 1000x-tractable witness form.
       "t38_quality_witness" -> nbQualitySql("WHERE doc_id % 31 = 7"),
+      // Gopher repetition table: per-n gram lists by comprehension,
+      // top-n = max multiplicity x largest char product among argmax
+      // grams, dup-n = token-granular coverage union of >=2-count
+      // gram occurrences; keep cross-multiplies the published
+      // thresholds. Pure per-row scalar list ops — the oracle is
+      // linear in documents.
+      "t39_gopher_repetition" -> gopherSql,
       // Winnowing: d11's positioned gram hashes, an 8-frame window
       // min per start (full windows, plus the single short-doc
       // window at s=1), rightmost-tie via max(pos) among in-window

@@ -554,4 +554,106 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L)._3 && out(2L)._2 > out(3L)._2)
     assert(!out(3L)._3 && !out(4L)._3 && !out(7L)._3)
   }
+
+  // Independent naive reference for the Gopher repetition kernel:
+  // Scala-collections groupBy/sliding, a fully separate code path
+  // from the fused one-pass kernel it checks.
+  private def gopherRef(text: String)
+      : (Int, Long, Seq[Long], Seq[Long]) = {
+    val split = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val toks = if (split.isEmpty) Seq("") else split
+    val ntc = toks.map(_.length.toLong).sum
+    def grams(n: Int): Seq[String] =
+      toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+    val tops = Seq(2, 3, 4).map { n =>
+      val gs = grams(n)
+      if (gs.isEmpty) 0L
+      else {
+        val cnt = gs.groupBy(identity).view.mapValues(_.size).toMap
+        val mc = cnt.values.max
+        val chars = cnt.filter(_._2 == mc).keys
+          .map(g => (g.length - (n - 1)).toLong).max
+        mc.toLong * chars
+      }
+    }
+    val dups = Seq(5, 6, 7, 8, 9, 10).map { n =>
+      val gs = grams(n)
+      if (gs.isEmpty) 0L
+      else {
+        val cnt = gs.groupBy(identity).view.mapValues(_.size).toMap
+        val covered = gs.zipWithIndex
+          .filter { case (g, _) => cnt(g) >= 2 }
+          .flatMap { case (_, i) => i until (i + n) }.toSet
+        covered.toSeq.map(p => toks(p).length.toLong).sum
+      }
+    }
+    (toks.size, ntc, tops, dups)
+  }
+
+  test("Gopher repetition kernel matches the naive reference") {
+    graft.functions.GraftFunctions.register(spark)
+    val rng = new scala.util.Random(4242)
+    val vocab = Seq("the", "spark", "merge", "row", "scan", "a", "of",
+      "partition", "x1", "zz")
+    val randomDocs = (0 until 40).map { _ =>
+      (0 until (3 + rng.nextInt(60)))
+        .map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")
+    }
+    val handDocs = Seq(
+      "", "   ", "one",
+      "a b a b a b a b",                    // dominant bigram
+      "x y z x y z x y z x y z x y z",      // repeated 5..10-grams
+      "aa bb aa cc aa bb aa cc aa bb aa",    // overlapping dup coverage
+      ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 " * 3).trim, // long dup block
+      "t t t t t t t t t t t t")            // single repeated token
+    val all = (randomDocs ++ handDocs).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = all.toDF("doc_id", "text")
+    val rp = graft.functions.GraftFunctions
+      .textGopherRepetition(col("text"))
+    val got = df.withColumn("rp", rp)
+      .select(col("doc_id"), col("rp.n_tokens"),
+        col("rp.n_token_chars"),
+        col("rp.top2_chars"), col("rp.top3_chars"),
+        col("rp.top4_chars"),
+        col("rp.dup5_chars"), col("rp.dup6_chars"),
+        col("rp.dup7_chars"), col("rp.dup8_chars"),
+        col("rp.dup9_chars"), col("rp.dup10_chars"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2),
+          Seq(r.getLong(3), r.getLong(4), r.getLong(5)),
+          Seq(r.getLong(6), r.getLong(7), r.getLong(8),
+            r.getLong(9), r.getLong(10), r.getLong(11)))).toMap
+    for ((id, text) <- all) {
+      val ref = gopherRef(text)
+      assert(got(id) == ref, s"doc $id: '${text.take(40)}'")
+    }
+  }
+
+  test("Gopher keep verdict applies the published thresholds") {
+    graft.functions.GraftFunctions.register(spark)
+    // Repeated "a b" text: the top 2-gram dominates the chars ->
+    // dropped. 30 distinct tokens: every n-gram count is 1 and every
+    // char fraction is under its threshold -> kept. (A SHORT diverse
+    // doc fails top-3/4 legitimately — a count-1 n-gram's chars can
+    // exceed 16-18% of a small denominator; the published filter
+    // targets web-scale documents.)
+    val df = Seq(
+      (1L, "a b a b a b a b a b a b a b a b"),
+      (2L, (1 to 30).map(i => f"w$i%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rp = graft.functions.GraftFunctions
+      .textGopherRepetition(col("text"))
+    val ntc = col("rp.n_token_chars")
+    val keep = Seq("top2_chars" -> 20, "top3_chars" -> 18,
+      "top4_chars" -> 16, "dup5_chars" -> 15, "dup6_chars" -> 14,
+      "dup7_chars" -> 13, "dup8_chars" -> 12, "dup9_chars" -> 11,
+      "dup10_chars" -> 10)
+      .map { case (f, pct) => col(s"rp.$f") * 100L <= ntc * pct.toLong }
+      .reduce(_ && _)
+    val out = df.withColumn("rp", rp)
+      .select(col("doc_id"), keep.as("keep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!out(1L) && out(2L))
+  }
 }

@@ -253,6 +253,17 @@ class PlanShapeSpec extends SparkSpec {
       "native winnow expression missing from the plan")
   }
 
+  test("t39: the Gopher repetition table is one narrow fused pass — " +
+      "no join, no window, no aggregate anywhere in the plan") {
+    val p = plan("t39_gopher_repetition")
+    assert(!p.contains("Join"), s"gopher plan grew a join:\n$p")
+    assert(!p.contains("Window"), s"gopher plan grew a window:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"gopher plan grew an aggregate:\n$p")
+    assert(p.contains("gopher_repetition"),
+      "native gopher expression missing from the plan")
+  }
+
   test("t35: the resample's global top-k plans as " +
       "TakeOrderedAndProject, never a corpus sort") {
     val p = plan("t35_dsir_resample")

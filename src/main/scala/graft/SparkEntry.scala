@@ -87,7 +87,7 @@ object SparkEntry {
     "t31_trigram_surprisal", "t32_ce_diff", "t33_dsir_weights",
     "t27_bpe_encode", "t29_byte_bpe_encode",
     "t34_winnow_fingerprints", "t35_dsir_resample", "d30_winnow_pairs",
-    "t39_gopher_repetition",
+    "t39_gopher_repetition", "t41_gopher_full",
     "t19_curation_semantic",
     "t20_curation_filtered", "t21_bm25_persisted",
     "q15_zorder_key", "w10_interval_join",

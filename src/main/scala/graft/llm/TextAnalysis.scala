@@ -142,4 +142,83 @@ object TextAnalysis {
     val stopScore = least(stopRatio * 10d, lit(1.0d))
     round(lenScore * punctScore * (lit(0.5d) + stopScore * 0.5d), 6)
   }
+
+  /** The eight must-occur function words of Gopher's quality rule set
+    * (Rae et al. 2021, App. A1.1): a document is dropped unless at
+    * least two of these appear. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-rule statistics (Rae et al. 2021, App. A1.1 —
+    * the non-repetition half; the word-n-gram half is
+    * [[graft.functions.TextGopher]] / t39). One struct of integer
+    * counters per document, all from built-in codegen'd expressions —
+    * a narrow no-shuffle projection at any corpus size:
+    *
+    *   - `n_words` / `n_word_chars`: whitespace tokens of the
+    *     normalized text and their total length (word count and the
+    *     mean-word-length rule's numerator);
+    *   - `alpha_words`: tokens containing at least one letter
+    *     (`\p{L}` — both engines' regexes are Unicode-aware);
+    *   - `hash_cnt` / `ellipsis_cnt`: '#' occurrences and
+    *     non-overlapping `...`/`…` occurrences in the RAW text (the
+    *     symbol-to-word ratio rules);
+    *   - `n_lines` / `bullet_lines` / `ellipsis_lines`: raw `\n`
+    *     lines, lines starting with a bullet glyph, lines ending in
+    *     an ellipsis (the line-format rules — Gopher's bullet set);
+    *   - `stop_hits`: how many DISTINCT [[gopherStopwords]] occur.
+    *
+    * Line structure must come from the RAW text: [[normalizeText]]
+    * collapses `\s+`, so the word-level counters use normalized
+    * tokens while the line counters split the unnormalized column. */
+  def gopherQualityStats(text: Column): Column = {
+    val tk = filter(tokens(text), t => length(t) > 0)
+    val lines = split(text, "\n")
+    val bullet = "^[\u2022\u2023\u25aa*-]"
+    val ell = "(\\.{3}|\u2026)$"
+    struct(
+      size(tk).cast("long").as("n_words"),
+      coalesce(aggregate(tk, lit(0L), (acc, x) => acc + length(x)),
+        lit(0L)).as("n_word_chars"),
+      size(filter(tk, x => x.rlike("\\p{L}"))).cast("long")
+        .as("alpha_words"),
+      call_function("regexp_count", text, lit("#")).cast("long")
+        .as("hash_cnt"),
+      call_function("regexp_count", text, lit("\\.{3}|\u2026"))
+        .cast("long").as("ellipsis_cnt"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => ltrim(l).rlike(bullet))).cast("long")
+        .as("bullet_lines"),
+      size(filter(lines, l => rtrim(l).rlike(ell))).cast("long")
+        .as("ellipsis_lines"),
+      gopherStopwords.map(w =>
+        when(array_contains(tk, w), 1L).otherwise(0L))
+        .reduce(_ + _).as("stop_hits"))
+  }
+
+  /** The Gopher quality keep verdict over a [[gopherQualityStats]]
+    * struct — the published removal rules inverted, every ratio
+    * threshold cross-multiplied to integer comparisons so no float
+    * crosses the engine boundary:
+    *
+    *   - 50 <= word count <= 100,000;
+    *   - mean word length in [3, 10];
+    *   - '#' and ellipsis symbol-to-word ratios <= 0.1;
+    *   - <= 90% of lines bullet-started, <= 30% ellipsis-ended;
+    *   - >= 80% of words contain a letter;
+    *   - >= 2 of the eight [[gopherStopwords]] present. */
+  def gopherQualityKeep(st: Column): Column = {
+    val nw = st.getField("n_words")
+    val nwc = st.getField("n_word_chars")
+    (nw >= 50L) && (nw <= 100000L) &&
+      (nwc >= nw * 3L) && (nwc <= nw * 10L) &&
+      (st.getField("hash_cnt") * 10L <= nw) &&
+      (st.getField("ellipsis_cnt") * 10L <= nw) &&
+      (st.getField("bullet_lines") * 10L <=
+        st.getField("n_lines") * 9L) &&
+      (st.getField("ellipsis_lines") * 10L <=
+        st.getField("n_lines") * 3L) &&
+      (st.getField("alpha_words") * 5L >= nw * 4L) &&
+      (st.getField("stop_hits") >= 2L)
+  }
 }

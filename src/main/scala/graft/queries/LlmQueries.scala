@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.llm.{Bpe, Chunking, Contamination, Dedup, Importance, LanguageModel, MediaCodecs, Multimodal, QualityFilter, Retrieval, Scrub, Similarity, Sketches, TextAnalysis, TextFunctions}
@@ -38,6 +38,22 @@ object LlmQueries {
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** The published Gopher repetition keep thresholds — percent of
+    * n_token_chars per signal (Rae et al. 2021, App. A1.1). Shared
+    * by t39 and the composed full filter (t41). */
+  private val gopherRepThresholds: Seq[(String, Int)] =
+    Seq("top2_chars" -> 20, "top3_chars" -> 18, "top4_chars" -> 16,
+      "dup5_chars" -> 15, "dup6_chars" -> 14, "dup7_chars" -> 13,
+      "dup8_chars" -> 12, "dup9_chars" -> 11, "dup10_chars" -> 10)
+
+  /** Repetition keep verdict over a TextGopher stats struct: every
+    * threshold cross-multiplied so only integers compare. */
+  private def gopherRepKeep(rp: Column): Column =
+    gopherRepThresholds.map { case (f, pct) =>
+      rp.getField(f) * 100L <=
+        rp.getField("n_token_chars") * pct.toLong
+    }.reduce(_ && _)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1085,13 +1101,6 @@ object LlmQueries {
       val rp = graft.functions.GraftFunctions
         .textGopherRepetition(col("text"))
       val ntc = col("rp.n_token_chars")
-      val keep = Seq("top2_chars" -> 20, "top3_chars" -> 18,
-        "top4_chars" -> 16, "dup5_chars" -> 15, "dup6_chars" -> 14,
-        "dup7_chars" -> 13, "dup8_chars" -> 12, "dup9_chars" -> 11,
-        "dup10_chars" -> 10)
-        .map { case (f, pct) =>
-          col(s"rp.$f") * 100L <= ntc * pct.toLong }
-        .reduce(_ && _)
       docs(s, dir)
         .withColumn("rp", rp)
         .select(Seq(col("doc_id"),
@@ -1101,7 +1110,48 @@ object LlmQueries {
             col(s"rp.top${n}_chars").as(s"top${n}_chars")) ++
           Seq(5, 6, 7, 8, 9, 10).map(n =>
             col(s"rp.dup${n}_chars").as(s"dup${n}_chars")) :+
-          keep.as("keep"): _*)
+          gopherRepKeep(col("rp")).as("keep"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // The Gopher QUALITY-rule half (Rae et al. 2021, App. A1.1 —
+    // t39 carries the repetition half): per-doc integer counters
+    // (word count/chars, letter-bearing words, '#'/ellipsis symbol
+    // counts, raw-line bullet/ellipsis format counts, must-occur
+    // stopword hits) and the published keep verdict with every
+    // ratio threshold cross-multiplied to integer comparisons. A
+    // narrow no-shuffle projection at any corpus size.
+    "t40_gopher_quality" -> ((s, dir) => {
+      val st = TextAnalysis.gopherQualityStats(col("text"))
+      docs(s, dir)
+        .withColumn("st", st)
+        .select(col("doc_id") +:
+          (Seq("n_words", "n_word_chars", "alpha_words", "hash_cnt",
+            "ellipsis_cnt", "n_lines", "bullet_lines",
+            "ellipsis_lines", "stop_hits")
+            .map(f => col(s"st.$f").as(f)) :+
+            TextAnalysis.gopherQualityKeep(col("st")).as("keep")): _*)
+        .orderBy("doc_id")
+    }),
+
+    // The COMPOSED full Gopher filter: the published document filter
+    // is the CONJUNCTION of the repetition table (t39) and the
+    // quality rules (t40). Both kernels evaluate in ONE narrow
+    // projection pass — no join, no shuffle; the oracle re-derives
+    // each half independently and joins.
+    "t41_gopher_full" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val rp = graft.functions.GraftFunctions
+        .textGopherRepetition(col("text"))
+      val st = TextAnalysis.gopherQualityStats(col("text"))
+      docs(s, dir)
+        .withColumn("rp", rp).withColumn("st", st)
+        .select(col("doc_id"),
+          gopherRepKeep(col("rp")).as("keep_repetition"),
+          TextAnalysis.gopherQualityKeep(col("st"))
+            .as("keep_quality"),
+          (gopherRepKeep(col("rp")) &&
+            TextAnalysis.gopherQualityKeep(col("st"))).as("keep"))
         .orderBy("doc_id")
     }),
 
@@ -2422,7 +2472,7 @@ object LlmQueries {
     // (token slices joined with ' '); top-n = max multiplicity, tie
     // to the largest char product; dup-n = distinct token positions
     // covered by any >=2-count gram occurrence. All integers.
-    val gopherSql: String = {
+    val (gopherSql, gopherKeepSql) = {
       val topNs = Seq(2, 3, 4)
       val dupNs = Seq(5, 6, 7, 8, 9, 10)
       def bgDef(n: Int) =
@@ -2450,7 +2500,8 @@ object LlmQueries {
         .mkString("\n             AND ")
       val outCols = (topNs.map(n => s"top${n}_chars") ++
         dupNs.map(n => s"dup${n}_chars")).mkString(", ")
-      s"""WITH f AS (SELECT doc_id, string_split($norm, ' ') AS tk
+      val ctes = s"""WITH f AS (SELECT doc_id,
+             string_split($norm, ' ') AS tk
              FROM documents),
            b AS (SELECT doc_id, tk, len(tk) AS t,
              coalesce(list_sum(list_transform(tk,
@@ -2468,12 +2519,73 @@ object LlmQueries {
                .mkString(", ")} FROM c),
            tp AS (SELECT doc_id, t, ntc,
              ${(topCols ++ dupCols).mkString(",\n             ")}
-             FROM m)
+             FROM m)"""
+      (s"""$ctes
            SELECT doc_id, t::INTEGER AS n_tokens,
              ntc AS n_token_chars, $outCols,
              ($thr) AS keep
-           FROM tp ORDER BY doc_id"""
+           FROM tp ORDER BY doc_id""",
+        // doc_id + keep only — the form t41 (the composed full
+        // Gopher filter) consumes as a nested-WITH CTE subquery.
+        s"""$ctes
+           SELECT doc_id, ($thr) AS keep FROM tp""")
     }
+    // Gopher quality rules (t40): word counters over the normalized
+    // tokens, symbol counts over the RAW text, line-format counters
+    // over the raw chr(10) split — mirroring the Spark struct field
+    // by field. Pure per-row scalar list ops, linear in documents.
+    val t40Ctes =
+      s"""WITH f AS (SELECT doc_id, text,
+             list_filter(string_split($norm, ' '),
+               t -> len(t) > 0) AS tk,
+             string_split(text, chr(10)) AS ln FROM documents),
+           s AS (SELECT doc_id,
+             len(tk)::BIGINT AS n_words,
+             coalesce(list_sum(list_transform(tk,
+               x -> len(x)::BIGINT)), 0)::BIGINT AS n_word_chars,
+             len(list_filter(tk,
+               x -> regexp_matches(x, '\\p{L}')))::BIGINT
+               AS alpha_words,
+             len(regexp_extract_all(text, '#'))::BIGINT AS hash_cnt,
+             len(regexp_extract_all(text,
+               '\\.{3}|\u2026'))::BIGINT AS ellipsis_cnt,
+             len(ln)::BIGINT AS n_lines,
+             len(list_filter(ln, l -> regexp_matches(ltrim(l),
+               '^[\u2022\u2023\u25aa*-]')))::BIGINT AS bullet_lines,
+             len(list_filter(ln, l -> regexp_matches(rtrim(l),
+               '(\\.{3}|\u2026)$$')))::BIGINT AS ellipsis_lines,
+             (${TextAnalysis.gopherStopwords.map(w =>
+          s"CASE WHEN list_contains(tk, '$w') THEN 1 ELSE 0 END")
+          .mkString("\n               + ")})::BIGINT AS stop_hits
+             FROM f)"""
+    val t40Keep =
+      """(n_words BETWEEN 50 AND 100000
+           AND n_word_chars >= 3 * n_words
+           AND n_word_chars <= 10 * n_words
+           AND 10 * hash_cnt <= n_words
+           AND 10 * ellipsis_cnt <= n_words
+           AND 10 * bullet_lines <= 9 * n_lines
+           AND 10 * ellipsis_lines <= 3 * n_lines
+           AND 5 * alpha_words >= 4 * n_words
+           AND stop_hits >= 2)"""
+    val t40Sql =
+      s"""$t40Ctes
+           SELECT doc_id, n_words, n_word_chars, alpha_words,
+             hash_cnt, ellipsis_cnt, n_lines, bullet_lines,
+             ellipsis_lines, stop_hits, $t40Keep AS keep
+           FROM s ORDER BY doc_id"""
+    // Composed full Gopher filter (t41): both halves re-derived
+    // independently (nested-WITH CTE subqueries) and joined — the
+    // Spark side computes both kernels in one projection.
+    val t41Sql =
+      s"""WITH rep AS ($gopherKeepSql),
+           q AS ($t40Ctes
+             SELECT doc_id, $t40Keep AS keep FROM s)
+           SELECT rep.doc_id, rep.keep AS keep_repetition,
+             q.keep AS keep_quality,
+             (rep.keep AND q.keep) AS keep
+           FROM rep JOIN q ON rep.doc_id = q.doc_id
+           ORDER BY rep.doc_id"""
     // Shared by t17 (one-shot) and t21 (persisted-stats path): the two
     // Spark plans are bit-identical by construction, so one
     // restatement gates both.
@@ -3923,6 +4035,12 @@ object LlmQueries {
       // thresholds. Pure per-row scalar list ops — the oracle is
       // linear in documents.
       "t39_gopher_repetition" -> gopherSql,
+      // Gopher quality rules: per-doc integer counters + the
+      // published keep verdict, cross-multiplied thresholds.
+      "t40_gopher_quality" -> t40Sql,
+      // Composed full Gopher filter: repetition AND quality halves
+      // re-derived independently, joined on doc_id.
+      "t41_gopher_full" -> t41Sql,
       // Winnowing: d11's positioned gram hashes, an 8-frame window
       // min per start (full windows, plus the single short-doc
       // window at s=1), rightmost-tie via max(pos) among in-window

@@ -250,8 +250,14 @@ object StreamScale {
 
     val chunkDir = s"$work/chunks"
     val events = s"$sfDir/events.parquet"
+    val chunkT0 = System.nanoTime()
     val total = chunkEvents(spark, events, chunkDir, nChunks)
-    System.err.println(s"[stream-scale] $total events in $nChunks chunks")
+    // Setup cost, recorded since it dominated the round-14 decade run
+    // (~25 min single-task ntile sort, replaced by the distributed
+    // range-partitioned rank in chunkEvents).
+    val chunkSec = (System.nanoTime() - chunkT0) / 1e9
+    System.err.println(
+      f"[stream-scale] $total events in $nChunks chunks ($chunkSec%.1f s)")
 
     val runs = runAll(spark, events, chunkDir, s"$work/ckpt")
     def j(m: RunMetrics): String =
@@ -264,7 +270,7 @@ object StreamScale {
     val line =
       s"""{"metric":"stream_scale","provider":"rocksdb","sf":"$sfDir",""" +
         s""""events":$total,"chunks":$nChunks,"cpus":$cpus,""" +
-        s""""shuffle":$shuffle,""" +
+        s""""shuffle":$shuffle,"chunk_sec":$chunkSec,""" +
         s""""runs":[${runs.map(j).mkString(",")}]}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT",

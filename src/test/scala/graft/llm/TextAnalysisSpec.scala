@@ -656,4 +656,50 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(!out(1L) && out(2L))
   }
+
+  test("Gopher quality stats: word, symbol, line, and stopword " +
+      "counters on a crafted multi-line doc") {
+    val text = "• the first bullet line\n" +
+      "- another bullet with more...\n" +
+      "plain words have letters\n" +
+      "trailing ellipsis here… \n" +
+      "## hash marks 42 100 9000"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val st = df.select(
+      TextAnalysis.gopherQualityStats(col("text")).as("st"))
+      .select("st.*").collect().head
+    assert(st.getAs[Long]("n_words") == 23)
+    // "..." + "…" = 2 ellipses; "##" = 2 hash chars
+    assert(st.getAs[Long]("hash_cnt") == 2)
+    assert(st.getAs[Long]("ellipsis_cnt") == 2)
+    assert(st.getAs[Long]("n_lines") == 5)
+    assert(st.getAs[Long]("bullet_lines") == 2)
+    // the "…"-ended line has a trailing space — rtrim catches it
+    assert(st.getAs[Long]("ellipsis_lines") == 2)
+    // numeric tokens 42/100/9000 and the symbol tokens carry no letter
+    assert(st.getAs[Long]("alpha_words") == 17)
+    // of gopherStopwords: the, with, have present
+    assert(st.getAs[Long]("stop_hits") == 3)
+  }
+
+  test("Gopher quality keep: each published rule trips " +
+      "independently") {
+    val base = (1 to 60).map(i => f"the of and word$i%03d").mkString(" ")
+    val docs = Seq(
+      1L -> base,                                  // passes all rules
+      2L -> "the of and short doc",                // < 50 words
+      3L -> (base + " " + (1 to 40).map(_ => "#").mkString(" ")),
+      4L -> (1 to 60).map(_ => "zz zz zz 12345 98765").mkString(" "),
+      5L -> (1 to 60).map(i => f"w$i%03d x$i%03d").mkString(" "))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.gopherQualityKeep(
+        TextAnalysis.gopherQualityStats(col("text"))).as("keep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L))
+    assert(!out(2L))   // word count below 50
+    assert(!out(3L))   // hash symbol-to-word ratio over 0.1
+    assert(!out(4L))   // 2/5 of words lack a letter (< 80% alpha)
+    assert(!out(5L))   // no must-occur stopword present (< 2 hits)
+  }
 }

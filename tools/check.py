@@ -60,6 +60,13 @@ con.execute("SET temp_directory='/tmp/duckdb_spill'")
 con.execute("SET preserve_insertion_order=false")
 con.execute(
     f"SET memory_limit='{os.environ.get('GRAFT_ORACLE_MEM', '32GB')}'")
+# Optional thread cap: fewer threads = less concurrent operator state
+# (the t29 decade oracle OOMs at full width under a 100 GB limit), and
+# it also lets a long oracle coexist with a JVM run without contending
+# for every core.
+if os.environ.get("GRAFT_ORACLE_THREADS"):
+    con.execute(
+        f"SET threads={int(os.environ['GRAFT_ORACLE_THREADS'])}")
 for f in glob.glob(f"{SFDIR}/*.parquet"):
     name = os.path.basename(f)[:-8]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")

@@ -4011,9 +4011,13 @@ object LlmQueries {
       "t33_dsir_weights" -> t33Sql,
       // DSIR Gumbel-top-k resample over t33's weights: the portable
       // LCG uniform shifted to (0,1), the double-log Gumbel, ranked
-      // by the ROUNDED key with doc_id tie-break.
+      // by the ROUNDED key with doc_id tie-break. MATERIALIZED (the
+      // d22/BPE precedent): at the 1000x fixture the inlined form
+      // spilled past the box's disk under the top-k rewrite while
+      // t33's identical weight derivation alone completed in 171 s —
+      // materializing pins the weights to one 5M-row evaluation.
       "t35_dsir_resample" ->
-        s"""WITH w AS ($t33Sql)
+        s"""WITH w AS MATERIALIZED ($t33Sql)
            SELECT doc_id, n_grams, logw,
              round(logw + -ln(-ln(
                ((((doc_id % 2147483648 + 2147483648) % 2147483648)

@@ -218,6 +218,23 @@ object LlmQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // d30 on a deterministic id%5 slice — the witness form whose
+    // FULL pair oracle stays tractable at the 1000x decade (the
+    // t36/d24 pattern): the SAME winnow → distinct → cap → in-bucket
+    // self-join → rollup operator, slice-bounded on both pair
+    // endpoints, so the join intermediate scales as (1/5)^2 of the
+    // corpus form. %5, not the usual %31: pairs need BOTH endpoints
+    // in the slice, and the %31 slice is empty of pairs at the
+    // sf0.01 gate (an empty-both-sides gate proves nothing — the
+    // t22 lesson); %5 carries 5 informative pairs there.
+    "d31_winnow_pairs_witness" -> ((s, dir) => {
+      Dedup.winnowPairs(
+        docs(s, dir).where(col("doc_id") % 5 === 2),
+        gramChars = 20, window = 8, minShared = 2L,
+        maxDocsPerFp = 64L)
+        .orderBy("id_a", "id_b")
+    }),
+
     "d26_incremental_capped" -> ((s, dir) => {
       val corpus = docs(s, dir).where(col("doc_id") % 5 =!= 0)
       val batch = docs(s, dir).where(col("doc_id") % 5 === 0)
@@ -4058,6 +4075,21 @@ object LlmQueries {
       // rollup with the >=2 shared-fingerprint floor.
       "d30_winnow_pairs" ->
         s"""WITH ${winnowCtesSql(norm, "")},
+           df AS (SELECT DISTINCT doc_id, fp.fp AS f FROM fp),
+           ok AS (SELECT f FROM df GROUP BY f
+             HAVING count(*) <= 64),
+           pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM df a JOIN df b ON a.f = b.f
+               AND a.doc_id < b.doc_id
+             JOIN ok ON ok.f = a.f)
+           SELECT id_a, id_b, count(*)::BIGINT AS shared
+           FROM pr GROUP BY id_a, id_b HAVING count(*) >= 2
+           ORDER BY id_a, id_b""",
+      // d30's chain on the id%5 slice — the decade-tractable
+      // witness restatement (same cap semantics, slice-bounded;
+      // %5 so the sf0.01 gate carries informative pairs).
+      "d31_winnow_pairs_witness" ->
+        s"""WITH ${winnowCtesSql(norm, "WHERE doc_id % 5 = 2")},
            df AS (SELECT DISTINCT doc_id, fp.fp AS f FROM fp),
            ok AS (SELECT f FROM df GROUP BY f
              HAVING count(*) <= 64),

@@ -93,12 +93,15 @@ object Bench {
         System.err.println(s"[bench] clearCache failed: ${e.getMessage}")
       }
       val t0 = System.nanoTime()
+      // Label every job this query submits (guide §1.5) so UI/event-log
+      // traces attribute jobs to queries; thread-local, cleared after.
+      spark.sparkContext.setJobDescription(s"bench:$name")
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
-      }
+      } finally spark.sparkContext.setJobDescription(null)
       (System.nanoTime() - t0) / 1e9
     }
 

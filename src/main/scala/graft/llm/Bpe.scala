@@ -173,16 +173,34 @@ object Bpe {
     * dictionary frame (char-level [[seedSeq]] or byte-level
     * [[byteSeed]] — the pair-count/argmax/replace algebra is
     * identical). */
+  /** Rounds between eager dictionary checkpoints in [[mergeLoop]]:
+    * lineage depth between truncations is at most this many chained
+    * `replace` expressions over the last checkpointed scan — constant
+    * plan size either way, but one materialization JOB per stride
+    * instead of one per round. (The per-round eager checkpoint was
+    * ~a quarter of the loop's Spark jobs — event-log at sf0.1,
+    * 12 rounds: t27 47 -> 37 jobs, t29 43 -> 33; re-applying <= 3
+    * pending literal replaces inside the next round's aggregation
+    * scan is far cheaper than a dedicated write-and-read
+    * materialization of the vocabulary frame. Paired idle-box A/B at
+    * sf0.1, best/median-of-5: t27_bpe_encode 3.72/4.23 ->
+    * 3.50/3.64 s, t29_byte_bpe_encode 3.72/4.04 -> 3.28/3.55 s;
+    * merges byte-identical — same argmax stream, so every oracle is
+    * unchanged by construction.) */
+  private val CkptStride = 4
+
   private def mergeLoop(seeded: DataFrame, rounds: Int): Seq[Merge] = {
     // Eager localCheckpoint, not persist: a persisted round still
     // carries the previous round's full logical lineage, and the
     // nested cached-plan rendering grows superlinearly with rounds
     // (observed as a plan-string OOM at ~16 rounds). Checkpointing
-    // truncates each round to an RDD scan, so per-round plan depth is
-    // CONSTANT regardless of `rounds`. Blocks of dropped rounds are
+    // truncates the dictionary to an RDD scan every [[CkptStride]]
+    // rounds, so per-round plan depth stays CONSTANT (<= CkptStride
+    // replaces) regardless of `rounds`. Blocks of dropped rounds are
     // reclaimed by the context cleaner once unreferenced; the frame
     // is vocabulary-sized either way.
     var cur = seeded.localCheckpoint(true)
+    var pendingReplaces = 0
     val merges = Seq.newBuilder[Merge]
     var step = 0
     var exhausted = false
@@ -207,9 +225,16 @@ object Bpe {
         step += 1
         merges += Merge(step, l, r, l + r, best(0).getLong(2))
         cur = cur.withColumn("seq",
-            replace(col("seq"), lit(" " + l + "  " + r + " "),
-              lit(" " + l + r + " ")))
-          .localCheckpoint(true)
+          replace(col("seq"), lit(" " + l + "  " + r + " "),
+            lit(" " + l + r + " ")))
+        pendingReplaces += 1
+        // No checkpoint after the FINAL merge either: the loop's last
+        // dictionary state has no consumer (callers re-apply the
+        // learned merges as one expression chain over the raw data).
+        if (pendingReplaces >= CkptStride && step < rounds) {
+          cur = cur.localCheckpoint(true)
+          pendingReplaces = 0
+        }
       }
     }
     merges.result()

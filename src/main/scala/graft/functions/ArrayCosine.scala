@@ -159,6 +159,9 @@ object GraftFunctions {
         "graft_gopher_repetition",
         exprs => TextGopherRepetition(exprs.head), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_gopher_quality",
+        exprs => TextGopherQuality(exprs.head), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_poly_bloom",
         exprs => PolyBloomAgg(exprs(0),
           exprs(1).eval().asInstanceOf[Int],
@@ -314,6 +317,11 @@ object GraftFunctions {
     * full Gopher repetition table ([[TextGopherRepetition]]). */
   def textGopherRepetition(text: Column): Column =
     call_function("graft_gopher_repetition", text)
+
+  /** Column form (requires [[register]] on the session first): the
+    * Gopher quality-rule counters ([[TextGopherQuality]]). */
+  def textGopherQuality(text: Column): Column =
+    call_function("graft_gopher_quality", text)
 
   /** Per-group top-k-by-score aggregate (requires [[register]]
     * first): `array<struct<id,score>>` sorted best-first — score

@@ -359,6 +359,39 @@ object TextGopher {
       tokLen(j) = toks.get(j).length; ntc += tokLen(j); j += 1
     }
 
+    // Token interning: map each DISTINCT token to a char-sized id so
+    // the nine gram passes below hash/compare n-CHAR id strings
+    // instead of n full tokens plus joining spaces — the same
+    // equality relation (interning is injective, so id-sequence
+    // equality IS token-sequence equality), at a fraction of the
+    // hashing and allocation per gram. Ids are raw char values
+    // (surrogate halves included) — String equality/hashCode are
+    // code-unit-exact, so any char value is a safe key component. A
+    // document with >= 65536 DISTINCT tokens falls back to the
+    // joined-string keys (exactness over speed; both paths pinned
+    // equal in TextAnalysisSpec).
+    val intern = new java.util.HashMap[String, Integer](t * 2)
+    val ids = new Array[Char](t)
+    val lenById = new Array[Int](t)
+    var next = 0
+    j = 0
+    while (j < t && next >= 0) {
+      val tok = toks.get(j)
+      var id = intern.get(tok)
+      if (id == null) {
+        if (next == 65536) next = -1 // overflow: fallback keys below
+        else {
+          id = Integer.valueOf(next)
+          lenById(next) = tokLen(j)
+          intern.put(tok, id)
+          next += 1
+        }
+      }
+      if (next >= 0) ids(j) = id.intValue().toChar
+      j += 1
+    }
+    val interned = next >= 0
+
     val out = new Array[Any](2 + TOP_NS.length + DUP_NS.length)
     out(0) = t
     out(1) = ntc
@@ -366,21 +399,37 @@ object TextGopher {
     def gramKeys(n: Int): Array[String] = {
       val g = t - n + 1
       val keys = new Array[String](g)
-      val kb = new java.lang.StringBuilder(32)
-      var a = 0
-      while (a < g) {
-        kb.setLength(0)
-        var b = 0
-        while (b < n) {
-          if (b > 0) kb.append(' ')
-          kb.append(toks.get(a + b))
-          b += 1
+      if (interned) {
+        var a = 0
+        while (a < g) { keys(a) = new String(ids, a, n); a += 1 }
+      } else {
+        val kb = new java.lang.StringBuilder(32)
+        var a = 0
+        while (a < g) {
+          kb.setLength(0)
+          var b = 0
+          while (b < n) {
+            if (b > 0) kb.append(' ')
+            kb.append(toks.get(a + b))
+            b += 1
+          }
+          keys(a) = kb.toString
+          a += 1
         }
-        keys(a) = kb.toString
-        a += 1
       }
       keys
     }
+
+    /** Token chars of a gram key (joining spaces excluded): summed
+      * per-id lengths for an interned key, joined length minus the
+      * n-1 spaces for a fallback key — identical values either way. */
+    def gramChars(key: String, n: Int): Long =
+      if (interned) {
+        var chars = 0L
+        var b = 0
+        while (b < n) { chars += lenById(key.charAt(b)); b += 1 }
+        chars
+      } else (key.length - (n - 1)).toLong
 
     var slot = 2
     var ni = 0
@@ -403,7 +452,7 @@ object TextGopher {
         while (it.hasNext) {
           val e = it.next()
           val c: Int = e.getValue
-          val chars = (e.getKey.length - (n - 1)).toLong
+          val chars = gramChars(e.getKey, n)
           if (c > maxCnt) { maxCnt = c; maxChars = chars }
           else if (c == maxCnt && chars > maxChars) maxChars = chars
         }
@@ -444,6 +493,167 @@ object TextGopher {
     }
     new GenericInternalRow(out)
   }
+}
+
+/** One-pass kernel for the Gopher QUALITY-rule statistics — the fused
+  * form of [[graft.llm.TextAnalysis.gopherQualityStatsHof]], computing
+  * the identical nine-counter struct in two linear scans (one over the
+  * lowered text for the token-level counters, one over the raw text
+  * for the symbol/line counters) instead of the HOF composition's six
+  * regex/HOF passes (tokenize + aggregate + per-token `rlike` filter +
+  * two `regexp_count`s + two per-line `rlike` filters + eight
+  * `array_contains`). Per-token `rlike` in an interpreted lambda was
+  * the dominant cost of t40/t41 — the [[TextStats]] lesson again.
+  *
+  * Exact-equivalence notes (pinned in `TextAnalysisSpec`):
+  *  - tokens: whitespace-delimited (Java `\s` set) runs of the
+  *    LOWERED text, empties dropped — identical to
+  *    `filter(tokens(text), length > 0)`;
+  *  - lengths count CODE POINTS (Spark `length` = `numChars`), so
+  *    supplementary characters weigh 1, not 2;
+  *  - `alpha_words` tests `Character.isLetter` per code point —
+  *    exactly the five Unicode L categories Java regex `\p{L}`
+  *    matches;
+  *  - `ellipsis_cnt` replicates the non-overlapping leftmost-first
+  *    scan of `regexp_count(text, "\\.{3}|…")`: three dots consume
+  *    three chars, '…' consumes one;
+  *  - lines are `\n`-separated segments INCLUDING the trailing empty
+  *    one (`split` keeps trailing empties), bullet/ellipsis checks
+  *    strip ' ' only (Spark `ltrim`/`rtrim` trim the space char, not
+  *    tabs). */
+object GopherQuality {
+
+  private val StopWords: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    val ws = Array("the", "be", "to", "of", "and", "that", "have",
+      "with")
+    var i = 0
+    while (i < ws.length) { m.put(ws(i), i); i += 1 }
+    m
+  }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
+  private def isBullet(c: Char): Boolean =
+    c == '\u2022' || c == '\u2023' || c == '\u25aa' || c == '*' ||
+      c == '-'
+
+  def compute(s: UTF8String): InternalRow = {
+    // Token-level counters over the lowered text (Spark's `lower` IS
+    // UTF8String.toLowerCase, so this is the exact same string).
+    val lowered = s.toLowerCase.toString
+    var nWords = 0L
+    var nWordChars = 0L
+    var alphaWords = 0L
+    val stopSeen = new Array[Boolean](8)
+    val sb = new java.lang.StringBuilder(16)
+    def endToken(): Unit = if (sb.length > 0) {
+      nWords += 1
+      val tok = sb.toString
+      nWordChars += tok.codePointCount(0, tok.length)
+      var p = 0
+      var letter = false
+      while (!letter && p < tok.length) {
+        val cp = tok.codePointAt(p)
+        if (Character.isLetter(cp)) letter = true
+        p += Character.charCount(cp)
+      }
+      if (letter) alphaWords += 1
+      val si = StopWords.get(tok)
+      if (si != null) stopSeen(si) = true
+      sb.setLength(0)
+    }
+    var i = 0
+    while (i < lowered.length) {
+      val c = lowered.charAt(i)
+      if (isWs(c)) endToken() else sb.append(c)
+      i += 1
+    }
+    endToken()
+    var stopHits = 0L
+    var k = 0
+    while (k < 8) { if (stopSeen(k)) stopHits += 1; k += 1 }
+
+    // Symbol + line counters over the RAW text.
+    val raw = s.toString
+    val len = raw.length
+    var hashCnt = 0L
+    var ellCnt = 0L
+    var nLines = 1L
+    var bulletLines = 0L
+    var ellLines = 0L
+    def threeDots(at: Int): Boolean =
+      at + 2 < len && raw.charAt(at) == '.' &&
+        raw.charAt(at + 1) == '.' && raw.charAt(at + 2) == '.'
+    def lineStats(ls: Int, le: Int): Unit = {
+      var p = ls
+      while (p < le && raw.charAt(p) == ' ') p += 1
+      if (p < le && isBullet(raw.charAt(p))) bulletLines += 1
+      var q = le - 1
+      while (q >= ls && raw.charAt(q) == ' ') q -= 1
+      // Java's default-mode `$` also matches just before ONE trailing
+      // line terminator \u2014 inside a `\n`-split segment that can only be
+      // \r, \u0085, \u2028 or \u2029 \u2014 so "dots...\r" IS
+      // ellipsis-ended under the HOF's rlike and must be here too.
+      if (q >= ls) {
+        val tc = raw.charAt(q)
+        if (tc == '\r' || tc == '\u0085' || tc == '\u2028' ||
+          tc == '\u2029') q -= 1
+      }
+      if (q >= ls && (raw.charAt(q) == '\u2026' ||
+          (q - 2 >= ls && raw.charAt(q) == '.' &&
+            raw.charAt(q - 1) == '.' && raw.charAt(q - 2) == '.')))
+        ellLines += 1
+    }
+    var lineStart = 0
+    i = 0
+    while (i < len) {
+      val c = raw.charAt(i)
+      if (c == '#') { hashCnt += 1; i += 1 }
+      else if (c == '\n') {
+        lineStats(lineStart, i); nLines += 1; lineStart = i + 1
+        i += 1
+      } else if (threeDots(i)) { ellCnt += 1; i += 3 }
+      else if (c == '\u2026') { ellCnt += 1; i += 1 }
+      else i += 1
+    }
+    lineStats(lineStart, len)
+    new GenericInternalRow(Array[Any](nWords, nWordChars, alphaWords,
+      hashCnt, ellCnt, nLines, bulletLines, ellLines, stopHits))
+  }
+}
+
+/** Native fused Gopher quality-rule statistics (see
+  * [[GopherQuality]]). */
+case class TextGopherQuality(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${t.simpleString(10)}")
+    }
+
+  override def dataType: DataType = StructType(
+    Seq("n_words", "n_word_chars", "alpha_words", "hash_cnt",
+      "ellipsis_cnt", "n_lines", "bullet_lines", "ellipsis_lines",
+      "stop_hits").map(f => StructField(f, LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    GopherQuality.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GopherQuality.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : TextGopherQuality = copy(child = newChild)
+
+  override def prettyName: String = "text_gopher_quality"
 }
 
 /** Native fused Gopher repetition table (see [[TextGopher]]). */

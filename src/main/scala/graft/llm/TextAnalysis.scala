@@ -170,8 +170,26 @@ object TextAnalysis {
     *
     * Line structure must come from the RAW text: [[normalizeText]]
     * collapses `\s+`, so the word-level counters use normalized
-    * tokens while the line counters split the unnormalized column. */
-  def gopherQualityStats(text: Column): Column = {
+    * tokens while the line counters split the unnormalized column.
+    *
+    * Computed by the fused one-pass kernel
+    * ([[graft.functions.TextGopherQuality]]) — the HOF composition it
+    * replaced ([[gopherQualityStatsHof]], kept as the executable
+    * reference `TextAnalysisSpec` pins the kernel against) spent six
+    * regex/HOF passes per document, the per-token interpreted `rlike`
+    * filter dominating (the [[qualityFromStats]] lesson; paired
+    * idle-box A/B at sf0.1, best/median-of-5: t41_gopher_full
+    * 1.59/1.63 -> 0.96/1.03 s, with untouched t39 as the same-run
+    * control at 0.81 -> 0.75). Caller must have registered
+    * [[graft.functions.GraftFunctions]]. */
+  def gopherQualityStats(text: Column): Column =
+    graft.functions.GraftFunctions.textGopherQuality(text)
+
+  /** The original HOF/regex composition of [[gopherQualityStats]] —
+    * the executable specification of the kernel's semantics
+    * (equivalence pinned in `TextAnalysisSpec`); not on any query
+    * path. */
+  private[graft] def gopherQualityStatsHof(text: Column): Column = {
     val tk = filter(tokens(text), t => length(t) > 0)
     val lines = split(text, "\n")
     val bullet = "^[\u2022\u2023\u25aa*-]"

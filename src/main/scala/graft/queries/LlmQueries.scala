@@ -1139,6 +1139,7 @@ object LlmQueries {
     // ratio threshold cross-multiplied to integer comparisons. A
     // narrow no-shuffle projection at any corpus size.
     "t40_gopher_quality" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val st = TextAnalysis.gopherQualityStats(col("text"))
       docs(s, dir)
         .withColumn("st", st)

@@ -630,6 +630,30 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("Gopher repetition kernel: the >=65536-distinct-token intern " +
+      "overflow falls back to joined-string keys, same result") {
+    graft.functions.GraftFunctions.register(spark)
+    // 70,000 distinct tokens + a repeated tail so top/dup signals are
+    // non-trivial on both sides of the fallback boundary.
+    val big = ((0 until 70000).map(i => s"w$i") ++
+      Seq.fill(4)(Seq("a", "b", "c", "d", "e", "f", "g", "h", "i",
+        "j")).flatten).mkString(" ")
+    val df = Seq((1L, big)).toDF("doc_id", "text")
+    val rp = graft.functions.GraftFunctions
+      .textGopherRepetition(col("text"))
+    val got = df.withColumn("rp", rp)
+      .select(col("rp.n_tokens"), col("rp.n_token_chars"),
+        col("rp.top2_chars"), col("rp.top3_chars"), col("rp.top4_chars"),
+        col("rp.dup5_chars"), col("rp.dup6_chars"), col("rp.dup7_chars"),
+        col("rp.dup8_chars"), col("rp.dup9_chars"), col("rp.dup10_chars"))
+      .collect().head
+    val ref = gopherRef(big)
+    assert(got.getInt(0) == ref._1)
+    assert(got.getLong(1) == ref._2)
+    assert(Seq(got.getLong(2), got.getLong(3), got.getLong(4)) == ref._3)
+    assert((5 to 10).map(i => got.getLong(i)) == ref._4)
+  }
+
   test("Gopher keep verdict applies the published thresholds") {
     graft.functions.GraftFunctions.register(spark)
     // Repeated "a b" text: the top 2-gram dominates the chars ->
@@ -657,8 +681,57 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out(1L) && out(2L))
   }
 
+  test("Gopher quality kernel matches the HOF composition " +
+      "(fused TextGopherQuality == gopherQualityStatsHof)") {
+    graft.functions.GraftFunctions.register(spark)
+    val rng = new scala.util.Random(1515)
+    val vocab = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with", "spark", "row", "12345", "##", "a-b", "*x", "…", "...",
+      "word…", "end...")
+    val randomDocs = (0 until 60).map { _ =>
+      (0 until (1 + rng.nextInt(80))).map { _ =>
+        val w = vocab(rng.nextInt(vocab.length))
+        if (rng.nextInt(8) == 0) w + "\n" else w
+      }.mkString(" ")
+    }
+    val handDocs = Seq(
+      "", " ", "\n", "\n\n", "   \n   ",
+      "...", "....", ".....", "......", "…", "……", ".…", "..…",
+      "• bullet\n  - dashed\n\t- tab-led dash", // ltrim strips ' ' only
+      "ends with dots...\nends spaced... \nends tab...\t",
+      "UPPER Case MiXeD", "Ωmega ΔΕΛΤΑ στοπ",
+      "# ## ### #no-space",
+      "the\tbe\ntoof\fand\rthat have with",
+      "*star -dash •dot ‣tri ▪sq",
+      "ends cr...\r\nnext line",   // $ matches before a trailing \r
+      "dots... \r", "u2028... \u2028", "bare...", "twice...\r\r",
+      "𝒜math 😀emoji word") // supplementary cps
+    val all = (randomDocs ++ handDocs).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = all.toDF("doc_id", "text")
+    val fields = Seq("n_words", "n_word_chars", "alpha_words",
+      "hash_cnt", "ellipsis_cnt", "n_lines", "bullet_lines",
+      "ellipsis_lines", "stop_hits")
+    def collectStats(st: org.apache.spark.sql.Column)
+        : Map[Long, Seq[Long]] =
+      df.withColumn("st", st)
+        .select(col("doc_id") +: fields.map(f => col(s"st.$f")): _*)
+        .collect()
+        .map(r => r.getLong(0) -> fields.indices.map(i =>
+          r.getLong(i + 1))).toMap
+    val kernel = collectStats(
+      TextAnalysis.gopherQualityStats(col("text")))
+    val hof = collectStats(
+      TextAnalysis.gopherQualityStatsHof(col("text")))
+    for ((id, text) <- all)
+      assert(kernel(id) == hof(id),
+        s"doc $id: '${text.take(50)}' kernel=${kernel(id)} " +
+          s"hof=${hof(id)}")
+  }
+
   test("Gopher quality stats: word, symbol, line, and stopword " +
       "counters on a crafted multi-line doc") {
+    graft.functions.GraftFunctions.register(spark)
     val text = "• the first bullet line\n" +
       "- another bullet with more...\n" +
       "plain words have letters\n" +
@@ -684,6 +757,7 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("Gopher quality keep: each published rule trips " +
       "independently") {
+    graft.functions.GraftFunctions.register(spark)
     val base = (1 to 60).map(i => f"the of and word$i%03d").mkString(" ")
     val docs = Seq(
       1L -> base,                                  // passes all rules

@@ -118,7 +118,20 @@ object Dedup {
         .withColumnRenamed("pos", "band_idx")
         .withColumnRenamed("col", "band_hash")
     } else {
+      // Self-join path only: ONE bucket-keyed exchange serves the
+      // occupancy count, the re-key join, and (hash on a SUBSET of
+      // the join keys co-locates the 3-key pair join too) the pair
+      // join — without it the occupancy aggregation plans its own
+      // partial-agg exchange and the shingle+minhash+band map pass
+      // runs TWICE (the d04 shape; event-log at sf0.1: d25 execCPU
+      // 7.4 -> 5.5 s). The INCREMENTAL path deliberately does NOT
+      // take this shape: its occupancy is a union over BOTH sides,
+      // and the A/B measured the shared-exchange form 3x worse on
+      // execCPU there (d29 45.6 -> 139.9 s at sf0.1 — the pair-join
+      // and lookup stages stop sharing map work once the union agg
+      // pins the exchanges) — kept as-is.
       val base = bandBucketsWide(sigs, bands, rowsPerBand, portable)
+        .repartition(col("band_idx"), col("band_hash"))
       rekeyOversized(base,
         base.select("band_idx", "band_hash"), maxBucket)
     }
@@ -459,17 +472,26 @@ object Dedup {
     // identities ("c89" = "atw") the 100x fixture manufactured into
     // phantom shared grams — df counts, per-doc sizes, and
     // intersections all drift. Correctness over the 4 bytes.
+    // One gram-keyed exchange serves EVERYTHING downstream: the raw
+    // exploded index is hash-repartitioned on the gram key, so the
+    // document-frequency aggregation, the semi-join filter, and the
+    // in-bucket self-join all read the SAME shuffle output instead of
+    // each planning its own. Before this, the df aggregation's
+    // partial-agg exchange was separate from the index exchange, so
+    // the scan+normalize+rolling-hash+explode map work ran TWICE per
+    // query (event-log profile at sf0.1: two ~37 exec-CPU-s map
+    // stages of the 134 s total); now it runs once and the df count
+    // aggregates post-shuffle. (The lost map-side combine is free
+    // here: the raw-row exchange must exist anyway for the join, and
+    // it is what gets reused.) No explicit partition count — AQE
+    // still sizes/coalesces, so the shape stays scale-adaptive.
+    // (NOT cached: a cache breaks the shared exchange and measured
+    // slower — the round-12 A/B stands.)
     val index = graft.core.Partitioning.ensureWidth(docs)
       .select(col(idCol).as("id"),
         explode(graft.functions.GraftFunctions
           .polyShingleHashes(col(textCol), shingleN)).as("gram"))
-    // Document frequency via hash-aggregate + semi-join-shaped filter:
-    // the index exchange is shared with the agg and the pair join by
-    // ReuseExchange, and unlike the earlier count-window form no full
-    // sort of the exploded index is needed. Re-measured after the
-    // fused-gram change (verdicts flip as kernels get cheaper): at 10x
-    // agg+join 4.5-4.8 s vs window 5.0-5.5 s; sf0.1 parity. (NOT
-    // cached: a cache breaks the shared exchange and measured slower.)
+      .repartition(col("gram"))
     val dfCounts = index.groupBy("gram")
       .agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= maxDocFreq)
@@ -919,8 +941,16 @@ object Dedup {
       else
         graft.functions.GraftFunctions
           .polyShingleHashesAll(col(textCol), gramChars)
+    // Hash-repartitioned on the gram key for the same
+    // one-exchange-serves-all reason as [[ngramJaccardPairs]]: the
+    // instance-count aggregation and the count join both read this
+    // shuffle output, so the scan+hash+explode map pass runs ONCE
+    // instead of twice (the df-agg's own partial-agg exchange was the
+    // second full pass — d11 spent 63 exec-CPU-s at sf0.1, ~half in
+    // the duplicated map stage). AQE still coalesces the partitions.
     val grams = graft.core.Partitioning.ensureWidth(docs)
       .select(col(idCol).as("doc_id"), explode(gramKey).as("g"))
+      .repartition(col("g"))
     // Corpus-wide instance counts, inner-joined back onto the
     // instance stream (every instance matches its own count, so one
     // final doc-keyed rollup yields BOTH totals and dup counts — no

@@ -743,26 +743,58 @@ object Dedup {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val corpus = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
+    // The centroid bootstrap is over-fetched to the adaptive-k CAP
+    // and sliced to k locally: TakeOrdered(cap) returns the smallest
+    // `cap` rows in the SAME (LCG, id) order, so its k-prefix is
+    // bit-identical to sampleCentroids(corpus, k).collect(). That
+    // makes the sample job INDEPENDENT of the adaptive-k count — the
+    // two corpus passes run CONCURRENTLY (guide §2.6; the sample on a
+    // fresh thread so Spark's inheritable job group/description
+    // properties stay this caller's — a shared pool thread could
+    // carry another query's group and die with its cancellation),
+    // and the collected sample doubles as the emptiness probe, so
+    // the former serial count -> isEmpty -> TakeOrdered chain (two to
+    // three corpus-touching jobs end to end) is now one concurrent
+    // window. The localized bootstrap also means refineCentroids'
+    // first collectCentroids call reads a LocalTableScan — no job.
+    val sampleCap = math.max(nClusters, 4096)
+    val sampleFrame = Similarity.sampleCentroids(corpus,
+      if (targetCluster > 0) sampleCap else nClusters)
+    var sampleRows: Array[org.apache.spark.sql.Row] = null
+    var sampleErr: Throwable = null
+    val sampler = new Thread(() =>
+      try sampleRows = sampleFrame.collect()
+      catch { case e: Throwable => sampleErr = e })
+    sampler.setName("semanticDedup-centroid-sample")
+    sampler.start()
     // Corpus-adaptive cluster count (one count() of the input, as in
-    // [[embeddingPairs]]'s adaptive planes); 0 = fixed nClusters.
-    val n = if (targetCluster > 0) Some(corpus.count()) else None
+    // [[embeddingPairs]]'s adaptive planes), overlapped with the
+    // sample job above; 0 = fixed nClusters.
+    val n =
+      try { if (targetCluster > 0) Some(corpus.count()) else None }
+      finally sampler.join()
+    if (sampleErr != null) throw sampleErr
     // Empty-in -> empty-out: in a composed curation pipeline the
     // upstream filter may legitimately leave nothing (observed on the
     // 100x stress fixture, where the Caesar-shifted groups push every
     // document over t20's fixed surprisal threshold). Unlike the ANN
     // index builders — where an empty corpus is a caller error and
     // fail-fast stands — an empty dedup input has a well-defined
-    // verdict: no vectors, no duplicates. The isEmpty probe stops at
-    // the first row, so non-empty corpora pay one cheap limit-1 job.
-    if (n.contains(0L) || (n.isEmpty && corpus.isEmpty))
+    // verdict: no vectors, no duplicates. An empty sample IS an empty
+    // corpus (the sample keeps >= 1 row otherwise), so no separate
+    // isEmpty probe job runs.
+    if (sampleRows.isEmpty)
       return corpus.where(lit(false)).select(col("id"),
         lit(0L).as("cid"), lit(0d).as("cent_cosine"),
         lit(true).as("kept"))
     val k = n.map(adaptiveClusters(_, nClusters, targetCluster))
       .getOrElse(nClusters)
     // The shared portable bootstrap (Similarity.sampleCentroids —
-    // single definition of the LCG sample order the oracles bake in).
-    val centroids0 = Similarity.sampleCentroids(corpus, k)
+    // single definition of the LCG sample order the oracles bake in),
+    // localized from the k-prefix of the collected sample.
+    val centroids0 = emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(sampleRows.take(k): _*),
+      sampleFrame.schema)
     val centroids =
       if (lloydIterations > 0)
         Similarity.refineCentroids(corpus, centroids0, lloydIterations,

@@ -45,17 +45,17 @@ object Importance {
     * independent, bit-restatable, same discipline as the surprisal
     * family.
     *
-    * Scale posture: the feature stream collapses to DISTINCT
-    * (doc, gram) pairs with multiplicity BEFORE hashing (one
-    * polynomial evaluation per distinct gram per doc, and every
-    * shuffle carries pair-distinct rows, never token instances); both
-    * stats tables are bucket-bounded (≤ `buckets` rows — broadcast
-    * material by construction, far smaller than a vocabulary); the
-    * scoring join is a per-(doc,bucket) equi-join against those
-    * fixed-size tables. At 100 TB the two stats tables are computed
-    * once per target/pool release (tiny: `buckets` longs each) and
-    * every scoring run is a single map-side-joinable pass — the
-    * cheapest filter family in the repo.
+    * Scale posture: every gram instance hashes to its bucket id
+    * IN-ROW (a fused codegen kernel), so the one corpus exchange
+    * carries map-side-combined (doc_id, bucket, k) longs — never
+    * gram strings, never token instances; both stats tables are
+    * bucket-bounded (≤ `buckets` rows — broadcast material by
+    * construction, far smaller than a vocabulary); the scoring join
+    * is a per-(doc,bucket) equi-join against those fixed-size
+    * tables. At 100 TB the two stats tables are computed once per
+    * target/pool release (tiny: `buckets` longs each) and every
+    * scoring run is a single map-side-joinable pass — the cheapest
+    * filter family in the repo.
     *
     * @param target target-domain predicate, evaluated against the
     *               original `docs` columns
@@ -87,28 +87,42 @@ object Importance {
         i => concat(element_at(col("tk"), i), lit(" "),
           element_at(col("tk"), i + 1))))
       .otherwise(array().cast("array<string>"))
-    // DISTINCT (doc, gram) with multiplicity k first: the polynomial
-    // hash then runs once per distinct gram per doc, and everything
-    // downstream shuffles pair-distinct rows.
-    val dg = tk
-      .select(col("doc_id"), col("is_target"),
-        explode(concat(col("tk"), bigramsOf)).as("g"))
-      .groupBy("doc_id", "is_target", "g")
-      .agg(count(lit(1)).as("k"))
+    // Hash each gram instance to its bucket id BEFORE the shuffle and
+    // aggregate straight to per-(doc, bucket) counts: the one corpus
+    // exchange then carries (doc_id, b, k) longs instead of distinct
+    // (doc, gram)-pair rows with their gram STRINGS (~6x narrower
+    // rows and fewer of them — b < `buckets`), and the former
+    // per-(doc, gram) intermediate's three post-shuffle
+    // re-aggregations (per-doc-bucket, target, raw) collapse to one
+    // map-side-combined groupBy plus two bucket-bounded rollups.
+    // Hashing per INSTANCE instead of per distinct (doc, gram) pair
+    // costs ~2.3x more scalar hash evaluations — a fused codegen
+    // kernel over short strings, far cheaper than shipping the
+    // strings. Event-log at sf0.1: per-query shuffle bytes 16.2 ->
+    // 7.4 MB (t33), 16.1 -> 7.3 (t35), 15.7 -> 7.1 (t37) and execCPU
+    // -37..-45%; wall a wash at this fixture size (two paired
+    // best-of-5 runs, both directions, within the box's noise band) —
+    // the halved exchange is the 100 TB lever. The grouped sums are
+    // identical by associativity, so every output (and oracle) is
+    // unchanged.
     // Portable bucket id: base-31 polynomial over code points mod
     // 1e9+7 (non-negative — [[graft.functions.PolyHashString]], the
     // codegen'd scalar form of the d04/d11 gram-key family), reduced
     // mod B. Collisions inside a bucket are part of the DSIR
     // estimator, identical on both engines.
-    val bucketed = dg.select(col("doc_id"), col("is_target"),
-      (graft.functions.GraftFunctions.polyHash(col("g"))
-        % buckets.toLong).as("b"),
-      col("k"))
-    val db = bucketed.groupBy("doc_id", "b")
-      .agg(sum(col("k")).as("k"))
-    val tgt = bucketed.where(col("is_target"))
+    // `is_target` is constant per doc, so keying the groupBy by it
+    // too still yields one row per (doc, bucket).
+    val db = tk
+      .select(col("doc_id"), col("is_target"),
+        explode(concat(col("tk"), bigramsOf)).as("g"))
+      .select(col("doc_id"), col("is_target"),
+        (graft.functions.GraftFunctions.polyHash(col("g"))
+          % buckets.toLong).as("b"))
+      .groupBy("doc_id", "is_target", "b")
+      .agg(count(lit(1)).as("k"))
+    val tgt = db.where(col("is_target"))
       .groupBy("b").agg(sum(col("k")).as("ct"))
-    val raw = bucketed.where(col("doc_id") % rawMod === rawRem)
+    val raw = db.where(col("doc_id") % rawMod === rawRem)
       .groupBy("b").agg(sum(col("k")).as("cq"))
     // One row each: exact feature totals of the two slices.
     val tots = tgt.agg(sum(col("ct")).as("nt"))

@@ -56,9 +56,10 @@ object QualityFilter {
     *     compose downstream exactly like the surprisal quantile
     *     gate).
     *
-    * Scale posture: identical to [[Importance.dsirLogWeights]] — the
-    * feature stream collapses to DISTINCT (doc, gram) pairs with
-    * multiplicity BEFORE hashing; both stats tables are bucket-bounded
+    * Scale posture: identical to [[Importance.dsirLogWeights]] —
+    * every gram instance hashes to its bucket IN-ROW, so the one
+    * corpus exchange carries map-side-combined (doc_id, bucket, k)
+    * longs, never gram strings; both stats tables are bucket-bounded
     * (≤ `buckets` rows — broadcast material); scoring is one
     * map-side-joinable pass over per-(doc,bucket) rows. At 100 TB the
     * weight vector (one `buckets`-row table) is trained once per
@@ -90,23 +91,26 @@ object QualityFilter {
         i => concat(element_at(col("tk"), i), lit(" "),
           element_at(col("tk"), i + 1))))
       .otherwise(array().cast("array<string>"))
-    // DISTINCT (doc, gram) with multiplicity k first — the polynomial
-    // hash runs once per distinct gram per doc (the Importance
-    // discipline).
-    val dg = tk
+    // Hash each gram instance to its bucket IN-ROW and aggregate
+    // straight to per-(doc, bucket) counts — the Importance
+    // discipline (see [[Importance.dsirLogWeights]]'s note: the one
+    // corpus exchange carries (doc_id, b, k) longs instead of
+    // distinct (doc, gram) pairs with their gram strings, and the
+    // former three post-shuffle re-aggregations collapse; grouped
+    // sums are identical by associativity, so outputs and oracles
+    // are unchanged). `is_pos` is constant per doc, so keying the
+    // groupBy by it too still yields one row per (doc, bucket).
+    val db = tk
       .select(col("doc_id"), col("is_pos"),
         explode(concat(col("tk"), bigramsOf)).as("g"))
-      .groupBy("doc_id", "is_pos", "g")
+      .select(col("doc_id"), col("is_pos"),
+        (graft.functions.GraftFunctions.polyHash(col("g"))
+          % buckets.toLong).as("b"))
+      .groupBy("doc_id", "is_pos", "b")
       .agg(count(lit(1)).as("k"))
-    val bucketed = dg.select(col("doc_id"), col("is_pos"),
-      (graft.functions.GraftFunctions.polyHash(col("g"))
-        % buckets.toLong).as("b"),
-      col("k"))
-    val db = bucketed.groupBy("doc_id", "b")
-      .agg(sum(col("k")).as("k"))
-    val pos = bucketed.where(col("is_pos"))
+    val pos = db.where(col("is_pos"))
       .groupBy("b").agg(sum(col("k")).as("cp"))
-    val neg = bucketed.where(isNeg)
+    val neg = db.where(isNeg)
       .groupBy("b").agg(sum(col("k")).as("cn"))
     // One row: gram masses of the two slices plus their DOCUMENT
     // counts (for the prior) — all coalesced so an empty slice

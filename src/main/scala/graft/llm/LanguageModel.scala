@@ -237,6 +237,104 @@ object LanguageModel {
         round(col("ms"), 6).as("mean_surprisal"))
   }
 
+  /** BOTH Stupid Backoff models scored in ONE pass over an already
+    * tokenized frame — the two-model fusion [[crossEntropyDiff]]
+    * runs. [[scoreBigram]] called twice extracts the first-token and
+    * distinct-(doc,prev,cur) streams TWICE (the pair explode + its
+    * corpus-sized distinct shuffle are per-model there, though only
+    * the STATS tables differ between the models) and then pays a
+    * corpus-sized equi-join to line the two means back up. Here the
+    * instance streams are built once, each instance row joins both
+    * models' stats tables (all corpus-bounded; AQE broadcasts them
+    * when they fit), and one per-doc aggregation produces both means
+    * — halving the pair-explode work, removing one corpus-distinct
+    * exchange and the final join outright.
+    *
+    * Exactness: per instance the two surprisal terms are computed by
+    * the same arms as [[scoreBigram]]'s; the per-doc DECIMAL(38,18)
+    * sums are exact and order-independent, so ms_in/ms_gen are
+    * BIT-IDENTICAL to the two-pass form's (same instances, same
+    * terms, same rounding) — every oracle unchanged by construction.
+    *
+    * @return (doc_id, n_tokens, ms_in, ms_gen) */
+  private def scoreBigram2(tk: DataFrame, trainIn: Column,
+      trainGen: Column, alpha: Double): DataFrame = {
+    val pairsOf = when(size(col("tk")) >= 2,
+      transform(sequence(lit(1), size(col("tk")) - 1),
+        i => struct(element_at(col("tk"), i).as("prev"),
+          element_at(col("tk"), i + 1).as("cur"))))
+      .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
+    // Per-model stats tables (the only model-dependent pieces),
+    // suffixed so both ride one row side by side.
+    def stats(train: DataFrame, sfx: String) = {
+      val uni = train.select(explode(col("tk")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt" + sfx))
+      val tot = uni.agg(sum(col("cnt" + sfx)).as("n" + sfx),
+        count(lit(1)).as("v" + sfx))
+      val bfreq = train.select(explode(pairsOf).as("b"))
+        .select(col("b.prev").as("prev"), col("b.cur").as("cur"))
+        .groupBy("prev", "cur").agg(count(lit(1)).as("cnt2" + sfx))
+      (uni, tot, bfreq)
+    }
+    val (uniI, totI, bfI) = stats(tk.where(trainIn), "_i")
+    val (uniG, totG, bfG) = stats(tk.where(trainGen), "_g")
+    def p1(c: Column, sfx: String): Column =
+      (coalesce(c, lit(0L)) + lit(1L)).cast("double") /
+        (col("n" + sfx) + col("v" + sfx)).cast("double")
+    // First token of every doc: unigram base for BOTH models.
+    val first = tk
+      .select(col("doc_id"), element_at(col("tk"), 1).as("term"))
+      .join(uniI.withColumnRenamed("cnt_i", "cnt_cur_i"), Seq("term"),
+        "left")
+      .join(uniG.withColumnRenamed("cnt_g", "cnt_cur_g"), Seq("term"),
+        "left")
+      .crossJoin(broadcast(totI)).crossJoin(broadcast(totG))
+      .select(col("doc_id"), lit(1L).as("k"),
+        (-log(p1(col("cnt_cur_i"), "_i"))).as("s_i"),
+        (-log(p1(col("cnt_cur_g"), "_g"))).as("s_g"))
+    // Remaining tokens: ONE distinct (doc, prev, cur) stream, both
+    // models' stats joined onto it.
+    val bg = tk.select(col("doc_id"), explode(pairsOf).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"),
+        col("b.cur").as("cur"))
+      .groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("k"))
+    val rest = bg
+      .join(bfI, Seq("prev", "cur"), "left")
+      .join(bfG, Seq("prev", "cur"), "left")
+      .join(uniI.select(col("term").as("prev"),
+        col("cnt_i").as("cnt_prev_i")), Seq("prev"), "left")
+      .join(uniI.select(col("term").as("cur"),
+        col("cnt_i").as("cnt_cur_i")), Seq("cur"), "left")
+      .join(uniG.select(col("term").as("prev"),
+        col("cnt_g").as("cnt_prev_g")), Seq("prev"), "left")
+      .join(uniG.select(col("term").as("cur"),
+        col("cnt_g").as("cnt_cur_g")), Seq("cur"), "left")
+      .crossJoin(broadcast(totI)).crossJoin(broadcast(totG))
+      .select(col("doc_id"), col("k"),
+        when(col("cnt2_i").isNotNull,
+          -log(col("cnt2_i").cast("double")
+            / col("cnt_prev_i").cast("double")))
+          .otherwise(-log(lit(alpha) * p1(col("cnt_cur_i"), "_i")))
+          .as("s_i"),
+        when(col("cnt2_g").isNotNull,
+          -log(col("cnt2_g").cast("double")
+            / col("cnt_prev_g").cast("double")))
+          .otherwise(-log(lit(alpha) * p1(col("cnt_cur_g"), "_g")))
+          .as("s_g"))
+    first.unionByName(rest)
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_tokens"),
+        (sum((col("k").cast("double") * col("s_i"))
+            .cast("decimal(38,18)")).cast("double")
+          / sum(col("k"))).as("msi"),
+        (sum((col("k").cast("double") * col("s_g"))
+            .cast("decimal(38,18)")).cast("double")
+          / sum(col("k"))).as("msg"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("msi"), 6).as("ms_in"),
+        round(col("msg"), 6).as("ms_gen"))
+  }
+
   /** Moore–Lewis cross-entropy difference selection (Moore & Lewis,
     * "Intelligent Selection of Language Model Training Data",
     * ACL 2010) — the classic in-domain data-selection score, and the
@@ -291,13 +389,13 @@ object LanguageModel {
         filter(tokens(col(textCol)), t => length(t) > 0).as("tk"))
       .where(size(col("tk")) > 0)
     val tk = Dedup.swapCached(tkSlot, tk0)
-    val msIn = scoreBigram(tk, col("is_train_in"), alpha)
-      .select(col("doc_id"), col("n_tokens"),
-        col("mean_surprisal").as("ms_in"))
-    val msGen = scoreBigram(tk, col("is_train_gen"), alpha)
-      .select(col("doc_id"), col("mean_surprisal").as("ms_gen"))
-    // Inner join is exact: both passes drop the same zero-token docs.
-    msIn.join(msGen, "doc_id")
+    // ONE fused scoring pass for both models (see [[scoreBigram2]]):
+    // instance streams built once, stats joined side by side, one
+    // per-doc aggregation — the two-pass form's pair explode, its
+    // second corpus-distinct exchange and the final ms_in ⋈ ms_gen
+    // join are gone. ms_in/ms_gen bit-identical to the two-pass
+    // form's (same instances/terms, exact DECIMAL sums).
+    scoreBigram2(tk, col("is_train_in"), col("is_train_gen"), alpha)
       .select(col("doc_id"), col("n_tokens"), col("ms_in"),
         col("ms_gen"),
         round(col("ms_in") - col("ms_gen"), 6).as("ce_diff"))

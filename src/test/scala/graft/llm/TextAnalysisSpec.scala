@@ -429,6 +429,47 @@ class TextAnalysisSpec extends SparkSpec {
       && out2(1L) < out2(3L) && out2(4L) < out2(3L))
   }
 
+  test("fused crossEntropyDiff is bit-identical to the two-pass " +
+      "composition of bigramSurprisal models it replaced") {
+    // The r15 fusion builds the instance streams once and joins both
+    // models' stats side by side; this pins it against the original
+    // two-pass form (one bigramSurprisal per model, inner-joined) —
+    // exact double equality, since the per-doc DECIMAL(38,18) sums
+    // are order-independent and the instances/terms are identical.
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "tgt"),
+      (2L, "the cat sat on a mat", "web"),
+      (3L, "qwv zyx flux capacitor", "web"),
+      (4L, "the cat ran on the mat", "tgt"),
+      (5L, "mat the on cat", "web"),
+      (6L, "solo", "web"),
+      (7L, "the the the the", "tgt"))
+      .toDF("doc_id", "text", "source")
+    val fused = LanguageModel.crossEntropyDiff(docs,
+      col("source") === "tgt")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("ms_in"),
+          r.getAs[Double]("ms_gen"), r.getAs[Double]("ce_diff")))
+      .toMap
+    val msIn = LanguageModel.bigramSurprisal(docs,
+      col("source") === "tgt", "doc_id", "text", 0.4)
+    val msGen = LanguageModel.bigramSurprisal(docs,
+      col("doc_id") % 3 === 1, "doc_id", "text", 0.4)
+    val twoPass = msIn.select(col("doc_id"), col("n_tokens"),
+        col("mean_surprisal").as("ms_in"))
+      .join(msGen.select(col("doc_id"),
+        col("mean_surprisal").as("ms_gen")), "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("ms_in"),
+        col("ms_gen"),
+        round(col("ms_in") - col("ms_gen"), 6).as("ce_diff"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("ms_in"),
+          r.getAs[Double]("ms_gen"), r.getAs[Double]("ce_diff")))
+      .toMap
+    assert(fused.keySet == twoPass.keySet)
+    for ((d, v) <- twoPass) assert(fused(d) == v, s"doc $d")
+  }
+
   test("DSIR log importance weights match an independent hashed-" +
       "ngram model; target-like text weighs higher") {
     // target = source 'tgt' (docs 1, 4); raw sample = id%3==1

@@ -1085,8 +1085,22 @@ object Dedup {
       s"winnowPairs: maxDocsPerFp must be >= 2, got $maxDocsPerFp")
     // Positions drop out: pairing is on fingerprint VALUES, one vote
     // per (doc, fp) however many positions selected it.
+    //
+    // ONE fp-keyed exchange for the whole index build (the d04/d11
+    // shape, guide §2.4): repartition the raw fingerprint instances
+    // on fp BEFORE the distinct — HashPartitioning(fp) satisfies the
+    // clustering of every downstream key set ((doc_id, fp) distinct,
+    // fp occupancy aggregation, fp cap join), so the distinct, the
+    // cap count and the cap join all run exchange-free off the same
+    // shuffle. The pre-r15 plan shuffled the fingerprint stream
+    // TWICE (a (doc_id, fp) partial-distinct exchange, then an
+    // fp re-key shared by agg+join); the trade is the one remaining
+    // exchange now carries raw instances instead of partial-distinct
+    // pairs (a repeated span re-selects the same (doc, fp) at
+    // several positions — a small multiple).
     val fps = winnowFingerprints(docs, idCol, textCol, gramChars,
-      window).select(col("doc_id"), col("fp")).distinct()
+      window).select(col("doc_id"), col("fp"))
+      .repartition(col("fp")).distinct()
     val ok = fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") <= maxDocsPerFp)
       .select("fp")

@@ -189,6 +189,10 @@ object Bpe {
     * unchanged by construction.) */
   private val CkptStride = 4
 
+  /** Candidates fetched per pair-count job in [[mergeLoop]] — the
+    * batching window of the provably-safe multi-merge step below. */
+  private val BatchK = 16
+
   private def mergeLoop(seeded: DataFrame, rounds: Int): Seq[Merge] = {
     // Eager localCheckpoint, not persist: a persisted round still
     // carries the previous round's full logical lineage, and the
@@ -202,6 +206,11 @@ object Bpe {
     var cur = seeded.localCheckpoint(true)
     var pendingReplaces = 0
     val merges = Seq.newBuilder[Merge]
+    // Products of ALL merges so far in this training run: together
+    // with the seeds these are the only symbol strings that can exist
+    // in the dictionary, which is what makes the batch-safety
+    // freshness check below a driver-side set lookup.
+    val allProducts = scala.collection.mutable.Set.empty[String]
     var step = 0
     var exhausted = false
     while (step < rounds && !exhausted) {
@@ -211,29 +220,103 @@ object Bpe {
       // DESCENDING range, so the short case must be guarded.
       val idx = when(size(syms) >= 2, sequence(lit(0), size(syms) - 2))
         .otherwise(typedLit(Seq.empty[Int]))
-      val best = cur
+      // TOP-BatchK pair counts per job instead of the bare argmax:
+      // the published algorithm is strictly sequential (each merge
+      // changes the counts the next argmax ranks), but a PREFIX of
+      // the ranked candidates can be applied from ONE count when each
+      // is provably still the argmax at its turn — fewer full
+      // dictionary aggregation passes (guide §1.2), and the merge
+      // stream stays byte-identical (same argmax sequence, proved
+      // below and pinned by BpeSpec's independent model + the DuckDB
+      // merge-table oracles).
+      val top = cur
         .select(col("freq"), syms.as("syms"), explode(idx).as("i"))
         .select(col("freq"),
           element_at(col("syms"), col("i") + 1).as("lhs"),
           element_at(col("syms"), col("i") + 2).as("rhs"))
         .groupBy("lhs", "rhs").agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(BatchK).collect()
+      if (top.isEmpty) exhausted = true
       else {
-        val (l, r) = (best(0).getString(0), best(0).getString(1))
-        step += 1
-        merges += Merge(step, l, r, l + r, best(0).getLong(2))
-        cur = cur.withColumn("seq",
-          replace(col("seq"), lit(" " + l + "  " + r + " "),
-            lit(" " + l + r + " ")))
-        pendingReplaces += 1
-        // No checkpoint after the FINAL merge either: the loop's last
-        // dictionary state has no consumer (callers re-apply the
-        // learned merges as one expression chain over the raw data).
-        if (pendingReplaces >= CkptStride && step < rounds) {
-          cur = cur.localCheckpoint(true)
-          pendingReplaces = 0
+        // Greedy safe-prefix batch over the ranked candidates; stop
+        // at the first candidate whose argmax-at-its-turn can no
+        // longer be proved from this count. SAFETY ARGUMENT (why the
+        // accepted prefix reproduces the sequential argmax stream
+        // bit-for-bit): process candidates in rank order, S = symbols
+        // consumed by accepted merges, P = their product strings.
+        //   - Candidates ranked BEFORE m are all accepted (first
+        //     reject ends the batch), so after their replaces they no
+        //     longer exist as pairs.
+        //   - A pair NOT touching S keeps its exact count (a replace
+        //     destroys only pairs overlapping a " l  r " match — both
+        //     of whose symbols are in S — and creates only pairs
+        //     involving the product), so m's own count is exact when
+        //     l,r are outside S ∪ P, and every untouched pair ranked
+        //     after m stays after it (equal counts keep their
+        //     tie-break order).
+        //   - A pair touching S only DECREASES; it ranked after m
+        //     (else the batch would have stopped at it), so it cannot
+        //     overtake m unless it started TIED with m — hence the
+        //     no-tied-touching-candidate check.
+        //   - A CREATED pair involves a product; its count is bounded
+        //     by some destroyed pair's pre-batch count, i.e. by a
+        //     touching pair's, which ranks after m: strictly below
+        //     m's count unless tied — covered by the same check for
+        //     ranked candidates and by `cnt > cK` for pairs below the
+        //     collected window (when the window is full, unseen pairs
+        //     can reach cK exactly).
+        //   - All of this presumes products are FRESH strings (an
+        //     existing symbol equal to a product would let created
+        //     occurrences BOOST a pre-existing pair past its observed
+        //     count). Symbols are seeds ∪ products-so-far: seeds are
+        //     single chars / 2-hex bytes (shorter than any product)
+        //     plus the EndMark, so freshness is the driver-side check
+        //     `product ∉ allProducts ∪ {EndMark}`. A non-fresh
+        //     product's own merge is still the valid argmax — it is
+        //     applied, and the batch ends there.
+        val full = top.length == BatchK
+        val cK = if (full) top.last.getLong(2) else Long.MinValue
+        val S = scala.collection.mutable.Set.empty[String]
+        val P = scala.collection.mutable.Set.empty[String]
+        var i = 0
+        var stop = false
+        while (!stop && i < top.length && step < rounds) {
+          val (l, r, c) = (top(i).getString(0), top(i).getString(1),
+            top(i).getLong(2))
+          val safe = i == 0 || (
+            !S.contains(l) && !P.contains(l) &&
+              !S.contains(r) && !P.contains(r) &&
+              c > cK &&
+              // no tied candidate ranked after m touches S
+              (i + 1 until top.length).forall { j =>
+                top(j).getLong(2) != c ||
+                  (!S.contains(top(j).getString(0)) &&
+                    !S.contains(top(j).getString(1)))
+              })
+          if (!safe) stop = true
+          else {
+            step += 1
+            merges += Merge(step, l, r, l + r, c)
+            cur = cur.withColumn("seq",
+              replace(col("seq"), lit(" " + l + "  " + r + " "),
+                lit(" " + l + r + " ")))
+            pendingReplaces += 1
+            val prod = l + r
+            if (allProducts.contains(prod) || prod == EndMark)
+              stop = true // applied, but later candidates unprovable
+            allProducts += prod
+            S += l; S += r; P += prod
+            // No checkpoint after the FINAL merge either: the loop's
+            // last dictionary state has no consumer (callers re-apply
+            // the learned merges as one expression chain over the raw
+            // data).
+            if (pendingReplaces >= CkptStride && step < rounds) {
+              cur = cur.localCheckpoint(true)
+              pendingReplaces = 0
+            }
+            i += 1
+          }
         }
       }
     }

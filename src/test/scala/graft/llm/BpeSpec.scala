@@ -109,6 +109,34 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("batched merge loop equals the sequential model on random " +
+      "low-alphabet corpora (ties, non-fresh products, deep rounds)") {
+    // The r15 safe-prefix batching applies several merges per count
+    // job; a 2–3 letter alphabet maximizes tie-breaks, interacting
+    // candidates, and product-string collisions across rounds — the
+    // exact hazards the batch-safety conditions guard. The sequential
+    // driver-side model is the ground truth.
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(11, 42, 97)) {
+      val rnd = new scala.util.Random(seed)
+      val alpha = "ab" + (if (seed % 2 == 0) "c" else "")
+      val words = Vector.fill(40)(
+        Vector.fill(1 + rnd.nextInt(5))(
+          alpha(rnd.nextInt(alpha.length))).mkString)
+      val wf = words.groupMapReduce(identity)(_ =>
+        1L + rnd.nextInt(4))(_ + _)
+      val text = wf.toSeq.flatMap { case (w, f) =>
+        Seq.fill(f.toInt)(w) }.mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val got = Bpe.bpeMerges(df, rounds = 24)
+        .orderBy("step").collect().toSeq
+        .map(r => Bpe.Merge(r.getInt(0), r.getString(1),
+          r.getString(2), r.getString(3), r.getLong(4)))
+      assert(got == modelTrain(wf, 24), s"seed=$seed")
+    }
+  }
+
   test("whole-word fusion: single-char word survives deep training") {
     // 'a </w>' fuses to one symbol; later rounds must not emit a
     // descending index range on the size-1 sequence.

@@ -1086,21 +1086,19 @@ object Dedup {
     // Positions drop out: pairing is on fingerprint VALUES, one vote
     // per (doc, fp) however many positions selected it.
     //
-    // ONE fp-keyed exchange for the whole index build (the d04/d11
-    // shape, guide §2.4): repartition the raw fingerprint instances
-    // on fp BEFORE the distinct — HashPartitioning(fp) satisfies the
-    // clustering of every downstream key set ((doc_id, fp) distinct,
-    // fp occupancy aggregation, fp cap join), so the distinct, the
-    // cap count and the cap join all run exchange-free off the same
-    // shuffle. The pre-r15 plan shuffled the fingerprint stream
-    // TWICE (a (doc_id, fp) partial-distinct exchange, then an
-    // fp re-key shared by agg+join); the trade is the one remaining
-    // exchange now carries raw instances instead of partial-distinct
-    // pairs (a repeated span re-selects the same (doc, fp) at
-    // several positions — a small multiple).
+    // Exchange shape deliberately kept two-stage (partial-distinct on
+    // (doc_id, fp), then the fp re-key shared by the occupancy count
+    // and the cap join): the r15 single-exchange variant
+    // (`repartition(col("fp"))` before the distinct, the d04 shape)
+    // measured −27% wall at the 10x fixture but INVERTED at 100x —
+    // instrumented paired runs: execCPU 3115 → 4433 s (+42%), cold
+    // wall 105 → 169 s, despite −27% shuffle bytes. Dropping the
+    // map-side partial collapse makes the post-shuffle distinct
+    // deserialize and hash every raw gram-repeat instance in the
+    // reduce stage, which loses exactly when the data gets big — the
+    // opposite of the 100 TB posture. Tried, measured, REVERTED.
     val fps = winnowFingerprints(docs, idCol, textCol, gramChars,
-      window).select(col("doc_id"), col("fp"))
-      .repartition(col("fp")).distinct()
+      window).select(col("doc_id"), col("fp")).distinct()
     val ok = fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") <= maxDocsPerFp)
       .select("fp")
